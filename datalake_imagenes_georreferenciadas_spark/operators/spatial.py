@@ -1,0 +1,162 @@
+"""Spatial join operators (SURVEY J2–J5, §4.3) — the reference's heart.
+
+The reference classifies each image centroid against cadastral parcels:
+containment first (``Polygon.contains``, script_geo.py:84), then a
+nearest-vertex fallback across three tiers (script_geo.py:92-140). Note
+SURVEY §2.11 bug 1: the reference *accidentally discards* its containment
+result; we implement the intent (containment, then NN fallback).
+
+Plan shapes, scale-first:
+
+- **contains_join (v1)**: broadcast the polygon dimension (parcels are
+  MBs, images are the 100 TB side) → BroadcastNestedLoopJoin with a
+  codegen'd ray-casting predicate. No shuffle of the fact side at all.
+- **contains_join_grid (v2, the §4.3 scale path)**: explode each polygon
+  to the grid cells its bbox overlaps, give each point its cell, and
+  **equi-join on cell** before the exact ray-cast. Catalyst shuffle-
+  partitions the equi-join; skewed cells are handled by AQE skew-join.
+- **nearest_vertex_join (J3)**: explode polygons to vertices (a one-time
+  dimension prep, exactly like the reference's ``allcoor`` index,
+  script_geo.py:146-154), broadcast, then argmin per point via
+  ``min(struct(dist, tiebreak...))`` — deterministic ties by parcel id,
+  fixing §2.11 bug 6 (float-equality matching).
+- **classify_points (3A pipeline)**: containment left-join + NN fallback +
+  ``coalesce`` → the unclassifiable branch yields nulls and the P7 label,
+  implementing §2.11 bug 2's intent.
+
+Polygon encoding: ``ring array<struct<x:double,y:double>>`` — plain Spark
+types; WKT would round-trip through a parser for no benefit here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.geo import dist2, grid_cell, point_in_ring
+from .topk import argmin_per_group
+
+
+def contains_join(
+    points: DataFrame,
+    polys: DataFrame,
+    point_id: str = "img_id",
+    x_col: str = "lon",
+    y_col: str = "lat",
+    ring_col: str = "ring",
+    how: str = "left",
+) -> DataFrame:
+    """J2: point-in-polygon join, broadcast-nested-loop with a ray-cast
+    predicate. Use when the polygon side fits in memory (the reference's
+    own assumption — it holds all parcels in a driver list)."""
+    pred = point_in_ring(points[x_col], points[y_col], polys[ring_col])
+    return points.join(F.broadcast(polys), pred, how)
+
+
+def contains_join_grid(
+    points: DataFrame,
+    polys: DataFrame,
+    eps: float = 0.5,
+    point_id: str = "img_id",
+    x_col: str = "lon",
+    y_col: str = "lat",
+    ring_col: str = "ring",
+) -> DataFrame:
+    """J2 at scale (§4.3): grid-cell equi-join prefilter, then exact test.
+
+    Each polygon is exploded to every ε-cell its bounding box overlaps
+    (dimension-side blowup is bounded and tiny); each point maps to exactly
+    one cell. The join becomes ``point.cell = poly.cell`` — an equi-join
+    Catalyst can hash-partition — and the ray-cast runs only on survivors.
+    """
+    cells = polys.withColumn(
+        "__cells",
+        F.expr(
+            f"""
+            flatten(transform(
+              sequence(cast(floor(array_min(transform({ring_col}, p -> p.x)) / {eps}) as bigint),
+                       cast(floor(array_max(transform({ring_col}, p -> p.x)) / {eps}) as bigint)),
+              cx -> transform(
+                sequence(cast(floor(array_min(transform({ring_col}, p -> p.y)) / {eps}) as bigint),
+                         cast(floor(array_max(transform({ring_col}, p -> p.y)) / {eps}) as bigint)),
+                cy -> struct(cx as cx, cy as cy))))
+            """
+        ),
+    ).withColumn("__cell", F.explode("__cells")).drop("__cells")
+    pts = points.withColumn("__cell", grid_cell(F.col(x_col), F.col(y_col), eps))
+    joined = pts.join(cells, "__cell")
+    return joined.filter(point_in_ring(F.col(x_col), F.col(y_col), F.col(ring_col))).drop(
+        "__cell"
+    )
+
+
+def explode_vertices(
+    polys: DataFrame, ring_col: str = "ring", keep: tuple[str, ...] = ("id_predio", "nombre")
+) -> DataFrame:
+    """Dimension prep for J3: one row per polygon vertex (the reference's
+    ``allcoor`` vertex→parcel index, script_geo.py:146-154)."""
+    return polys.select(
+        *keep, F.explode(F.col(ring_col)).alias("__v")
+    ).select(*keep, F.col("__v.x").alias("vx"), F.col("__v.y").alias("vy"))
+
+
+def nearest_vertex_join(
+    points: DataFrame,
+    polys: DataFrame,
+    point_id: str = "img_id",
+    x_col: str = "lon",
+    y_col: str = "lat",
+    ring_col: str = "ring",
+    keep: tuple[str, ...] = ("id_predio", "nombre"),
+) -> DataFrame:
+    """J3–J5: nearest polygon vertex per point, deterministic argmin.
+
+    Broadcast the (small) vertex dimension against the point fact table,
+    compute squared distance, and ``min(struct(dist, keep...))`` per point
+    — one partial-aggregated shuffle on point id, no window state. Ties
+    break on the ``keep`` columns' ordering (documented, deterministic).
+    """
+    verts = explode_vertices(polys, ring_col, keep)
+    crossed = points.select(point_id, x_col, y_col).join(F.broadcast(verts))
+    scored = crossed.withColumn(
+        "dist2", dist2(F.col(x_col), F.col(y_col), F.col("vx"), F.col("vy"))
+    )
+    return argmin_per_group(scored, [point_id], F.col("dist2"), [*keep, "vx", "vy"])
+
+
+def classify_points(
+    points: DataFrame,
+    polys: DataFrame,
+    point_id: str = "img_id",
+    x_col: str = "lon",
+    y_col: str = "lat",
+    ring_col: str = "ring",
+    keep: tuple[str, ...] = ("id_predio", "nombre"),
+    unclassifiable_label: str = "IMAGEN NO CLASIFICABLE",
+) -> DataFrame:
+    """The 3A classifier: containment first, nearest-vertex fallback, P7
+    null-guard label for points with no coordinates (§2.11 intent).
+
+    Output: point columns + ``keep`` columns + ``method`` ∈
+    {'contains','nearest', unclassifiable_label}.
+    """
+    has_xy = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    located = points.filter(has_xy)
+    unlocated = points.filter(~has_xy)
+
+    inside = contains_join(located, polys, point_id, x_col, y_col, ring_col, how="inner")
+    # deterministic winner when polygons overlap: min over the keep tuple
+    inside_sel = argmin_per_group(
+        inside, [point_id], F.struct(*[F.col(c) for c in keep]), list(keep)
+    ).withColumn("method", F.lit("contains"))
+
+    missed = located.join(inside_sel.select(point_id), point_id, "left_anti")
+    nn = nearest_vertex_join(missed, polys, point_id, x_col, y_col, ring_col, keep)
+    nn_sel = nn.select(point_id, *keep, F.lit("nearest").alias("method"))
+
+    unc = unlocated.select(
+        point_id,
+        *[F.lit(None).cast("string").alias(c) for c in keep],
+        F.lit(unclassifiable_label).alias("method"),
+    )
+    return inside_sel.unionByName(nn_sel).unionByName(unc)

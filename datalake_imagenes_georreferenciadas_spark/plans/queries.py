@@ -1,0 +1,1233 @@
+"""The operator-coverage query registry (SURVEY §2 → driver contract).
+
+Every implemented operator lands here as a named (spark_fn, oracle_sql)
+pair; ``__spark_entry__.py`` re-exports them. Conventions:
+
+- each spark fn takes ``(spark, sf_dir)`` and returns a DataFrame;
+- every computed column is aliased identically in Spark and SQL (the
+  driver's value-hash sorts columns by name);
+- double aggregates go through ``decimal(18,4)`` partial sums (order-
+  independent, so Spark's partition-parallel sum and DuckDB's sequential
+  sum agree bit-exactly) and come back as doubles;
+- unit-scale floats (cosines, scores) are rounded to 6 decimals on both
+  sides, money-scale to 2;
+- timestamps leave the plan as epoch BIGINTs where a window start is part
+  of the result (cross-engine timestamp hashing is not worth the risk).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..functions import text as TX
+from ..functions import vectors as V
+from ..functions.geo import affine_extent, point_in_ring
+from ..functions.strings import composite_key, parse_model_filename, path_parts
+from ..operators import dedup as D
+from ..operators import similarity as SIM
+from ..operators.sessionize import sessionize
+from ..operators.spatial import classify_points, contains_join, contains_join_grid, nearest_vertex_join
+from ..operators.topk import argmin_per_group, topk_per_group
+from ..tables import table
+from . import geo_fixture as GF
+from .flagship import FLAGSHIP_ORACLE_SQL, catalog_filtered_join
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _dsum(col: F.Column) -> F.Column:
+    """Order-independent double sum: decimal partials, double result."""
+    return F.sum(col.cast("decimal(18,4)")).cast("double")
+
+
+def _dsum_sql(expr: str) -> str:
+    return f"CAST(sum(CAST(({expr}) AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+# ======================================================================
+# J1 — flagship + join variants (SURVEY §2.3)
+# ======================================================================
+
+register("catalog_filtered_join", FLAGSHIP_ORACLE_SQL)(catalog_filtered_join)
+
+
+@register(
+    "j1_semi_join",
+    """
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def j1_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi = EXISTS (SURVEY §2.3 EXT; incremental-ingest shape)."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "j1_anti_join",
+    """
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j1_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti = NOT EXISTS — the 'new files only' ingest guard."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "p7_left_join_null_guard",
+    """
+    SELECT l.l_orderkey, l.l_linenumber,
+           coalesce(p.p_brand, 'IMAGEN NO CLASIFICABLE') AS brand
+    FROM lineitem l
+    LEFT JOIN (SELECT * FROM part WHERE p_size >= 40) p
+      ON l.l_partkey = p.p_partkey
+    """,
+)
+def p7_left_join_null_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: the unclassifiable branch as left-join + coalesce (§2.11 bug 2
+    intent — script_geo.py:198-202)."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(F.col("p_brand"), F.lit("IMAGEN NO CLASIFICABLE")).alias("brand"),
+    )
+
+
+# ======================================================================
+# P — projections / filters (SURVEY §2.2)
+# ======================================================================
+
+
+@register(
+    "p1_projection_filter",
+    "SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 2",
+)
+def p1_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: property projection (script_geo.py:75) — pruned scan + filter."""
+    return (
+        table(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 2)
+        .select("n_nationkey", "n_name")
+    )
+
+
+@register(
+    "p2_filename_parse",
+    """
+    WITH named AS (
+      SELECT doc_id,
+             source || '_' || lang || '_E' || (doc_id % 5)::VARCHAR
+                    || '_A' || (doc_id % 3)::VARCHAR || '_grilla.tif' AS name
+      FROM documents
+    ), stems AS (
+      SELECT doc_id,
+             string_split(regexp_replace(regexp_replace(name, '\\.[^.]*$', ''),
+                                         '(_grilla|_etiquetas|_rodal)$', ''), '_') AS parts
+      FROM named
+    )
+    SELECT doc_id, parts[1] AS codigo, parts[2] AS seccion,
+           parts[3] AS especie, parts[4] AS apl
+    FROM stems
+    """,
+)
+def p2_filename_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: CODIGO_SECCION_ESPECIE_APL[_suffix].ext codec
+    (download_list_images.py:92-99)."""
+    docs = table(spark, sf_dir, "documents")
+    named = docs.withColumn(
+        "name",
+        F.concat(
+            F.col("source"),
+            F.lit("_"),
+            F.col("lang"),
+            F.lit("_E"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("_A"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("_grilla.tif"),
+        ),
+    )
+    parsed = named.withColumn("p", parse_model_filename(F.col("name")))
+    return parsed.select(
+        "doc_id",
+        F.col("p.codigo").alias("codigo"),
+        F.col("p.seccion").alias("seccion"),
+        F.col("p.especie").alias("especie"),
+        F.col("p.apl").alias("apl"),
+    )
+
+
+@register(
+    "p3_composite_key",
+    """
+    SELECT c_custkey,
+           concat_ws('_', c_custkey::VARCHAR, c_mktsegment, c_nationkey::VARCHAR) AS indice
+    FROM customer
+    """,
+)
+def p3_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: INDICE composite business key (script_geo.py:197)."""
+    return table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        composite_key("c_custkey", "c_mktsegment", "c_nationkey").alias("indice"),
+    )
+
+
+@register(
+    "p4_path_parse",
+    """
+    WITH paths AS (
+      SELECT doc_id, 'lake/' || source || '/' || doc_id::VARCHAR || '.txt' AS path
+      FROM documents
+    ), parts AS (SELECT doc_id, string_split(path, '/') AS p FROM paths)
+    SELECT doc_id, p[-1] AS filename, p[-2] AS parent, p[1] AS root FROM parts
+    """,
+)
+def p4_path_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: RUTA_RESULTADO path part recovery (download_list_images.py:59-64)."""
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "path",
+        F.concat(F.lit("lake/"), F.col("source"), F.lit("/"), F.col("doc_id").cast("string"), F.lit(".txt")),
+    )
+    parsed = docs.withColumn("pp", path_parts(F.col("path")))
+    return parsed.select(
+        "doc_id",
+        F.col("pp.filename").alias("filename"),
+        F.col("pp.parent").alias("parent"),
+        F.col("pp.root").alias("root"),
+    )
+
+
+@register(
+    "p5_filter_in_conj",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    WHERE l_returnflag IN ('A', 'N') AND l_quantity >= 30
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    """,
+)
+def p5_filter_in_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: IN + conjunctive predicate (mysql_process.py:72-74); all three
+    predicates push into the parquet scan."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_returnflag").isin("A", "N")
+            & (F.col("l_quantity") >= 30)
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@register(
+    "p6_type_dispatch",
+    """
+    SELECT event_id,
+           CASE WHEN event_type = 'error' THEN 'BR'
+                WHEN event_type = 'purchase' THEN 'TIF' ELSE 'OTRO' END AS clase,
+           CASE WHEN event_type = 'error' THEN 0
+                WHEN event_type = 'purchase' THEN 3 ELSE 10 END AS tipo_img
+    FROM events
+    """,
+)
+def p6_type_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: BR/TIF dispatch as expressions, not exceptions
+    (script_geo.py:167-175)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", "BR")
+        .when(F.col("event_type") == "purchase", "TIF")
+        .otherwise("OTRO")
+        .alias("clase"),
+        F.when(F.col("event_type") == "error", 0)
+        .when(F.col("event_type") == "purchase", 3)
+        .otherwise(10)
+        .alias("tipo_img"),
+    )
+
+
+# ======================================================================
+# A — aggregations (SURVEY §2.4)
+# ======================================================================
+
+
+@register("a1_max_id", "SELECT max(o_orderkey) AS last_id FROM orders")
+def a1_max_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: the AUTO_INCREMENT peek as a one-row aggregate
+    (mysql_process.py:13-25)."""
+    return table(spark, sf_dir, "orders").agg(F.max("o_orderkey").alias("last_id"))
+
+
+@register(
+    "a2_argmin_per_group",
+    """
+    SELECT c_nationkey, c_custkey AS min_cust, round(c_acctbal, 2) AS min_acctbal
+    FROM customer
+    QUALIFY row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) = 1
+    """,
+)
+def a2_argmin_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: min_by argmin with deterministic ties (the reference's running
+    compare, script_geo.py:117-125)."""
+    cust = table(spark, sf_dir, "customer")
+    win = argmin_per_group(
+        cust,
+        ["c_nationkey"],
+        F.struct(F.col("c_acctbal"), F.col("c_custkey")),
+        ["c_custkey", "c_acctbal"],
+    )
+    return win.select(
+        "c_nationkey",
+        F.col("c_custkey").alias("min_cust"),
+        F.round("c_acctbal", 2).alias("min_acctbal"),
+    )
+
+
+@register(
+    "a3_first_seen_dedup",
+    "SELECT lang, min(doc_id) AS first_doc, count(*) AS n FROM documents GROUP BY lang",
+)
+def a3_first_seen_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: ordered-distinct intent (script_geo.py:71-77): deterministic
+    first representative per key."""
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.min("doc_id").alias("first_doc"), F.count("*").alias("n"))
+    )
+
+
+@register(
+    "a4_group_agg",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum_sql('l_quantity')} AS sum_qty,
+           {_dsum_sql('l_extendedprice')} AS sum_base_price,
+           {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a4_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: TPC-H-Q1-shaped grouped aggregate — partial (map-side) aggs, one
+    shuffle on the group keys; decimal partials for cross-engine exactness."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+        _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "a4_rollup",
+    f"""
+    SELECT l_returnflag, l_linestatus, count(*) AS n, {_dsum_sql('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a4_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: rollup (subtotals + grand total)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), _dsum(F.col("l_quantity")).alias("sum_qty"))
+    )
+
+
+@register(
+    "a4_cube",
+    f"""
+    SELECT l_returnflag, l_linestatus, count(*) AS n, {_dsum_sql('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a4_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: cube (all grouping-set combinations)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), _dsum(F.col("l_quantity")).alias("sum_qty"))
+    )
+
+
+@register(
+    "a4_count_distinct",
+    """
+    SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+           count(DISTINCT l_partkey) AS n_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a4_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: exact distinct counts (approx_count_distinct is the 100 TB
+    variant — same plan shape, sketch aggregation)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+    )
+
+
+# ======================================================================
+# W / S — windows, sorts, top-k (SURVEY §2.5/§2.6)
+# ======================================================================
+
+
+@register(
+    "w1_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+)
+def w1_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the J3 top-1-per-group plan generalized."""
+    orders = table(spark, sf_dir, "orders")
+    top = topk_per_group(
+        orders, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")], 3
+    )
+    return top.select(
+        "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rn"
+    )
+
+
+@register(
+    "w2_running_sum",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 2) AS running
+    FROM events
+    """,
+)
+def w2_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate window (frame-ordered fold — same order both
+    engines)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 2).alias("running")
+    )
+
+
+@register(
+    "w3_lag_lead",
+    """
+    SELECT event_id, user_id,
+           round(value - coalesce(lag(value) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id), 0.0), 2) AS delta,
+           coalesce(lead(event_id) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id), -1) AS next_event
+    FROM events
+    """,
+)
+def w3_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead windows (session ordering surface, SURVEY §2.5)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)), 2).alias(
+            "delta"
+        ),
+        F.coalesce(F.lead("event_id").over(w), F.lit(-1)).alias("next_event"),
+    )
+
+
+@register(
+    "s1_sort_limit",
+    """
+    SELECT event_id, user_id, event_type FROM events
+    ORDER BY ts, event_id LIMIT 100
+    """,
+)
+def s1_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit (TakeOrderedAndProject — no full sort at scale)."""
+    return (
+        table(spark, sf_dir, "events")
+        .orderBy("ts", "event_id")
+        .limit(100)
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+# ======================================================================
+# SET — set operations (SURVEY §2.7)
+# ======================================================================
+
+
+@register(
+    "set_union",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION SELECT s_nationkey FROM supplier
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.union(supp).distinct()
+
+
+@register(
+    "set_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT SELECT s_nationkey FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp)
+
+
+@register(
+    "set_except",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT SELECT s_nationkey FROM supplier
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.subtract(supp)  # EXCEPT DISTINCT (set semantics, like SQL EXCEPT)
+
+
+# ======================================================================
+# F — scalar functions (SURVEY §2.8)
+# ======================================================================
+
+
+@register(
+    "f_string_scalars",
+    """
+    SELECT doc_id, md5(text) AS digest, length(text) AS n_chars2,
+           substring(lower(text), 1, 12) AS prefix,
+           len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS n_tokens
+    FROM documents
+    """,
+)
+def f_string_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F5/F6: split/substr/md5/cast scalar pack
+    (download_list_images.py:45,92-99)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("digest"),
+        F.length("text").alias("n_chars2"),
+        F.substring(F.lower(F.col("text")), 1, 12).alias("prefix"),
+        TX.token_count(F.col("text")).alias("n_tokens"),
+    )
+
+
+@register(
+    "f_date_parts",
+    """
+    SELECT year(o_orderdate) AS y, month(o_orderdate) AS m, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders GROUP BY year(o_orderdate), month(o_orderdate)
+    """,
+)
+def f_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: timestamp handling as typed dates, never strings (§1.4 FECHA)."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        )
+        .agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice")).alias("total"))
+    )
+
+
+@register(
+    "f14_json_extract",
+    """
+    SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k
+    FROM events
+    """,
+)
+def f14_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14: JSON parse of the props side-channel (script_geo.py:194 shape)."""
+    return table(spark, sf_dir, "events").select(
+        "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    )
+
+
+@register(
+    "f15_array_ops",
+    """
+    SELECT vec_id, len(embedding) AS n_dims,
+           round(embedding[1]::DOUBLE, 6) AS first_val,
+           round(list_aggregate(list_transform(list_slice(embedding, 1, 8),
+                                x -> x::DOUBLE), 'sum'), 6) AS sum_first8
+    FROM embeddings
+    """,
+)
+def f15_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15: array ops over nested data (the reference's coordinate nesting,
+    script_geo.py:50-57)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(
+            F.aggregate(
+                F.slice(F.col("embedding"), 1, 8),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double"),
+            ),
+            6,
+        ).alias("sum_first8"),
+    )
+
+
+# ======================================================================
+# F17 / ANN — vector similarity (SURVEY F17, north star)
+# ======================================================================
+
+_COSINE_ALL_SQL = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, round({V.cosine_sql('e.embedding', 'q.qe')}, 6) AS cos
+FROM embeddings e, q
+"""
+
+
+@register("f17_cosine_all", _COSINE_ALL_SQL)
+def f17_cosine_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine of every vector against query vec 0 — the brute-force scan
+    kernel (higher-order fns, codegen'd, no UDF)."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    return emb.crossJoin(F.broadcast(q)).select(
+        "vec_id", F.round(V.cosine(F.col("embedding"), F.col("qe")), 6).alias("cos")
+    )
+
+
+_COSINE_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT q.q_id, e.vec_id, round({V.cosine_sql('e.embedding', 'q.qe')}, 6) AS cos
+  FROM embeddings e, q)
+SELECT q_id, vec_id, cos, rank FROM (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored) WHERE rank <= 10
+"""
+
+
+@register("f17_cosine_topk", _COSINE_TOPK_SQL)
+def f17_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k similarity search (3 queries, k=10)."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return SIM.brute_force_topk(emb, queries, k=10)
+
+
+_ANN_BUCKETS_SQL = f"""
+SELECT vec_id, {SIM.hyperplane_signature_sql('embedding', 6)} AS bucket
+FROM embeddings
+"""
+
+
+@register("ann_hyperplane_buckets", _ANN_BUCKETS_SQL)
+def ann_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH random-hyperplane bucket assignment (the ANN scale path's
+    partitioning key)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", SIM.hyperplane_signature(F.col("embedding"), 6).alias("bucket")
+    )
+
+
+_ANN_TOPK_SQL = f"""
+WITH b AS (SELECT vec_id, {SIM.hyperplane_signature_sql('embedding', 6)} AS bucket, embedding FROM embeddings),
+q AS (SELECT vec_id AS q_id, bucket, embedding AS qe FROM b WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT q.q_id, e.vec_id, round({V.cosine_sql('e.embedding', 'q.qe')}, 6) AS cos
+  FROM b e JOIN q ON e.bucket = q.bucket)
+SELECT q_id, vec_id, cos, rank FROM (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
+@register("ann_lsh_topk", _ANN_TOPK_SQL)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN top-k: equi-join on hyperplane bucket then exact cosine
+    — the O(n²)→equi-join rewrite that scales."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return SIM.lsh_ann_topk(emb, queries, k=5, num_planes=6)
+
+
+# ======================================================================
+# DEDUP — exact + near (SURVEY A3/A5, north star)
+# ======================================================================
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT min(doc_id) AS doc_id, sha256(text) AS digest, count(*) AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest, deterministic representative."""
+    return D.exact_dedup(table(spark, sf_dir, "documents"))
+
+
+_MINHASH_BANDS_SQL = f"""
+WITH sigs AS (
+  SELECT doc_id,
+         {H.lsh_bands_sql(H.minhash_signature_sql(H.shingles_sql('text', 3), 16), 4, 4)} AS bands
+  FROM documents)
+SELECT doc_id, unnest(bands) AS band FROM sigs
+"""
+
+
+@register("dedup_minhash_bands", _MINHASH_BANDS_SQL)
+def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature → LSH band keys, exploded (the near-dup join key)."""
+    docs = D.with_minhash(table(spark, sf_dir, "documents"), "text", 3, 16, 4)
+    return docs.select("doc_id", F.explode("__bands").alias("band"))
+
+
+_NEAR_PAIRS_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {H.shingles_sql('text', 3)} AS shingles,
+         {H.lsh_bands_sql(H.minhash_signature_sql(H.shingles_sql('text', 3), 16), 4, 4)} AS bands
+  FROM documents),
+exploded AS (SELECT doc_id, shingles, unnest(bands) AS band FROM sh),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM exploded a JOIN exploded b ON a.band = b.band AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT c.a_id, c.b_id,
+         round(len(list_filter(list_distinct(sa.shingles), s -> list_contains(sb.shingles, s)))::DOUBLE
+               / greatest(len(list_distinct(sa.shingles)) + len(list_distinct(sb.shingles))
+                          - len(list_filter(list_distinct(sa.shingles), s -> list_contains(sb.shingles, s))), 1)::DOUBLE, 6) AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a_id
+  JOIN sh sb ON sb.doc_id = c.b_id)
+SELECT a_id, b_id, jaccard FROM verified WHERE jaccard >= 0.1
+"""
+
+
+@register("dedup_near_pairs", _NEAR_PAIRS_SQL)
+def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs + exact-Jaccard verification."""
+    return D.minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"),
+        k=3,
+        num_hashes=16,
+        bands=4,
+        jaccard_threshold=0.1,
+    )
+
+
+_SIMHASH_SQL = f"""
+SELECT doc_id, {D.simhash_sql('text', 32)} AS fp FROM documents
+"""
+
+
+@register("simhash_fingerprints", _SIMHASH_SQL)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 32-bit fingerprints (near-dup family #3)."""
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", D.simhash(F.col("text"), 32).alias("fp")
+    )
+
+
+# ======================================================================
+# TEXT — analysis functions (SURVEY F16, north star)
+# ======================================================================
+
+_TEXT_STATS_SQL = f"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS n_tokens,
+       {TX.quality_score_sql('text')} AS quality,
+       {TX.lang_guess_sql('text')} AS lang_guess,
+       {TX.fingerprint_sql('text', 3)} AS fp
+FROM documents
+"""
+
+
+@register("text_stats", _TEXT_STATS_SQL)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring + language-ID + fingerprint."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.quality_score(F.col("text")).alias("quality"),
+        TX.lang_guess(F.col("text")).alias("lang_guess"),
+        TX.fingerprint(F.col("text"), 3).alias("fp"),
+    )
+
+
+@register(
+    "text_lang_agg",
+    """
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE) AS total_chars,
+           round(avg(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''))), 2) AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def text_lang_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            _dsum(F.col("n_chars")).alias("total_chars"),
+            F.round(F.avg(TX.token_count(F.col("text"))), 2).alias("avg_tokens"),
+        )
+    )
+
+
+@register(
+    "text_bpe_tokens",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS n_bpe
+    FROM documents
+    """,
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pretokenizer token counts."""
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(TX.word_tokens_bpe_ish(F.col("text"))).alias("n_bpe")
+    )
+
+
+# ======================================================================
+# GEO — J2/J3 spatial joins + F8 affine (SURVEY M3) on the shared fixture
+# ======================================================================
+
+_GEO_CONTAINS_SQL = f"""
+WITH pts AS (SELECT * FROM {GF.points_values_sql()}),
+e AS (SELECT * FROM {GF.edges_values_sql()}),
+cr AS (
+  SELECT p.img_id, e.id_predio, e.nombre,
+         min((e.x2 - e.x1) * (p.lat - e.y1) - (e.y2 - e.y1) * (p.lon - e.x1)) AS mn,
+         max((e.x2 - e.x1) * (p.lat - e.y1) - (e.y2 - e.y1) * (p.lon - e.x1)) AS mx
+  FROM pts p CROSS JOIN e
+  WHERE p.lon IS NOT NULL AND p.lat IS NOT NULL
+  GROUP BY p.img_id, e.id_predio, e.nombre)
+SELECT img_id, id_predio, nombre FROM cr WHERE mn > 0 OR mx < 0
+"""
+
+
+@register("geo_contains", _GEO_CONTAINS_SQL)
+def geo_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: point-in-polygon broadcast join, ray-casting predicate
+    (script_geo.py:84 intent; oracle = convex same-sign cross test)."""
+    pts = GF.spark_points(spark).filter(
+        F.col("lon").isNotNull() & F.col("lat").isNotNull()
+    )
+    polys = GF.spark_polys(spark)
+    return contains_join(pts, polys, how="inner").select("img_id", "id_predio", "nombre")
+
+
+@register("geo_contains_grid", _GEO_CONTAINS_SQL)
+def geo_contains_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 scale path (§4.3): grid-cell equi-join prefilter + exact ray-cast
+    — must produce exactly the broadcast join's result."""
+    pts = GF.spark_points(spark).filter(
+        F.col("lon").isNotNull() & F.col("lat").isNotNull()
+    )
+    polys = GF.spark_polys(spark)
+    return contains_join_grid(pts, polys, eps=0.5).select("img_id", "id_predio", "nombre")
+
+
+_GEO_KNN_SQL = f"""
+WITH pts AS (SELECT * FROM {GF.points_values_sql()}),
+v AS (SELECT * FROM {GF.vertices_values_sql()}),
+d AS (
+  SELECT p.img_id, v.id_predio, v.nombre, v.x AS vx, v.y AS vy,
+         (p.lon - v.x) * (p.lon - v.x) + (p.lat - v.y) * (p.lat - v.y) AS dist2
+  FROM pts p CROSS JOIN v
+  WHERE p.lon IS NOT NULL AND p.lat IS NOT NULL)
+SELECT img_id, id_predio, nombre, vx, vy FROM (
+  SELECT *, row_number() OVER (PARTITION BY img_id
+                               ORDER BY dist2, id_predio, nombre, vx, vy) AS rn
+  FROM d) WHERE rn = 1
+"""
+
+
+@register("geo_knn", _GEO_KNN_SQL)
+def geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3-J5: nearest-vertex KNN with deterministic argmin (the reference's
+    3-tier nearest search collapsed into one plan, script_geo.py:92-140)."""
+    pts = GF.spark_points(spark).filter(
+        F.col("lon").isNotNull() & F.col("lat").isNotNull()
+    )
+    polys = GF.spark_polys(spark)
+    return nearest_vertex_join(pts, polys)
+
+
+_GEO_CLASSIFY_SQL = f"""
+WITH pts AS (SELECT * FROM {GF.points_values_sql()}),
+e AS (SELECT * FROM {GF.edges_values_sql()}),
+v AS (SELECT * FROM {GF.vertices_values_sql()}),
+cr AS (
+  SELECT p.img_id, e.id_predio, e.nombre,
+         min((e.x2 - e.x1) * (p.lat - e.y1) - (e.y2 - e.y1) * (p.lon - e.x1)) AS mn,
+         max((e.x2 - e.x1) * (p.lat - e.y1) - (e.y2 - e.y1) * (p.lon - e.x1)) AS mx
+  FROM pts p CROSS JOIN e
+  WHERE p.lon IS NOT NULL AND p.lat IS NOT NULL
+  GROUP BY p.img_id, e.id_predio, e.nombre),
+inside AS (
+  SELECT img_id, id_predio, nombre FROM (
+    SELECT img_id, id_predio, nombre,
+           row_number() OVER (PARTITION BY img_id ORDER BY id_predio, nombre) AS rn
+    FROM cr WHERE mn > 0 OR mx < 0) WHERE rn = 1),
+near AS (
+  SELECT img_id, id_predio, nombre FROM (
+    SELECT d.img_id, d.id_predio, d.nombre,
+           row_number() OVER (PARTITION BY d.img_id
+                              ORDER BY d.dist2, d.id_predio, d.nombre, d.vx, d.vy) AS rn
+    FROM (
+      SELECT p.img_id, v.id_predio, v.nombre, v.x AS vx, v.y AS vy,
+             (p.lon - v.x) * (p.lon - v.x) + (p.lat - v.y) * (p.lat - v.y) AS dist2
+      FROM pts p CROSS JOIN v
+      WHERE p.lon IS NOT NULL AND p.lat IS NOT NULL
+        AND p.img_id NOT IN (SELECT img_id FROM inside)) d) WHERE rn = 1)
+SELECT img_id, id_predio, nombre, 'contains' AS method FROM inside
+UNION ALL SELECT img_id, id_predio, nombre, 'nearest' AS method FROM near
+UNION ALL SELECT img_id, NULL AS id_predio, NULL AS nombre,
+                 'IMAGEN NO CLASIFICABLE' AS method
+FROM pts WHERE lon IS NULL OR lat IS NULL
+"""
+
+
+@register("geo_classify", _GEO_CLASSIFY_SQL)
+def geo_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3A classifier: containment first, NN fallback, unclassifiable →
+    nulls (§2.11 intent semantics)."""
+    return classify_points(GF.spark_points(spark), GF.spark_polys(spark))
+
+
+_GEO_AFFINE_SQL = f"""
+WITH rast AS (SELECT * FROM {GF.rasters_values_sql()}),
+c AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS c(corner)),
+px AS (
+  SELECT img_id, corner,
+         CASE WHEN corner IN (2, 3) THEN cols ELSE 0 END::DOUBLE AS px,
+         CASE WHEN corner IN (1, 2) THEN rows ELSE 0 END::DOUBLE AS py,
+         gt0, gt1, gt2, gt3, gt4, gt5
+  FROM rast CROSS JOIN c)
+SELECT img_id, corner,
+       round(gt0 + px * gt1 + py * gt2, 6) AS x,
+       round(gt3 + px * gt4 + py * gt5, 6) AS y
+FROM px
+"""
+
+
+@register("geo_affine_extent", _GEO_AFFINE_SQL)
+def geo_affine_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: geotransform → 4-corner extent, pure column arithmetic
+    (GetExtent, script_geo.py:19-30)."""
+    rast = GF.spark_rasters(spark)
+    ext = rast.withColumn("ext", affine_extent(F.col("gt"), F.col("cols"), F.col("rows")))
+    return ext.select(
+        "img_id", F.posexplode("ext").alias("corner", "pt")
+    ).select(
+        "img_id",
+        "corner",
+        F.round(F.col("pt.x"), 6).alias("x"),
+        F.round(F.col("pt.y"), 6).alias("y"),
+    )
+
+
+# ======================================================================
+# SESSION / WINDOWED EVENTS (SURVEY §2.9 EXT)
+# ======================================================================
+
+
+@register(
+    "session_stats",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    m AS (SELECT *, CASE WHEN prev IS NULL OR (epoch(ts) - epoch(prev)) > 1800.0
+                         THEN 1 ELSE 0 END AS new_sess FROM o),
+    s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_seq FROM m)
+    SELECT user_id, session_seq, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def session_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gaps-and-islands) + per-session aggregates."""
+    ev = table(spark, sf_dir, "events")
+    s = sessionize(ev, gap_minutes=30.0)
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"), _dsum(F.col("value")).alias("sum_value")
+    )
+
+
+_TUMBLING_SQL = """
+SELECT (epoch(time_bucket(INTERVAL '10 minutes', ts)))::BIGINT AS window_start_epoch,
+       event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("tumbling_window_agg", _TUMBLING_SQL)
+def tumbling_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate (batch twin of the streaming query)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), _dsum(F.col("value")).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "sliding_window_agg",
+    """
+    SELECT (epoch(time_bucket(INTERVAL '5 minutes', ts)
+            - (k * INTERVAL '5 minutes')))::BIGINT AS window_start_epoch,
+           event_type, count(*) AS n
+    FROM events CROSS JOIN (VALUES (0), (1)) AS ks(k)
+    GROUP BY 1, 2
+    """,
+)
+def sliding_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min window, 5 min slide) — each event lands in 2
+    overlapping windows."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+@register("streaming_tumbling", _TUMBLING_SQL)
+def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME tumbling aggregate executed as a Structured Streaming query
+    (file source, availableNow trigger, complete-mode memory sink) — proves
+    batch/stream semantic parity, checked against the same oracle."""
+    import uuid
+
+    # raw file schema has ts as INT64 nanos (see tables.table); stream-read
+    # it as long, then convert exactly as the batch path does. The file
+    # stream source wants a directory, so symlink the single file into one.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    stream = spark.readStream.format("parquet").schema(raw_schema).load(stream_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    agg = (
+        stream.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), _dsum(F.col("value")).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# ======================================================================
+# CATALOG — the reference's data model end-to-end (SURVEY M2)
+# ======================================================================
+
+_CATALOG_ROUNDTRIP_SQL = """
+WITH rows0 AS (
+  SELECT 'C' || (doc_id % 10)::VARCHAR AS codigo,
+         lang AS seccion, source AS especie, 'A' AS apl,
+         concat_ws('_', 'C' || (doc_id % 10)::VARCHAR, lang, 'X', 'A') AS indice,
+         'lake/BR/C' || (doc_id % 10)::VARCHAR || '/' || doc_id::VARCHAR || '.jpg' AS ruta_resultado
+  FROM documents),
+ids AS (
+  SELECT *, row_number() OVER (ORDER BY indice, ruta_resultado) AS id FROM rows0)
+SELECT id, ruta_resultado FROM ids WHERE indice = 'C3_es_X_A'
+"""
+
+
+@register("catalog_roundtrip", _CATALOG_ROUNDTRIP_SQL)
+def catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 end-to-end: documents → catalog insert (+run +lineage) → the
+    reference's flagship filtered retrieval (mysql_process.py:67-74) on the
+    real domain tables. Deterministic ids via row_number over the business
+    key, so the whole pipeline is oracle-reproducible."""
+    from ..catalog.store import CatalogStore
+
+    docs = table(spark, sf_dir, "documents")
+    codigo = F.concat(F.lit("C"), (F.col("doc_id") % 10).cast("string"))
+    rows = docs.select(
+        F.concat_ws("_", codigo, F.col("lang"), F.lit("X"), F.lit("A")).alias("indice"),
+        codigo.alias("codigo"),
+        F.upper(F.col("source")).alias("nombre_predio"),
+        F.col("lang").alias("seccion"),
+        F.col("source").alias("especie"),
+        F.lit("A").alias("apl"),
+        F.when(F.col("doc_id") % 2 == 0, 0).otherwise(3).cast("int").alias("id_tipo_img"),
+        F.lit(0).cast("int").alias("id_proceso"),
+        F.concat(
+            F.lit("lake/BR/"), codigo, F.lit("/"), F.col("doc_id").cast("string"), F.lit(".jpg")
+        ).alias("ruta_resultado"),
+        F.current_timestamp().alias("fecha"),
+    )
+    store = CatalogStore(spark, tempfile.mkdtemp(prefix="catalog_rt_"))
+    run_id = store.start_run(0)
+    store.insert_catalog(rows, run_id)
+    return store.filtered_paths(0, [0, 3], "C3_es_X_A")
+
+
+# ======================================================================
+# MULTIMODAL — binaryFile scan + Arrow-batched decode (SURVEY S1/S7/S8)
+# ======================================================================
+
+_MULTIMODAL_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'BR' ELSE 'TIF' END AS clase,
+       CASE WHEN doc_id % 2 = 0 THEN
+         round(-35.0 + 2.0 * (('0x' || substring(md5(text), 1, 8))::BIGINT / 4294967296.0), 6)
+       END AS lat,
+       CASE WHEN doc_id % 2 = 0 THEN
+         round(-72.0 + 2.0 * (('0x' || substring(md5(text), 9, 8))::BIGINT / 4294967296.0), 6)
+       END AS lon,
+       CASE WHEN doc_id % 2 = 1 THEN
+         round(200000.0 + 1000 * (('0x' || substring(md5(text), 1, 8))::BIGINT / 4294967296.0), 4)
+       END AS gt0,
+       CASE WHEN doc_id % 2 = 1 THEN
+         1000 + floor((('0x' || substring(md5(text), 17, 8))::BIGINT / 4294967296.0) * 1000)::INT
+       END AS cols,
+       CASE WHEN doc_id % 2 = 1 THEN
+         1000 + floor((('0x' || substring(md5(text), 25, 8))::BIGINT / 4294967296.0) * 1000)::INT
+       END AS rows
+FROM documents
+"""
+
+
+@register("multimodal_meta", _MULTIMODAL_SQL)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing end-to-end: write blobs → binaryFile scan
+    → Arrow-batched mapInPandas metadata extraction (EXIF/raster decode is
+    the documented deterministic stub) → typed metadata columns.
+
+    The oracle reproduces the stub's digest arithmetic in SQL, so schema,
+    batching, and dispatch are all value-checked."""
+    from ..sources.binary import extract_image_meta, read_binary_dir
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    dest = tempfile.mkdtemp(prefix="multimodal_")
+
+    def write_files(rows):
+        for r in rows:
+            ext = "jpg" if r["doc_id"] % 2 == 0 else "tif"
+            with open(os.path.join(dest, f"{r['doc_id']}.{ext}"), "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+
+    docs.foreachPartition(write_files)
+    binary = read_binary_dir(spark, dest)
+    meta = extract_image_meta(binary)
+    return meta.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.(jpg|tif)$", 1).cast("long").alias("doc_id"),
+        "clase",
+        F.round(F.col("lat"), 6).alias("lat"),
+        F.round(F.col("lon"), 6).alias("lon"),
+        F.round(F.element_at(F.col("gt"), 1), 4).alias("gt0"),
+        F.col("cols"),
+        F.col("rows"),
+    )
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(ORACLES)

@@ -1,0 +1,63 @@
+"""Testdata table loading.
+
+The driver provides TPC-H-ish parquet tables (see /root/repo/TESTDATA.md):
+``region nation customer supplier part orders lineitem events documents
+embeddings`` at ``/root/testdata/sf{0.001,0.01,0.1}``. Loading via
+``spark.read.parquet`` keeps Catalyst's parquet pushdown (filters, column
+pruning, partition pruning) intact — the scans in ``.explain`` should show
+``PushedFilters`` and a pruned ``ReadSchema``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table as a DataFrame (lazy parquet scan).
+
+    ``events.parquet`` carries TIMESTAMP(NANOS) which the vectorized parquet
+    reader rejects; read nanos as long (legacy conf, runtime-settable) and
+    convert to a microsecond timestamp with integer division (`div`, not
+    float `/` — ns epochs exceed 2^53 so a double round-trip loses bits).
+    DuckDB truncates ns→µs the same way, so oracles agree.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load every testdata table; returns name → DataFrame."""
+    return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load tables and register each as a temp view for the SQL surface."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
