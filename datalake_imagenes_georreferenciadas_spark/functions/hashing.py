@@ -47,26 +47,33 @@ def tokens(text: Column) -> Column:
 def shingles(text: Column, k: int = 3) -> Column:
     """k-word shingles as strings; empty array when fewer than k tokens.
 
-    Built with sequence+transform+slice higher-order functions — one
-    codegen'd expression, no explode until the caller wants one.
+    Built by zipping k shifted views of the token array (``arrays_zip`` of
+    ``slice`` columns). Crucially this is O(k·T) per row: a
+    sequence+transform+``slice(toks, i, k)`` formulation re-evaluates the
+    token subtree per position (O(T²)) because lambda bodies are evaluated
+    per element and projection collapse defeats CSE.
     """
     toks = tokens(text)
     n = F.size(toks) - F.lit(k - 1)
+    shifted = [F.slice(toks, i + 1, n) for i in range(k)]
+    zipped = F.arrays_zip(*shifted)
     return F.when(n <= 0, F.array().cast("array<string>")).otherwise(
         F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.array_join(F.slice(toks, i, k), " "),
+            zipped,
+            lambda row: F.concat_ws(" ", *[row.getField(str(i)) for i in range(k)]),
         )
     )
 
 
 def shingles_sql(text_expr: str, k: int = 3) -> str:
-    """DuckDB twin of :func:`shingles` (list comprehension over tokens)."""
+    """DuckDB twin of :func:`shingles` — same ``list_zip`` shape, so the
+    token macro is expanded k times (O(k·T)), never per shingle position."""
     toks = f"list_filter(string_split_regex(lower({text_expr}), '\\s+'), t -> t <> '')"
+    slices = ", ".join(f"({toks})[{j + 1}:-{k - j}]" for j in range(k))
+    joined = " || ' ' || ".join(f"z[{j + 1}]" for j in range(k))
     return (
         f"(CASE WHEN len({toks}) < {k} THEN [] "
-        f"ELSE [array_to_string(({toks})[i:i+{k - 1}], ' ') "
-        f"FOR i IN generate_series(1, len({toks}) - {k - 1})] END)"
+        f"ELSE list_transform(list_zip({slices}), z -> {joined}) END)"
     )
 
 

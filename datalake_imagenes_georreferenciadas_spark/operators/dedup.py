@@ -8,11 +8,19 @@ Five dedup families, all shuffle-conscious:
   shuffle-partitionable equi-join; at 100 TB the candidate set per band
   bucket stays small as long as bands×rows is tuned to the target
   threshold (standard s-curve tuning).
-- SimHash: 60-bit sign-aggregated token-hash fingerprint; near-dups share
-  the fingerprint (or a banded prefix at scale).
+- SimHash: sign-aggregated token-hash fingerprint; near-dups share the
+  fingerprint (or a banded prefix at scale).
 - n-gram Jaccard: exact pairwise Jaccard on shingle sets, restricted to
   LSH candidates (never all-pairs).
 - embedding cosine: see operators.similarity.
+
+MinHash and SimHash are **explode → groupBy(min/sum)** plans rather than
+nested higher-order expressions: one hash evaluation per (token, seed),
+map-side partial aggregation, one shuffle on the doc id. The expression
+formulation re-evaluates the tokenization subtree per lambda element
+(projection collapse defeats CSE) — O(T²·seeds) per row, unusable beyond
+toy sizes; the explode plan is also exactly the shape that scales on a
+cluster.
 
 Everything is built on the cross-engine md5 hash family
 (functions.hashing), so each operator has a DuckDB-oracle twin.
@@ -20,10 +28,12 @@ Everything is built on the cross-engine md5 hash family
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash64, lsh_bands, minhash_signature, shingles
+from ..functions.hashing import hash64, lsh_bands, shingles, tokens
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -38,19 +48,48 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(id, __shingles, __sig) via explode + grouped min per seed.
+
+    One md5 per (shingle, seed); 16 partial-aggregated mins; one shuffle
+    on the doc id. Docs with fewer than k tokens get a null ``__sig``.
+    """
+    base = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("__shingles"))
+    ex = base.select(F.col(id_col), F.explode("__shingles").alias("__sh"))
+    aggs = [F.min(hash64(F.col("__sh"), seed=s)).alias(f"__h{s}") for s in range(num_hashes)]
+    sig = (
+        ex.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"__h{s}") for s in range(num_hashes)]).alias("__sig"),
+        )
+    )
+    return base.join(sig, id_col, "left")
+
+
 def with_minhash(
     df: DataFrame,
     text_col: str = "text",
     k: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Attach shingles, MinHash signature, and LSH band keys."""
     rows_per_band = num_hashes // bands
-    return (
-        df.withColumn("__shingles", shingles(F.col(text_col), k))
-        .withColumn("__sig", minhash_signature(F.col("__shingles"), num_hashes))
-        .withColumn("__bands", lsh_bands(F.col("__sig"), bands, rows_per_band))
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    return sigs.withColumn(
+        "__bands",
+        F.when(
+            F.col("__sig").isNotNull(), lsh_bands(F.col("__sig"), bands, rows_per_band)
+        ),
     )
 
 
@@ -65,12 +104,12 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding + exact Jaccard verify.
 
-    Plan shape: explode band keys → self equi-join on (band position
-    implicit in key, band hash) → distinct candidate pairs → verify with
-    exact shingle-set Jaccard → threshold. The only shuffles are the band
-    join and the distinct — no cross join anywhere.
+    Plan shape: explode band keys → self equi-join on the band hash →
+    distinct candidate pairs → verify with exact shingle-set Jaccard →
+    threshold. The only shuffles are the band join and the distinct — no
+    cross join anywhere.
     """
-    sig = with_minhash(df, text_col, k, num_hashes, bands).select(
+    sig = with_minhash(df, text_col, k, num_hashes, bands, id_col).select(
         F.col(id_col), F.col("__shingles"), F.explode(F.col("__bands")).alias("band")
     )
     left = sig.select(
@@ -94,40 +133,37 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(text: Column, num_bits: int = 32) -> Column:
-    """SimHash fingerprint: per bit, sign of the sum over token hashes.
+def simhash_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_bits: int = 32,
+) -> DataFrame:
+    """(id, fp) SimHash fingerprints via explode + grouped bit votes.
 
-    One nested higher-order expression: for each bit position, count
-    tokens whose seeded hash has that bit set vs not; bit set in the
-    fingerprint iff the majority does. JVM-side, no UDF.
+    One md5 per token; ``num_bits`` partial-aggregated sign sums; one
+    shuffle on the doc id. Docs with no tokens fingerprint to 0.
     """
-    from ..functions.hashing import tokens
-
-    def bit_vote(b: int):
-        # closure factory (PySpark infers lambda arity by signature)
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    toks = tokens(text)
-    tok_hashes = F.transform(toks, lambda t: hash64(t, seed=0))
-    fp = F.lit(0).cast("bigint")
-    for b in range(num_bits):  # unrolled: bit position must be a literal
-        bit_sum = F.aggregate(tok_hashes, F.lit(0), bit_vote(b))
-        fp = fp + F.when(bit_sum > 0, F.lit(1 << b).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-    return fp
-
-
-def simhash_sql(text_expr: str, num_bits: int = 32) -> str:
-    """DuckDB twin of :func:`simhash` (same bits)."""
-    from ..functions.hashing import hash64_sql
-
-    toks = f"list_filter(string_split_regex(lower({text_expr}), '\\s+'), t -> t <> '')"
-    th = f"list_transform({toks}, t -> {hash64_sql('t', 0)})"
+    ex = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t"))
+    h = ex.select(F.col(id_col), hash64(F.col("__t"), seed=0).alias("__h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__b{b}")
+        for b in range(num_bits)
+    ]
+    g = h.groupBy(id_col).agg(*votes)
+    fp = reduce(
+        Column.__add__,
+        [
+            F.when(F.col(f"__b{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+            for b in range(num_bits)
+        ],
+    )
     return (
-        f"coalesce(list_sum([(CASE WHEN list_sum(list_transform({th}, "
-        f"h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END)::BIGINT << b "
-        f"FOR b IN generate_series(0, {num_bits - 1})]), 0)::BIGINT"
+        df.select(F.col(id_col))
+        .join(g, id_col, "left")
+        .select(F.col(id_col), F.coalesce(fp, F.lit(0).cast("bigint")).alias("fp"))
     )

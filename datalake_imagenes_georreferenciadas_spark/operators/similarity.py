@@ -18,43 +18,49 @@ assignment (k-means via pyspark.ml) — same join shape.
 
 from __future__ import annotations
 
+import hashlib
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine
 from .topk import topk_per_group
 
-#: deterministic pseudo-random hyperplane components derived from the
-#: cross-engine hash so Spark and DuckDB agree (see hashing.hash64 docs).
-_HPLANE_SCALE = 2**59  # hash64 range is [0, 2^60); center at 2^59
+#: deterministic pseudo-random hyperplane components derived from md5 of
+#: "plane#dim" so Spark, DuckDB, and Python all agree bit-for-bit.
+_HPLANE_SCALE = 2**59  # md5-60-bit range is [0, 2^60); center at 2^59
 
 
-def _hyperplane_component(plane: Column, dim: Column) -> Column:
-    """Deterministic pseudo-random value in [-1,1) for (plane, dim)."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(plane.cast("string"), F.lit("#"), dim.cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("bigint")
-    return (h - F.lit(_HPLANE_SCALE)).cast("double") / F.lit(float(_HPLANE_SCALE))
+@lru_cache(maxsize=None)
+def _plane_matrix(num_planes: int, dim: int) -> tuple[tuple[float, ...], ...]:
+    """Plane components in [-1,1), precomputed driver-side.
+
+    The planes depend only on (plane, dim) indices, so they're computed
+    ONCE here with hashlib (identical bits to the engines' md5) and
+    shipped as literals — zero runtime hashing; the projection becomes a
+    plain dot product against a constant array.
+    """
+    return tuple(
+        tuple(
+            (int(hashlib.md5(f"{p}#{i}".encode()).hexdigest()[:15], 16) - _HPLANE_SCALE)
+            / float(_HPLANE_SCALE)
+            for i in range(dim)
+        )
+        for p in range(num_planes)
+    )
 
 
-def hyperplane_signature(vec: Column, num_planes: int = 8) -> Column:
-    """Sign pattern of the vector against ``num_planes`` seeded hyperplanes,
-    packed into a BIGINT bucket id.
-
-    The plane loop is unrolled in Python (num_planes is a plan-time
-    constant), so each plane's bit weight is a literal — one flat codegen'd
-    expression per row, no UDF."""
-    def plane_term(p: int):
-        # closure factory: PySpark infers lambda arity by signature, so the
-        # plane index must be captured, not passed as a defaulted arg
-        return lambda x, i: x.cast("double") * _hyperplane_component(F.lit(p), i)
-
+def hyperplane_signature(vec: Column, num_planes: int = 8, dim: int = 64) -> Column:
+    """Sign pattern of the vector against ``num_planes`` hyperplanes,
+    packed into a BIGINT bucket id. ``dim`` must equal the vector length
+    (the plane matrix is a plan-time literal)."""
+    planes = _plane_matrix(num_planes, dim)
     bucket = F.lit(0).cast("bigint")
     for p in range(num_planes):
+        plane = F.array(*[F.lit(c) for c in planes[p]])
         proj = F.aggregate(
-            F.zip_with(vec, F.sequence(F.lit(0), F.size(vec) - 1), plane_term(p)),
+            F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -64,20 +70,19 @@ def hyperplane_signature(vec: Column, num_planes: int = 8) -> Column:
     return bucket
 
 
-def hyperplane_signature_sql(vec_expr: str, num_planes: int = 8) -> str:
-    """DuckDB twin of :func:`hyperplane_signature`."""
-    comp = (
-        "((('0x' || substring(md5(p::VARCHAR || '#' || (i-1)::VARCHAR), 1, 15))::BIGINT"
-        f" - {_HPLANE_SCALE})::DOUBLE / {float(_HPLANE_SCALE)})"
-    )
-    proj = (
-        f"list_aggregate(list_transform(generate_series(1, len({vec_expr})), "
-        f"i -> ({vec_expr})[i]::DOUBLE * {comp}), 'sum')"
-    )
-    return (
-        f"list_sum([CASE WHEN {proj} >= 0 THEN (1::BIGINT << p) ELSE 0 END "
-        f"FOR p IN generate_series(0, {num_planes - 1})])::BIGINT"
-    )
+def hyperplane_signature_sql(vec_expr: str, num_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB twin of :func:`hyperplane_signature` (same literal planes,
+    same left-to-right accumulation order)."""
+    planes = _plane_matrix(num_planes, dim)
+    terms = []
+    for p in range(num_planes):
+        lits = "[" + ", ".join(repr(c) for c in planes[p]) + "]"
+        proj = (
+            f"list_aggregate(list_transform(generate_series(1, {dim}), "
+            f"i -> ({vec_expr})[i]::DOUBLE * ({lits})[i]), 'sum')"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")::BIGINT"
 
 
 def brute_force_topk(
@@ -109,6 +114,7 @@ def lsh_ann_topk(
     queries: DataFrame,
     k: int = 10,
     num_planes: int = 8,
+    dim: int = 64,
     data_id: str = "vec_id",
     query_id: str = "q_id",
     vec_col: str = "embedding",
@@ -116,11 +122,11 @@ def lsh_ann_topk(
     """Approximate top-k: equi-join on hyperplane bucket, then exact cosine
     + window inside the bucket. Recall trades off with ``num_planes``; at
     scale add multi-probe (flip one bit) unions."""
-    d = data.withColumn("__bucket", hyperplane_signature(F.col(vec_col), num_planes))
+    d = data.withColumn("__bucket", hyperplane_signature(F.col(vec_col), num_planes, dim))
     q = queries.select(
         F.col(query_id),
         F.col(vec_col).alias("__qv"),
-        hyperplane_signature(F.col(vec_col), num_planes).alias("__bucket"),
+        hyperplane_signature(F.col(vec_col), num_planes, dim).alias("__bucket"),
     )
     scored = d.join(F.broadcast(q), "__bucket").select(
         query_id,

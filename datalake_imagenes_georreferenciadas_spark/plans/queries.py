@@ -734,13 +734,31 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(table(spark, sf_dir, "documents"))
 
 
-_MINHASH_BANDS_SQL = f"""
-WITH sigs AS (
-  SELECT doc_id,
-         {H.lsh_bands_sql(H.minhash_signature_sql(H.shingles_sql('text', 3), 16), 4, 4)} AS bands
-  FROM documents)
-SELECT doc_id, unnest(bands) AS band FROM sigs
+def _minhash_cte(num_hashes: int = 16, bands: int = 4, k: int = 3) -> str:
+    """Shared CTE prefix mirroring the explode+groupBy MinHash plan —
+    tokenize/shingle once, one md5 per (shingle, seed), grouped mins."""
+    rpb = num_hashes // bands
+    mins = ", ".join(
+        f"min(('0x' || substring(md5('{s}:' || sh), 1, {H.HASH_HEX_CHARS}))::BIGINT) AS h{s}"
+        for s in range(num_hashes)
+    )
+    arr = "[" + ", ".join(f"h{s}" for s in range(num_hashes)) + "]"
+    band_list = "[" + ", ".join(
+        f"md5('{b}|' || array_to_string("
+        f"list_transform(sig[{b * rpb + 1}:{(b + 1) * rpb}], v -> v::VARCHAR), ','))"
+        for b in range(bands)
+    ) + "]"
+    return f"""
+WITH base AS (
+  SELECT doc_id, {H.shingles_sql('text', k)} AS shingles FROM documents),
+ex AS (SELECT doc_id, unnest(shingles) AS sh FROM base),
+mh AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+sigt AS (SELECT doc_id, {arr} AS sig FROM mh),
+bandt AS (SELECT doc_id, {band_list} AS bands FROM sigt)
 """
+
+
+_MINHASH_BANDS_SQL = _minhash_cte() + "SELECT doc_id, unnest(bands) AS band FROM bandt"
 
 
 @register("dedup_minhash_bands", _MINHASH_BANDS_SQL)
@@ -750,23 +768,19 @@ def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.explode("__bands").alias("band"))
 
 
-_NEAR_PAIRS_SQL = f"""
-WITH sh AS (
-  SELECT doc_id, {H.shingles_sql('text', 3)} AS shingles,
-         {H.lsh_bands_sql(H.minhash_signature_sql(H.shingles_sql('text', 3), 16), 4, 4)} AS bands
-  FROM documents),
-exploded AS (SELECT doc_id, shingles, unnest(bands) AS band FROM sh),
+_NEAR_PAIRS_SQL = _minhash_cte() + """,
+expl AS (SELECT doc_id, unnest(bands) AS band FROM bandt),
 cand AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-  FROM exploded a JOIN exploded b ON a.band = b.band AND a.doc_id < b.doc_id),
+  FROM expl a JOIN expl b ON a.band = b.band AND a.doc_id < b.doc_id),
 verified AS (
   SELECT c.a_id, c.b_id,
          round(len(list_filter(list_distinct(sa.shingles), s -> list_contains(sb.shingles, s)))::DOUBLE
                / greatest(len(list_distinct(sa.shingles)) + len(list_distinct(sb.shingles))
                           - len(list_filter(list_distinct(sa.shingles), s -> list_contains(sb.shingles, s))), 1)::DOUBLE, 6) AS jaccard
   FROM cand c
-  JOIN sh sa ON sa.doc_id = c.a_id
-  JOIN sh sb ON sb.doc_id = c.b_id)
+  JOIN base sa ON sa.doc_id = c.a_id
+  JOIN base sb ON sb.doc_id = c.b_id)
 SELECT a_id, b_id, jaccard FROM verified WHERE jaccard >= 0.1
 """
 
@@ -783,17 +797,30 @@ def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_SQL = f"""
-SELECT doc_id, {D.simhash_sql('text', 32)} AS fp FROM documents
+def _simhash_sql(num_bits: int = 32) -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(num_bits)
+    )
+    terms = " + ".join(f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(num_bits))
+    return f"""
+WITH ex AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS t
+  FROM documents),
+h AS (SELECT doc_id, ('0x' || substring(md5('0:' || t), 1, {H.HASH_HEX_CHARS}))::BIGINT AS h FROM ex),
+v AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+f AS (SELECT doc_id, ({terms})::BIGINT AS fp FROM v)
+SELECT d.doc_id, coalesce(f.fp, 0)::BIGINT AS fp
+FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id
 """
 
 
-@register("simhash_fingerprints", _SIMHASH_SQL)
+@register("simhash_fingerprints", _simhash_sql(32))
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 32-bit fingerprints (near-dup family #3)."""
-    return table(spark, sf_dir, "documents").select(
-        "doc_id", D.simhash(F.col("text"), 32).alias("fp")
-    )
+    """SimHash 32-bit fingerprints (near-dup family #3) — explode+groupBy
+    bit-vote plan (see operators.dedup.simhash_table)."""
+    return D.simhash_table(table(spark, sf_dir, "documents"), num_bits=32)
 
 
 # ======================================================================

@@ -1,0 +1,88 @@
+"""catalog.store — the reference's MySQL metadata layer on parquet
+(SURVEY M2; mysql_process.py semantics)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from datalake_imagenes_georreferenciadas_spark.catalog.store import (
+    PROCESO_INGEST,
+    TIPO_IMG_GEOTIFF,
+    TIPO_IMG_RAW_JPG,
+    CatalogStore,
+)
+
+
+def _rows(spark, n=4):
+    data = [
+        (
+            f"C{i}_S_X_A",
+            f"C{i}",
+            "PRED",
+            "S",
+            "PINO",
+            "A",
+            TIPO_IMG_RAW_JPG if i % 2 == 0 else TIPO_IMG_GEOTIFF,
+            PROCESO_INGEST,
+            f"lake/BR/C{i}/{i}.jpg",
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        data,
+        "indice string, codigo string, nombre_predio string, seccion string, "
+        "especie string, apl string, id_tipo_img int, id_proceso int, ruta_resultado string",
+    ).withColumn("fecha", F.current_timestamp())
+
+
+def test_run_ids_monotonic(spark):
+    store = CatalogStore(spark, tempfile.mkdtemp())
+    assert store.start_run(PROCESO_INGEST) == 1
+    assert store.start_run(PROCESO_INGEST) == 2
+    assert store.runs().count() == 2
+
+
+def test_insert_allocates_ids_and_lineage(spark):
+    store = CatalogStore(spark, tempfile.mkdtemp())
+    run = store.start_run(PROCESO_INGEST)
+    inserted = store.insert_catalog(_rows(spark), run)
+    ids = sorted(r["id"] for r in inserted.select("id").collect())
+    assert ids == [1, 2, 3, 4]  # dense, deterministic
+    lin = store.lineage().collect()
+    assert {r["id_imagen_fuente"] for r in lin} == {1, 2, 3, 4}
+    assert all(r["id_ejecucion"] == run for r in lin)  # J6: one per insert
+    assert store.last_id() == 4
+
+
+def test_second_insert_continues_ids(spark):
+    store = CatalogStore(spark, tempfile.mkdtemp())
+    r1 = store.start_run(PROCESO_INGEST)
+    store.insert_catalog(_rows(spark, 3), r1)
+    r2 = store.start_run(PROCESO_INGEST)
+    store.insert_catalog(_rows(spark, 2), r2)
+    assert store.last_id() == 5
+    assert store.catalog().count() == 5
+
+
+def test_update_processed_img_merge(spark):
+    store = CatalogStore(spark, tempfile.mkdtemp())
+    run = store.start_run(PROCESO_INGEST)
+    store.insert_catalog(_rows(spark), run)
+    store.update_processed_img(10, [1, 3])
+    got = {r["id"]: r["id_tipo_img"] for r in store.catalog().collect()}
+    assert got[1] == 10 and got[3] == 10
+    assert got[2] != 10 and got[4] != 10  # untouched rows survive the merge
+    assert store.catalog().count() == 4
+
+
+def test_filtered_paths_flagship_query(spark):
+    store = CatalogStore(spark, tempfile.mkdtemp())
+    run = store.start_run(PROCESO_INGEST)
+    store.insert_catalog(_rows(spark), run)
+    out = store.filtered_paths(PROCESO_INGEST, [TIPO_IMG_RAW_JPG], "C0_S_X_A").collect()
+    assert len(out) == 1
+    assert out[0]["ruta_resultado"] == "lake/BR/C0/0.jpg"
+    # wrong proceso → empty
+    assert store.filtered_paths(99, [TIPO_IMG_RAW_JPG], "C0_S_X_A").count() == 0

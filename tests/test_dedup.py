@@ -1,0 +1,88 @@
+"""operators.dedup — exact, MinHash-LSH, SimHash (SURVEY A3/A5)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from datalake_imagenes_georreferenciadas_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash_table,
+    with_minhash,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = _docs(spark, [(3, "same text"), (1, "same text"), (2, "other")])
+    out = {r["doc_id"]: r["n_copies"] for r in exact_dedup(df).collect()}
+    assert out == {1: 2, 2: 1}  # representative is the smallest id
+
+
+def test_exact_dedup_idempotent(spark):
+    df = _docs(spark, [(1, "a"), (2, "a"), (3, "b")])
+    once = exact_dedup(df)
+    twice = exact_dedup(once.select(F.col("doc_id"), F.col("digest").alias("text")))
+    assert twice.count() == once.count()
+
+
+def test_minhash_signature_matches_naive(spark):
+    text = "the quick brown fox jumps over the lazy dog"
+    df = _docs(spark, [(1, text)])
+    sig = minhash_signatures(df, num_hashes=4).collect()[0]["__sig"]
+    toks = text.lower().split()
+    sh = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+    for s in range(4):
+        expected = min(
+            int(hashlib.md5(f"{s}:{g}".encode()).hexdigest()[:15], 16) for g in sh
+        )
+        assert sig[s] == expected
+
+
+def test_minhash_short_doc_null_sig(spark):
+    df = _docs(spark, [(1, "too short")])  # < 3 tokens → no shingles
+    row = minhash_signatures(df).collect()[0]
+    assert row["__sig"] is None
+    bands = with_minhash(df).collect()[0]["__bands"]
+    assert bands is None
+
+
+def test_identical_docs_are_near_pairs(spark):
+    t = "uno dos tres cuatro cinco seis siete ocho"
+    df = _docs(spark, [(1, t), (2, t), (3, "totally different words here entirely now")])
+    pairs = minhash_lsh_pairs(df, jaccard_threshold=0.9).collect()
+    assert len(pairs) == 1
+    assert (pairs[0]["a_id"], pairs[0]["b_id"], pairs[0]["jaccard"]) == (1, 2, 1.0)
+
+
+def test_near_pairs_orders_ids(spark):
+    t = "uno dos tres cuatro cinco"
+    df = _docs(spark, [(9, t), (4, t)])
+    p = minhash_lsh_pairs(df, jaccard_threshold=0.5).collect()[0]
+    assert p["a_id"] < p["b_id"]
+
+
+def test_simhash_identical_equal_distinct_differ(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "epsilon zeta eta theta iota kappa"),
+        ],
+    )
+    fps = {r["doc_id"]: r["fp"] for r in simhash_table(df).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+    assert all(0 <= v < 2**32 for v in fps.values())
+
+
+def test_simhash_empty_text_is_zero(spark):
+    df = _docs(spark, [(1, "")])
+    assert simhash_table(df).collect()[0]["fp"] == 0

@@ -1,0 +1,153 @@
+"""operators.spatial + functions.geo — containment, grid prefilter, KNN,
+classifier intent semantics (SURVEY J2-J5, §2.11)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from datalake_imagenes_georreferenciadas_spark.functions.geo import (
+    affine_extent,
+    dist2,
+    extent_centroid,
+    point_in_ring,
+)
+from datalake_imagenes_georreferenciadas_spark.operators.spatial import (
+    classify_points,
+    contains_join,
+    contains_join_grid,
+    nearest_vertex_join,
+)
+
+RING_SCHEMA = (
+    "id_predio string, nombre string, ring array<struct<x:double,y:double>>"
+)
+
+
+def _polys(spark):
+    # unit square at origin and a far square at (10,10)
+    sq = [Row(x=0.0, y=0.0), Row(x=1.0, y=0.0), Row(x=1.0, y=1.0), Row(x=0.0, y=1.0)]
+    far = [Row(x=10.0, y=10.0), Row(x=11.0, y=10.0), Row(x=11.0, y=11.0), Row(x=10.0, y=11.0)]
+    return spark.createDataFrame(
+        [("P1", "origin", sq), ("P2", "far", far)], RING_SCHEMA
+    )
+
+
+def _points(spark, rows):
+    return spark.createDataFrame(rows, "img_id long, lon double, lat double")
+
+
+def test_point_in_ring_inside_outside(spark):
+    df = spark.createDataFrame(
+        [(0.5, 0.5), (1.5, 0.5), (-0.1, 0.0), (0.5, 2.0)], "x double, y double"
+    ).withColumn(
+        "ring",
+        F.expr(
+            "array(struct(0.0d as x, 0.0d as y), struct(1.0d as x, 0.0d as y), "
+            "struct(1.0d as x, 1.0d as y), struct(0.0d as x, 1.0d as y))"
+        ),
+    )
+    got = [r["inside"] for r in df.select(point_in_ring(F.col("x"), F.col("y"), F.col("ring")).alias("inside")).collect()]
+    assert got == [True, False, False, False]
+
+
+def test_contains_join_inner(spark):
+    pts = _points(spark, [(1, 0.5, 0.5), (2, 10.5, 10.5), (3, 5.0, 5.0)])
+    out = contains_join(pts, _polys(spark), how="inner").select("img_id", "id_predio").collect()
+    assert {(r["img_id"], r["id_predio"]) for r in out} == {(1, "P1"), (2, "P2")}
+
+
+def test_grid_join_equals_broadcast_join(spark):
+    """§4.3: the scale-path equi-join must reproduce the broadcast result."""
+    pts = _points(
+        spark, [(1, 0.5, 0.5), (2, 10.5, 10.5), (3, 5.0, 5.0), (4, 0.99, 0.01)]
+    )
+    polys = _polys(spark)
+    a = {
+        (r["img_id"], r["id_predio"])
+        for r in contains_join(pts, polys, how="inner").select("img_id", "id_predio").collect()
+    }
+    for eps in (0.3, 0.5, 2.0):
+        b = {
+            (r["img_id"], r["id_predio"])
+            for r in contains_join_grid(pts, polys, eps=eps).select("img_id", "id_predio").collect()
+        }
+        assert a == b, f"eps={eps}"
+
+
+def test_nearest_vertex_join_picks_closest(spark):
+    pts = _points(spark, [(1, 1.2, 1.1), (2, 9.8, 9.9)])
+    out = {r["img_id"]: r for r in nearest_vertex_join(pts, _polys(spark)).collect()}
+    assert out[1]["id_predio"] == "P1" and (out[1]["vx"], out[1]["vy"]) == (1.0, 1.0)
+    assert out[2]["id_predio"] == "P2" and (out[2]["vx"], out[2]["vy"]) == (10.0, 10.0)
+
+
+def test_nearest_tie_breaks_deterministically(spark):
+    # point equidistant from P1's (1,1) and a twin polygon's (1,1)
+    sq = [Row(x=0.0, y=0.0), Row(x=1.0, y=0.0), Row(x=1.0, y=1.0), Row(x=0.0, y=1.0)]
+    polys = spark.createDataFrame(
+        [("PB", "twin-b", sq), ("PA", "twin-a", sq)], RING_SCHEMA
+    )
+    pts = _points(spark, [(1, 2.0, 2.0)])
+    got = nearest_vertex_join(pts, polys).collect()[0]
+    assert got["id_predio"] == "PA"  # min over (dist2, id_predio, ...)
+
+
+def test_classify_contains_beats_nearest(spark):
+    """§2.11 bug 1 intent: containment wins even when another polygon's
+    vertex is nearer."""
+    pts = _points(spark, [(1, 0.5, 0.5), (2, 3.0, 3.0), (3, None, None)])
+    out = {r["img_id"]: r for r in classify_points(pts, _polys(spark)).collect()}
+    assert (out[1]["method"], out[1]["id_predio"]) == ("contains", "P1")
+    assert (out[2]["method"], out[2]["id_predio"]) == ("nearest", "P1")
+    assert out[3]["method"] == "IMAGEN NO CLASIFICABLE"
+    assert out[3]["id_predio"] is None and out[3]["nombre"] is None
+
+
+def test_classify_total_and_disjoint(spark):
+    pts = _points(spark, [(i, float(i), float(i)) for i in range(5)] + [(99, None, None)])
+    out = classify_points(pts, _polys(spark)).collect()
+    assert len(out) == 6  # every point classified exactly once
+    assert len({r["img_id"] for r in out}) == 6
+
+
+def test_affine_extent_and_centroid(spark):
+    df = spark.createDataFrame(
+        [([100.0, 2.0, 0.0, 500.0, 0.0, -2.0], 10, 20)], "gt array<double>, cols int, rows int"
+    )
+    ext = df.select(affine_extent(F.col("gt"), F.col("cols"), F.col("rows")).alias("e"))
+    corners = [(p["x"], p["y"]) for p in ext.collect()[0]["e"]]
+    # GetExtent order: (0,0),(0,rows),(cols,rows),(cols,0)
+    assert corners == [(100.0, 500.0), (100.0, 460.0), (120.0, 460.0), (120.0, 500.0)]
+    c = ext.select(extent_centroid(F.col("e")).alias("c")).collect()[0]["c"]
+    assert (c["x"], c["y"]) == (110.0, 480.0)
+
+
+def test_dist2(spark):
+    df = spark.createDataFrame([(0.0, 0.0, 3.0, 4.0)], "ax double, ay double, bx double, by double")
+    assert df.select(
+        dist2(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by")).alias("d")
+    ).collect()[0]["d"] == 25.0
+
+
+@pytest.mark.parametrize("n_pts", [40])
+def test_grid_vs_broadcast_property(spark, n_pts):
+    """Property check on a pseudo-random scatter (SURVEY §5.2-4)."""
+    import random
+
+    rng = random.Random(42)
+    pts = _points(
+        spark,
+        [(i, rng.uniform(-2, 13), rng.uniform(-2, 13)) for i in range(n_pts)],
+    )
+    polys = _polys(spark)
+    a = {
+        (r["img_id"], r["id_predio"])
+        for r in contains_join(pts, polys, how="inner").select("img_id", "id_predio").collect()
+    }
+    b = {
+        (r["img_id"], r["id_predio"])
+        for r in contains_join_grid(pts, polys, eps=0.7).select("img_id", "id_predio").collect()
+    }
+    assert a == b
