@@ -48,6 +48,28 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int, int]]:
+    """Per-seed affine coefficients (a, b, c), 30-bit, derived from md5 so
+    they're reproducible in plain SQL text."""
+    import hashlib
+
+    out = []
+    for s in range(num_hashes):
+        d = hashlib.md5(f"minhash-coeff:{s}".encode()).hexdigest()
+        out.append(
+            (
+                int(d[0:8], 16) % (2**30 - 1) + 1,
+                int(d[8:16], 16) % (2**30 - 1) + 1,
+                int(d[16:24], 16) % (2**30),
+            )
+        )
+    return out
+
+
+#: 2^60 — the base-hash range; all affine products stay under 2^61 < 2^63.
+_MINHASH_MOD = 2**60
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -57,14 +79,36 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, __shingles, __sig) via explode + grouped min per seed.
 
-    One md5 per (shingle, seed); 16 partial-aggregated mins; one shuffle
-    on the doc id. Docs with fewer than k tokens get a null ``__sig``.
+    ONE md5 per shingle; the ``num_hashes`` hash family is derived from the
+    base hash's 30-bit halves with per-seed affine coefficients
+    (``(a*lo + b*hi + c) mod 2^60`` — exact int64 arithmetic, identical in
+    Spark, DuckDB, and Python). 16 partial-aggregated mins; one shuffle on
+    the doc id. Docs with fewer than k tokens get a null ``__sig``.
     """
+    coeffs = _minhash_coeffs(num_hashes)
     base = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("__shingles"))
-    ex = base.select(F.col(id_col), F.explode("__shingles").alias("__sh"))
-    aggs = [F.min(hash64(F.col("__sh"), seed=s)).alias(f"__h{s}") for s in range(num_hashes)]
+    # spread the hash-heavy map work: small parquet inputs arrive as 1-2
+    # splits, and the groupBy below reuses this hash partitioning (one
+    # exchange total, now BEFORE the expensive per-shingle work). Explicit
+    # partition count, or AQE coalesces the tiny exchange back to 1.
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    ex = base.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col), F.explode("__shingles").alias("__sh")
+    )
+    h = ex.select(
+        F.col(id_col),
+        (hash64(F.col("__sh"), seed=0) % F.lit(2**30)).alias("__lo"),
+        F.shiftright(hash64(F.col("__sh"), seed=0), 30).alias("__hi"),
+    )
+    aggs = [
+        F.min(
+            (F.lit(a) * F.col("__lo") + F.lit(b) * F.col("__hi") + F.lit(c))
+            % F.lit(_MINHASH_MOD)
+        ).alias(f"__h{s}")
+        for s, (a, b, c) in enumerate(coeffs)
+    ]
     sig = (
-        ex.groupBy(id_col)
+        h.groupBy(id_col)
         .agg(*aggs)
         .select(
             F.col(id_col),
@@ -133,6 +177,52 @@ def minhash_lsh_pairs(
     )
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join (dedup family #4).
+
+    Fully aggregative plan — no arrays cross the shuffle: explode DISTINCT
+    shingles, self equi-join on the shingle (only docs sharing a shingle
+    ever pair — a word-level inverted index), count intersections per
+    pair, then ``|A∩B| / (|A|+|B|-|A∩B|)``. At 100 TB the only risk is a
+    hot shingle (stop-phrase); production adds a document-frequency cap on
+    the exploded side (drop shingles appearing in >M docs) — same plan.
+    """
+    ex = (
+        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("__sh"))
+        .distinct()
+    )
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("__n"))
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), "__sh")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+        .agg(F.count("*").alias("__inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("__n").alias("__nb"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__inter")
+                / (F.col("__na") + F.col("__nb") - F.col("__inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
 def simhash_table(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -144,7 +234,10 @@ def simhash_table(
     One md5 per token; ``num_bits`` partial-aggregated sign sums; one
     shuffle on the doc id. Docs with no tokens fingerprint to 0.
     """
-    ex = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t"))
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    ex = df.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
+    )
     h = ex.select(F.col(id_col), hash64(F.col("__t"), seed=0).alias("__h"))
     votes = [
         F.sum(

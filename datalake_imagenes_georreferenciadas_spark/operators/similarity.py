@@ -109,6 +109,41 @@ def brute_force_topk(
     ).select(query_id, data_id, "cos", "rank")
 
 
+def cosine_near_pairs(
+    data: DataFrame,
+    threshold: float = 0.25,
+    num_planes: int = 4,
+    dim: int = 64,
+    data_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup family #5).
+
+    Candidates = vectors sharing an LSH hyperplane bucket (equi self-join,
+    never all-pairs); survivors verified with exact cosine ≥ threshold.
+    Recall is tunable via ``num_planes`` (fewer planes → bigger buckets →
+    higher recall, more verification work) and multi-probe at scale.
+    """
+    b = data.select(
+        F.col(data_id),
+        F.col(vec_col),
+        hyperplane_signature(F.col(vec_col), num_planes, dim).alias("__bucket"),
+    )
+    left = b.select(
+        F.col(data_id).alias("a_id"), F.col(vec_col).alias("__va"), "__bucket"
+    )
+    right = b.select(
+        F.col(data_id).alias("b_id"), F.col(vec_col).alias("__vb"), "__bucket"
+    )
+    cand = left.join(right, "__bucket").filter(F.col("a_id") < F.col("b_id"))
+    return (
+        cand.withColumn("cos", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id", "cos")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+
 def lsh_ann_topk(
     data: DataFrame,
     queries: DataFrame,

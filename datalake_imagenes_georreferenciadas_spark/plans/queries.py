@@ -736,11 +736,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_cte(num_hashes: int = 16, bands: int = 4, k: int = 3) -> str:
     """Shared CTE prefix mirroring the explode+groupBy MinHash plan —
-    tokenize/shingle once, one md5 per (shingle, seed), grouped mins."""
+    tokenize/shingle once, ONE md5 per shingle, per-seed affine-derived
+    mins (same coefficients as operators.dedup)."""
     rpb = num_hashes // bands
+    coeffs = D._minhash_coeffs(num_hashes)
     mins = ", ".join(
-        f"min(('0x' || substring(md5('{s}:' || sh), 1, {H.HASH_HEX_CHARS}))::BIGINT) AS h{s}"
-        for s in range(num_hashes)
+        f"min(({a} * lo + {b} * hi + {c}) % {D._MINHASH_MOD}) AS h{s}"
+        for s, (a, b, c) in enumerate(coeffs)
     )
     arr = "[" + ", ".join(f"h{s}" for s in range(num_hashes)) + "]"
     band_list = "[" + ", ".join(
@@ -752,7 +754,12 @@ def _minhash_cte(num_hashes: int = 16, bands: int = 4, k: int = 3) -> str:
 WITH base AS (
   SELECT doc_id, {H.shingles_sql('text', k)} AS shingles FROM documents),
 ex AS (SELECT doc_id, unnest(shingles) AS sh FROM base),
-mh AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+hsh AS (
+  SELECT doc_id,
+         ('0x' || substring(md5('0:' || sh), 1, {H.HASH_HEX_CHARS}))::BIGINT % 1073741824 AS lo,
+         ('0x' || substring(md5('0:' || sh), 1, {H.HASH_HEX_CHARS}))::BIGINT >> 30 AS hi
+  FROM ex),
+mh AS (SELECT doc_id, {mins} FROM hsh GROUP BY doc_id),
 sigt AS (SELECT doc_id, {arr} AS sig FROM mh),
 bandt AS (SELECT doc_id, {band_list} AS bands FROM sigt)
 """
@@ -1249,6 +1256,337 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(F.col("gt"), 1), 4).alias("gt0"),
         F.col("cols"),
         F.col("rows"),
+    )
+
+
+# ======================================================================
+# EXT — as-of / range joins, rank windows, grouping sets (SURVEY §2.3/§2.5)
+# ======================================================================
+
+
+@register(
+    "j_range_join",
+    """
+    SELECT e.event_id, count(p.event_id) AS n_purchases
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = e.user_id
+     AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL '30 minutes'
+    GROUP BY e.event_id
+    """,
+)
+def j_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: purchases within 30min after each error,
+    per user. Equi-key keeps it a hash join; range is a residual filter."""
+    from ..operators.asof import range_join
+
+    ev = table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"), F.col("user_id"), F.col("ts").alias("e_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id"), F.col("ts").alias("p_ts")
+    )
+    joined = range_join(
+        errors,
+        purchases,
+        ["user_id"],
+        F.col("e_ts"),
+        F.col("p_ts"),
+        F.expr("INTERVAL 0 MINUTES"),
+        F.expr("INTERVAL 30 MINUTES"),
+        how="left",
+    )
+    return joined.groupBy(F.col("e_id").alias("event_id")).agg(
+        F.count("p_id").alias("n_purchases")
+    )
+
+
+@register(
+    "j_asof_join",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    s AS (SELECT user_id, ts, max(event_id) AS signup_id
+          FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)
+    SELECT p.event_id, p.user_id, s.signup_id,
+           floor(epoch(s.ts))::BIGINT AS asof_epoch
+    FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest prior signup
+    (union + last(ignorenulls) window — one shuffle, no pair explosion)."""
+    from ..operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("signup_id"))
+    )
+    out = asof_join(purchases, signups, ["user_id"], "ts", ["signup_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "signup_id",
+        F.unix_timestamp("asof_ts").alias("asof_epoch"),
+    )
+
+
+@register(
+    "w4_rank_funcs",
+    """
+    SELECT o_custkey, o_orderkey,
+           rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def w4_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile ranking windows (SURVEY §2.5 surface)."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "a4_grouping_sets",
+    f"""
+    SELECT l_returnflag, l_linestatus, count(*) AS n, {_dsum_sql('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def a4_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               {_dsum_sql('l_quantity')} AS sum_qty
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register("a5_approx_distinct")  # rows-only: HLL sketches differ across engines
+def a5_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct — the 100 TB cardinality path (HLL sketch,
+    map-side mergeable). No oracle: sketch estimates are engine-specific;
+    the exact twin is a4_count_distinct."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.02).alias("n_orders_approx"),
+            F.countDistinct("l_orderkey").alias("n_orders_exact"),
+        )
+    )
+
+
+# ======================================================================
+# EXT — dedup families #4/#5: exact n-gram Jaccard, embedding cosine
+# ======================================================================
+
+_NGRAM_JACCARD_SQL = f"""
+WITH base AS (SELECT doc_id, {H.shingles_sql('text', 3)} AS shingles FROM documents),
+ex AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(shingles) AS sh FROM base)),
+sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT a_id, b_id, round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE round(i::DOUBLE / (sa.n + sb.n - i), 6) >= 0.1
+"""
+
+
+@register("dedup_ngram_jaccard", _NGRAM_JACCARD_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard join (inverted-index equi-join, count-based —
+    no arrays cross the shuffle)."""
+    return D.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), k=3, jaccard_threshold=0.1
+    )
+
+
+_COSINE_PAIRS_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {SIM.hyperplane_signature_sql('embedding', 4)} AS bucket
+  FROM embeddings),
+cand AS (
+  SELECT a.vec_id AS a_id, b2.vec_id AS b_id,
+         round({V.cosine_sql('a.embedding', 'b2.embedding')}, 6) AS cos
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+SELECT a_id, b_id, cos FROM cand WHERE cos >= 0.25
+"""
+
+
+@register("dedup_cosine_pairs", _COSINE_PAIRS_SQL)
+def dedup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH bucket equi-join candidates,
+    exact cosine verify (dedup family #5)."""
+    return SIM.cosine_near_pairs(
+        table(spark, sf_dir, "embeddings"), threshold=0.25, num_planes=4
+    )
+
+
+# ======================================================================
+# EXT — sinks: CSV roundtrip (S11), content-addressed key (S12)
+# ======================================================================
+
+
+@register(
+    "s11_csv_roundtrip",
+    f"""
+    SELECT event_type, count(*) AS n, {_dsum_sql('value')} AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def s11_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: CSV sink + re-scan roundtrip (script_geo.py:158-160 done right:
+    header AND rows). The aggregate over the re-read copy must equal the
+    oracle's aggregate over the original — proving the codec loses nothing."""
+    dest = os.path.join(tempfile.mkdtemp(prefix="csv_sink_"), "events_csv")
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ev.write.mode("overwrite").option("header", True).csv(dest)
+    back = (
+        spark.read.option("header", True)
+        .schema("event_id long, event_type string, value double")
+        .csv(dest)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), _dsum(F.col("value")).alias("sum_value")
+    )
+
+
+@register(
+    "s12_content_key",
+    "SELECT doc_id, md5(text) AS content_key FROM documents",
+)
+def s12_content_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 fixed: TRUE content-addressed object key md5(content) — the
+    reference hashed os.urandom instead (§2.11 bug 5)."""
+    from ..sources.binary import content_key
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "content", F.col("text").cast("binary")
+    )
+    return content_key(docs).select("doc_id", "content_key")
+
+
+# ======================================================================
+# EXT — streaming session windows (SURVEY §2.9)
+# ======================================================================
+
+_STREAM_SESSION_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+m AS (SELECT *, CASE WHEN prev IS NULL OR (epoch(ts) - epoch(prev)) >= 1800.0
+                     THEN 1 ELSE 0 END AS new_sess FROM o),
+s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS seq FROM m)
+SELECT user_id, floor(epoch(min(ts)))::BIGINT AS session_start_epoch,
+       count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, seq
+"""
+
+
+@register("streaming_session", _STREAM_SESSION_SQL)
+def streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(ts, 30min) as a Structured Streaming query
+    (availableNow, update mode, memory sink) — checked against the batch
+    gaps-and-islands oracle: stream/batch session parity."""
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stream_dir = tempfile.mkdtemp(prefix="events_sess_")
+    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    stream = spark.readStream.format("parquet").schema(raw_schema).load(stream_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"), _dsum(F.col("value")).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start_epoch"),
+            "n",
+            "sum_value",
+        )
+    )
+    name = f"stream_session_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# ======================================================================
+# EXT — F9/F10/F11 reprojection pipeline on the raster fixture
+# ======================================================================
+
+_REPROJECT_SQL = f"""
+WITH rast AS (SELECT * FROM {GF.rasters_values_sql()}),
+ext AS (
+  SELECT img_id,
+         gt0 + 0 * gt1 + 0 * gt2 AS x0, gt3 + 0 * gt4 + 0 * gt5 AS y0,
+         gt0 + 0 * gt1 + rows * gt2 AS x1, gt3 + 0 * gt4 + rows * gt5 AS y1,
+         gt0 + cols * gt1 + rows * gt2 AS x2, gt3 + cols * gt4 + rows * gt5 AS y2,
+         gt0 + cols * gt1 + 0 * gt2 AS x3, gt3 + cols * gt4 + 0 * gt5 AS y3
+  FROM rast),
+cen AS (SELECT img_id, (x0 + x1 + x2 + x3) / 4.0 AS cx, (y0 + y1 + y2 + y3) / 4.0 AS cy FROM ext)
+SELECT img_id,
+       round((18 * 6 - 183) + (cx - 500000.0) / (0.9996 * 6378137.0) * (180.0 / 3.141592653589793), 6) AS lon,
+       round((cy - 10000000.0) / (0.9996 * 6378137.0) * (180.0 / 3.141592653589793), 6) AS lat
+FROM cen
+"""
+
+
+@register("geo_reproject_centroid", _REPROJECT_SQL)
+def geo_reproject_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8+F10+F11+F9 composed: geotransform → extent → centroid →
+    UTM→WGS84 reprojection (the reference's raster branch,
+    script_geo.py:175-189, as one column pipeline)."""
+    from ..functions.geo import extent_centroid, reproject_utm_to_wgs84_approx
+
+    rast = GF.spark_rasters(spark)
+    ext = rast.withColumn("ext", affine_extent(F.col("gt"), F.col("cols"), F.col("rows")))
+    cen = ext.withColumn("c", extent_centroid(F.col("ext")))
+    rep = cen.withColumn(
+        "ll", reproject_utm_to_wgs84_approx(F.col("c.x"), F.col("c.y"), zone=18, south=True)
+    )
+    return rep.select(
+        "img_id",
+        F.round(F.col("ll.lon"), 6).alias("lon"),
+        F.round(F.col("ll.lat"), 6).alias("lat"),
     )
 
 

@@ -33,14 +33,23 @@ def test_exact_dedup_idempotent(spark):
 
 
 def test_minhash_signature_matches_naive(spark):
+    from datalake_imagenes_georreferenciadas_spark.operators.dedup import (
+        _MINHASH_MOD,
+        _minhash_coeffs,
+    )
+
     text = "the quick brown fox jumps over the lazy dog"
     df = _docs(spark, [(1, text)])
     sig = minhash_signatures(df, num_hashes=4).collect()[0]["__sig"]
     toks = text.lower().split()
     sh = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
-    for s in range(4):
+    coeffs = _minhash_coeffs(4)
+    for s, (a, b, c) in enumerate(coeffs):
         expected = min(
-            int(hashlib.md5(f"{s}:{g}".encode()).hexdigest()[:15], 16) for g in sh
+            (
+                lambda h: (a * (h % 2**30) + b * (h >> 30) + c) % _MINHASH_MOD
+            )(int(hashlib.md5(f"0:{g}".encode()).hexdigest()[:15], 16))
+            for g in sh
         )
         assert sig[s] == expected
 

@@ -1,0 +1,93 @@
+"""Physical-plan audit: assert the plans we designed are the plans we got.
+
+For each audited query, prints a compact summary of the formatted plan and
+checks structural expectations (SURVEY §4):
+
+- filters reach the parquet scan (``PushedFilters`` non-empty where expected)
+- column pruning (``ReadSchema`` narrower than the table)
+- dimension joins compile to BroadcastHashJoin (no shuffle of the fact side)
+- no CartesianProduct anywhere
+- shuffle (Exchange) counts stay at the designed minimum
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from datalake_imagenes_georreferenciadas_spark.plans.queries import all_queries
+from datalake_imagenes_georreferenciadas_spark.session import get_spark
+
+# query → (max_exchanges, expects) where expects is a list of substrings the
+# formatted plan MUST contain, prefixed '!' for must-NOT-contain.
+AUDITS: dict[str, tuple[int, list[str]]] = {
+    # dimension joins must broadcast; the 3 predicates must push into scans
+    "catalog_filtered_join": (0, ["BroadcastHashJoin", "PushedFilters: [In(o_orderstatus", "!CartesianProduct", "!SortMergeJoin"]),
+    "j1_semi_join": (0, ["BroadcastHashJoin LeftSemi", "!SortMergeJoin"]),
+    "p5_filter_in_conj": (0, ["In(l_returnflag, [A,N])", "GreaterThanOrEqual(l_quantity,30.0)", "!Exchange"]),
+    # single-shuffle grouped agg with map-side partial aggregation
+    "a4_group_agg": (1, ["HashAggregate", "PushedFilters: [IsNotNull(l_shipdate"]),
+    # window = exactly one hash exchange on the group key
+    "w1_topk_per_group": (1, ["Window", "row_number()"]),
+    # scan-side projection pruning: only 2 columns read
+    "p1_projection_filter": (0, ["ReadSchema: struct<n_nationkey:int,n_name:string,n_regionkey:int>"]),
+    # brute-force cosine: broadcast the queries, no shuffle before window
+    "f17_cosine_topk": (1, ["BroadcastNestedLoopJoin", "!SortMergeJoin"]),
+    # LSH ANN: bucket equi-join must be a broadcast hash join here
+    "ann_lsh_topk": (1, ["BroadcastHashJoin", "!CartesianProduct"]),
+    # minhash: ONE exchange for repartition reused by the groupBy, plus the
+    # small sig join (broadcast)
+    "dedup_minhash_bands": (2, ["BroadcastHashJoin", "!SortMergeJoin"]),
+    # spatial broadcast join with UDF-free ray-cast predicate
+    "geo_contains": (0, ["BroadcastNestedLoopJoin", "!CartesianProduct"]),
+    # cell equi-join: 2 exchanges (both sides hash on cell) is the designed
+    # scale shape — the point is that it's shuffle-partitionable, not BNLJ
+    "geo_contains_grid": (2, ["!CartesianProduct", "!BroadcastNestedLoopJoin"]),
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+    failures = 0
+    for name, (max_ex, expects) in AUDITS.items():
+        df = queries[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        n_exchange = len(re.findall(r"\bExchange\b", plan.split("== Physical Plan ==")[-1].split("(")[0])) or plan.count("+- Exchange") + plan.count("   Exchange")
+        # count Exchange operator nodes in the operator list section
+        op_ids = re.findall(r"\(\d+\) (\w+)", plan)
+        n_exchange = sum(1 for o in op_ids if o == "Exchange")
+        probs = []
+        if n_exchange > max_ex:
+            probs.append(f"exchanges={n_exchange} > allowed {max_ex}")
+        for e in expects:
+            if e.startswith("!"):
+                if e[1:] in plan:
+                    probs.append(f"unexpected: {e[1:]}")
+            elif e not in plan:
+                probs.append(f"missing: {e}")
+        ops = " ".join(
+            f"{o}×{op_ids.count(o)}"
+            for o in sorted(set(op_ids))
+            if o in ("Exchange", "BroadcastHashJoin", "SortMergeJoin", "HashAggregate",
+                     "Window", "BroadcastNestedLoopJoin", "CartesianProduct", "Scan")
+        )
+        if probs:
+            failures += 1
+            print(f"AUDIT-FAIL {name}: {'; '.join(probs)}  [{ops}]")
+        else:
+            print(f"audit-ok  {name}  [{ops}]")
+    print(f"\n{len(AUDITS) - failures} ok, {failures} fail")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
