@@ -32,17 +32,22 @@ BENCH_QUERIES = [
     "w2_running_sum",
     "p5_filter_in_conj",
     "j1_semi_join",
+    "j_asof_join",
+    "j_range_join",
     "f17_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "dedup_exact",
     "dedup_minhash_bands",
     "dedup_near_pairs",
+    "dedup_ngram_jaccard",
     "simhash_fingerprints",
     "text_stats",
     "text_lang_agg",
     "geo_classify",
     "session_stats",
     "tumbling_window_agg",
+    "skew_salted_join",
 ]
 
 

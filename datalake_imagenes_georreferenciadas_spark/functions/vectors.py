@@ -64,3 +64,11 @@ def norm2_sql(a: str) -> str:
 
 def cosine_sql(a: str, b: str) -> str:
     return f"({dot_sql(a, b)} / (sqrt({norm2_sql(a)}) * sqrt({norm2_sql(b)})))"
+
+
+def euclidean2_sql(a: str, b: str) -> str:
+    """DuckDB twin of :func:`euclidean2` (same sequential fold order)."""
+    return (
+        f"list_aggregate(list_transform(generate_series(1, len({a})), "
+        f"i -> (({a})[i]::DOUBLE - ({b})[i]::DOUBLE) * (({a})[i]::DOUBLE - ({b})[i]::DOUBLE)), 'sum')"
+    )

@@ -109,6 +109,76 @@ def brute_force_topk(
     ).select(query_id, data_id, "cos", "rank")
 
 
+def ivf_assign(
+    data: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    data_id: str = "vec_id",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid
+    (broadcast the tiny centroid table, argmin on squared euclidean with
+    the centroid id as the deterministic tiebreak). The argmin groups on
+    the row id only — never on the vector payload — then joins the
+    assignment back.
+
+    Production centroids come from pyspark.ml KMeans; tests and oracles
+    use fixed seed vectors so the assignment is engine-reproducible —
+    same join shape either way.
+    """
+    from ..functions.vectors import euclidean2
+    from .topk import argmin_per_group
+
+    crossed = data.select(data_id, vec_col).join(F.broadcast(centroids))
+    scored = crossed.withColumn("__d2", euclidean2(F.col(vec_col), F.col(centroid_vec)))
+    assign = argmin_per_group(
+        scored, [data_id], F.struct(F.col("__d2"), F.col(centroid_id)), [centroid_id]
+    )
+    return data.join(assign, data_id)
+
+
+def ivf_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    data_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN: partition vectors by nearest centroid; each query
+    probes its ``nprobe`` nearest cells; exact cosine + window top-k on
+    the probed subset. The probe join is an equi-join on centroid_id —
+    the same shuffle-partitionable shape as the LSH path, but with a
+    learned (or fixed) codebook instead of random hyperplanes.
+    """
+    from ..functions.vectors import euclidean2
+
+    d = ivf_assign(data, centroids, vec_col)
+    q_scored = queries.join(F.broadcast(centroids)).withColumn(
+        "__d2", euclidean2(F.col(vec_col), F.col("centroid"))
+    )
+    q_probes = topk_per_group(
+        q_scored.select(query_id, vec_col, "centroid_id", "__d2"),
+        [query_id],
+        [F.col("__d2"), F.col("centroid_id")],
+        nprobe,
+        rank_col="__probe_rank",
+    ).select(
+        F.col(query_id), F.col(vec_col).alias("__qv"), F.col("centroid_id")
+    )
+    scored = d.join(q_probes, "centroid_id").select(
+        query_id,
+        F.col(data_id),
+        F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cos"),
+    )
+    return topk_per_group(
+        scored, [query_id], [F.col("cos").desc(), F.col(data_id)], k, rank_col="rank"
+    ).select(query_id, data_id, "cos", "rank")
+
+
 def cosine_near_pairs(
     data: DataFrame,
     threshold: float = 0.25,

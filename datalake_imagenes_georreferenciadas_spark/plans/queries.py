@@ -1590,6 +1590,141 @@ def geo_reproject_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ======================================================================
+# EXT — IVF ANN, skew-mitigation plans, partitioned publish, multimodal
+# ======================================================================
+
+_IVF_D2 = V.euclidean2_sql("e.embedding", "c.centroid")
+_IVF_TOPK_SQL = f"""
+WITH c AS (SELECT vec_id AS centroid_id, embedding AS centroid FROM embeddings WHERE vec_id < 8),
+d0 AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY {_IVF_D2}, c.centroid_id) AS rn
+  FROM embeddings e CROSS JOIN c),
+assign AS (SELECT vec_id, embedding, centroid_id FROM d0 WHERE rn = 1),
+probes AS (
+  SELECT e.vec_id AS q_id, e.embedding AS qe, c.centroid_id,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY {_IVF_D2}, c.centroid_id) AS rn
+  FROM embeddings e CROSS JOIN c
+  WHERE e.vec_id IN (10, 11, 12)),
+scored AS (
+  SELECT p.q_id, a.vec_id, round({V.cosine_sql('a.embedding', 'p.qe')}, 6) AS cos
+  FROM assign a JOIN (SELECT * FROM probes WHERE rn <= 2) p ON a.centroid_id = p.centroid_id)
+SELECT q_id, vec_id, cos, rank FROM (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
+@register("ann_ivf_topk", _IVF_TOPK_SQL)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: coarse-quantize to fixed centroids (vec_id < 8 as the
+    codebook — production swaps in pyspark.ml KMeans centers, same plan),
+    probe the 2 nearest cells per query, exact cosine + window top-k."""
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    queries = emb.filter(F.col("vec_id").isin(10, 11, 12)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return SIM.ivf_topk(emb, queries, centroids, k=5, nprobe=2)
+
+
+@register(
+    "skew_salted_agg",
+    f"""
+    SELECT l_returnflag, {_dsum_sql('l_quantity')} AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (§4.2 skew path) — result identical to
+    the plain groupBy, so the plain SQL is the oracle. Decimal partials
+    keep the double sum order-independent across salt groupings."""
+    from ..operators.skew import salted_sum_count
+
+    li = table(spark, sf_dir, "lineitem")
+    out = salted_sum_count(
+        li, ["l_returnflag"], F.col("l_quantity").cast("decimal(18,4)"), n_salts=8,
+        sum_alias="__dsum", count_alias="n",
+    )
+    return out.select(
+        "l_returnflag", F.col("__dsum").cast("double").alias("sum_qty"), "n"
+    )
+
+
+@register(
+    "skew_salted_join",
+    f"""
+    SELECT p.p_brand, count(*) AS n, {_dsum_sql('l.l_extendedprice')} AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted replicate join (§4.2): hot fact keys spread over 8 salt
+    partitions; small side replicated per salt. Same rows as the plain
+    equi-join → plain-join oracle."""
+    from ..operators.skew import salted_broadcast_replicate_join
+
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = salted_broadcast_replicate_join(li, part, "l_partkey", n_salts=8)
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n"), _dsum(F.col("l_extendedprice")).alias("revenue")
+    )
+
+
+@register(
+    "s16_partitioned_publish",
+    f"""
+    SELECT source, count(*) AS n, {_dsum_sql('n_chars')} AS total_chars
+    FROM documents WHERE lang = 'es' GROUP BY source
+    """,
+)
+def s16_partitioned_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16/model-publish layout: partitioned write (partitionBy lang — the
+    reference's <codigo>/<indice>/<fecha> object layout as table
+    partitions), then a partition-PRUNED read back (only lang=es files are
+    scanned; .explain shows PartitionFilters). Aggregate must equal the
+    oracle's direct filter — proving the codec + pruning lose nothing."""
+    dest = os.path.join(tempfile.mkdtemp(prefix="publish_"), "docs_by_lang")
+    docs = table(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(dest)
+    back = spark.read.parquet(dest).filter(F.col("lang") == "es")
+    return back.groupBy("source").agg(
+        F.count("*").alias("n"), _dsum(F.col("n_chars")).alias("total_chars")
+    )
+
+
+_FRAMES_SQL = """
+SELECT doc_id, (i * 10) AS frame_idx,
+       md5(md5(text) || ':' || (i * 10)::VARCHAR) AS frame_key
+FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS i)
+"""
+
+
+@register("multimodal_frames", _FRAMES_SQL)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling kernel contract: one binary row → N frame rows via
+    Arrow-batched mapInPandas (decode stubbed on a digest chain the oracle
+    reproduces — schema, batching, and row expansion are all real)."""
+    from ..sources.binary import sample_frames
+
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    frames = sample_frames(docs, every_n=10, max_frames=5)
+    return frames.select(
+        F.col("path").cast("long").alias("doc_id"), "frame_idx", "frame_key"
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

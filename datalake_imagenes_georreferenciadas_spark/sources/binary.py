@@ -105,3 +105,99 @@ def content_key(df: DataFrame, content_col: str = "content") -> DataFrame:
     """S12 fixed: TRUE content-addressed key ``md5(content)`` (the reference
     hashes ``os.urandom(32)`` — download_list_images.py:45, §2.11 bug 5)."""
     return df.withColumn("content_key", F.md5(F.col(content_col)))
+
+
+# ---- north-star multimodal kernels (resize / frame-sample) --------------
+#
+# Real decoders (PIL/ffmpeg) aren't in this container; the *Spark-side
+# contract* — Arrow batch shape, output schema, partition-parallel map — is
+# the engine surface. Each stub derives deterministic output from the bytes
+# so tests can assert end-to-end through mapInPandas.
+
+RESIZE_SCHEMA = "path string, width int, height int, thumb binary"
+
+
+def resize_images(binary_df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Image resize as an Arrow-batched mapInPandas kernel.
+
+    STUB decode: real body is ``PIL.Image.open(io.BytesIO(b)).resize(...)``;
+    here the "thumbnail" is a deterministic byte slice so plumbing (batch
+    iteration, binary-in/binary-out, schema) is fully exercised.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            thumbs = [
+                hashlib.md5(bytes(b)).digest() * ((width * height) // 16 + 1)
+                for b in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "width": width,
+                    "height": height,
+                    "thumb": [t[: width * height] for t in thumbs],
+                }
+            )
+
+    return binary_df.select("path", "content").mapInPandas(batches, RESIZE_SCHEMA)
+
+
+EXTRACT_SCHEMA = "archive string, member string, size long, content binary"
+
+
+def extract_archives(binary_df: DataFrame) -> DataFrame:
+    """S2: archive extract as a one-to-many mapInPandas kernel — the
+    reference's ``extract_files`` unzip-then-delete loop
+    (download_list_images.py:27-30) without ever touching local disk:
+    zip bytes in, one row per member out. REAL implementation (stdlib
+    zipfile); non-zip inputs yield zero rows rather than failing the task.
+    """
+    import io
+    import zipfile
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            archives, members, sizes, contents = [], [], [], []
+            for p, b in zip(pdf["path"], pdf["content"]):
+                try:
+                    zf = zipfile.ZipFile(io.BytesIO(bytes(b)))
+                except zipfile.BadZipFile:
+                    continue
+                for info in zf.infolist():
+                    if info.is_dir():
+                        continue
+                    archives.append(p)
+                    members.append(info.filename)
+                    sizes.append(info.file_size)
+                    contents.append(zf.read(info))
+            yield pd.DataFrame(
+                {"archive": archives, "member": members, "size": sizes, "content": contents}
+            )
+
+    return binary_df.select("path", "content").mapInPandas(batches, EXTRACT_SCHEMA)
+
+
+FRAME_SCHEMA = "path string, frame_idx int, frame_key string"
+
+
+def sample_frames(binary_df: DataFrame, every_n: int = 10, max_frames: int = 5) -> DataFrame:
+    """Video frame sampling as a one-to-many mapInPandas kernel.
+
+    STUB decode: real body seeks an ffmpeg/PyAV demuxer; here each "frame"
+    is keyed by a digest chain so the row-expansion contract (one binary →
+    N frame rows) is exercised and deterministic.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            paths, idxs, keys = [], [], []
+            for p, b in zip(pdf["path"], pdf["content"]):
+                d = hashlib.md5(bytes(b)).hexdigest()
+                for i in range(max_frames):
+                    paths.append(p)
+                    idxs.append(i * every_n)
+                    keys.append(hashlib.md5(f"{d}:{i * every_n}".encode()).hexdigest())
+            yield pd.DataFrame({"path": paths, "frame_idx": idxs, "frame_key": keys})
+
+    return binary_df.select("path", "content").mapInPandas(batches, FRAME_SCHEMA)

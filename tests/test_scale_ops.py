@@ -1,0 +1,118 @@
+"""Skew plans, IVF ANN, multimodal kernels, streaming windows — the
+scale-path operators (SURVEY §4.2/§4.3, north star)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from datalake_imagenes_georreferenciadas_spark.operators.similarity import ivf_assign, ivf_topk
+from datalake_imagenes_georreferenciadas_spark.operators.skew import (
+    salted_broadcast_replicate_join,
+    salted_sum_count,
+)
+from datalake_imagenes_georreferenciadas_spark.sources.binary import resize_images, sample_frames
+from datalake_imagenes_georreferenciadas_spark.streaming.windows import dedup_within_watermark
+
+
+def test_salted_agg_equals_plain(spark):
+    df = spark.createDataFrame(
+        [("a", i * 1.0) for i in range(50)] + [("b", 1.0)], "k string, v double"
+    )
+    salted = {
+        r["k"]: (r["sum_value"], r["n"])
+        for r in salted_sum_count(df, ["k"], F.col("v"), n_salts=4).collect()
+    }
+    plain = {
+        r["k"]: (r["s"], r["n"])
+        for r in df.groupBy("k").agg(F.sum("v").alias("s"), F.count("*").alias("n")).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_equals_plain(spark):
+    big = spark.createDataFrame([(i % 3, i) for i in range(60)], "k int, v int")
+    small = spark.createDataFrame([(0, "x"), (1, "y"), (2, "z")], "k int, tag string")
+    salted = sorted(
+        (r["k"], r["v"], r["tag"])
+        for r in salted_broadcast_replicate_join(big, small, "k", n_salts=4).collect()
+    )
+    plain = sorted((r["k"], r["v"], r["tag"]) for r in big.join(small, "k").collect())
+    assert salted == plain
+
+
+def test_ivf_assign_picks_nearest_centroid(spark):
+    data = spark.createDataFrame(
+        [(1, [0.0, 0.1]), (2, [5.0, 5.1]), (3, [0.2, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(100, [0.0, 0.0]), (200, [5.0, 5.0])],
+        "centroid_id long, centroid array<double>",
+    )
+    got = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(data, cents).collect()}
+    assert got == {1: 100, 2: 200, 3: 100}
+
+
+def test_ivf_topk_self_in_results(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    data = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = data.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    q = data.filter(F.col("vec_id") == 9).select(F.col("vec_id").alias("q_id"), "embedding")
+    top = ivf_topk(data, q, cents, k=3, nprobe=4).orderBy("rank").collect()
+    # nprobe covers ALL cells → self must be rank 1 with cosine 1.0
+    assert top[0]["vec_id"] == 9 and top[0]["cos"] == 1.0
+
+
+def test_resize_images_contract(spark):
+    df = spark.createDataFrame(
+        [("a.jpg", bytearray(b"imgbytes-a")), ("b.jpg", bytearray(b"imgbytes-b"))],
+        "path string, content binary",
+    )
+    out = resize_images(df, width=8, height=4).collect()
+    assert {r["path"] for r in out} == {"a.jpg", "b.jpg"}
+    assert all(r["width"] == 8 and r["height"] == 4 for r in out)
+    assert all(len(r["thumb"]) == 32 for r in out)  # width*height bytes
+    # deterministic: same content → same thumb
+    again = resize_images(df, width=8, height=4).collect()
+    assert {bytes(r["thumb"]) for r in out} == {bytes(r["thumb"]) for r in again}
+
+
+def test_sample_frames_row_expansion(spark):
+    df = spark.createDataFrame([("v.mp4", bytearray(b"videobytes"))], "path string, content binary")
+    out = sample_frames(df, every_n=10, max_frames=5).collect()
+    assert len(out) == 5
+    assert sorted(r["frame_idx"] for r in out) == [0, 10, 20, 30, 40]
+    assert len({r["frame_key"] for r in out}) == 5  # distinct per frame
+
+
+def test_dedup_within_watermark_stream(spark, tmp_path):
+    """Duplicate event_ids within the watermark are dropped exactly once."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 10.0),
+        (1, base + dt.timedelta(minutes=1), 10.0),  # duplicate id, in watermark
+        (2, base + dt.timedelta(minutes=2), 20.0),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "event_id long, ts timestamp, value double").write.parquet(src)
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double").parquet(src)
+    )
+    deduped = dedup_within_watermark(stream, watermark_minutes=30)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dedup_wm").collect()
+    assert sorted(r["event_id"] for r in got) == [1, 2]
