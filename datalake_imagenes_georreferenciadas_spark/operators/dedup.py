@@ -76,8 +76,11 @@ def minhash_signatures(
     text_col: str = "text",
     k: int = 3,
     num_hashes: int = 16,
+    keep_shingles: bool = True,
 ) -> DataFrame:
-    """(id, __shingles, __sig) via explode + grouped min per seed.
+    """(id, __shingles, __sig) via explode + grouped min per seed — or
+    just (id, __sig) with ``keep_shingles=False``, which skips the
+    shingle re-computation and the join entirely (the bands-only path).
 
     ONE md5 per shingle; the ``num_hashes`` hash family is derived from the
     base hash's 30-bit halves with per-seed affine coefficients
@@ -115,6 +118,10 @@ def minhash_signatures(
             F.array(*[F.col(f"__h{s}") for s in range(num_hashes)]).alias("__sig"),
         )
     )
+    if not keep_shingles:
+        # docs with <k tokens have no exploded rows → absent here, exactly
+        # the null-__sig rows the joined variant would filter anyway
+        return sig
     return base.join(sig, id_col, "left")
 
 
@@ -125,10 +132,11 @@ def with_minhash(
     num_hashes: int = 16,
     bands: int = 4,
     id_col: str = "doc_id",
+    keep_shingles: bool = True,
 ) -> DataFrame:
     """Attach shingles, MinHash signature, and LSH band keys."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes, keep_shingles)
     return sigs.withColumn(
         "__bands",
         F.when(

@@ -771,7 +771,9 @@ _MINHASH_BANDS_SQL = _minhash_cte() + "SELECT doc_id, unnest(bands) AS band FROM
 @register("dedup_minhash_bands", _MINHASH_BANDS_SQL)
 def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature → LSH band keys, exploded (the near-dup join key)."""
-    docs = D.with_minhash(table(spark, sf_dir, "documents"), "text", 3, 16, 4)
+    docs = D.with_minhash(
+        table(spark, sf_dir, "documents"), "text", 3, 16, 4, keep_shingles=False
+    )
     return docs.select("doc_id", F.explode("__bands").alias("band"))
 
 
@@ -1722,6 +1724,189 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = sample_frames(docs, every_n=10, max_frames=5)
     return frames.select(
         F.col("path").cast("long").alias("doc_id"), "frame_idx", "frame_key"
+    )
+
+
+# ======================================================================
+# EXT — pivot/unpivot, subqueries, percentiles, edit distance
+# ======================================================================
+
+
+@register(
+    "a4_pivot",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS st_o,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS st_f,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS st_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a4_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): order counts per priority × status. Explicit
+    value list → no extra distinct-values job, fixed output schema."""
+    out = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0)
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("O").alias("st_o"),
+        F.col("F").alias("st_f"),
+        F.col("P").alias("st_p"),
+    )
+
+
+@register(
+    "a4_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric, round(l_quantity, 2) AS val
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', round(l_discount, 2) FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', round(l_tax, 2) FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def a4_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long, melt) via the native unpivot operator."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    out = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+    name_map = {"l_quantity": "quantity", "l_discount": "discount", "l_tax": "tax"}
+    mapped = out.replace(name_map, subset=["metric"])
+    return mapped.select(
+        "l_orderkey", "l_linenumber", "metric", F.round("val", 2).alias("val")
+    )
+
+
+@register(
+    "sub_scalar",
+    """
+    SELECT o_orderkey,
+           round(o_totalprice / (SELECT avg(o_totalprice) FROM orders), 6) AS price_ratio
+    FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def sub_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (Catalyst turns it into a broadcast one-row join)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__sq_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               round(o_totalprice / (SELECT avg(o_totalprice) FROM __sq_orders), 6) AS price_ratio
+        FROM __sq_orders WHERE o_totalprice > 400000
+        """
+    )
+
+
+@register(
+    "sub_in",
+    """
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+    """,
+)
+def sub_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (planned as a left-semi join)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__sq2_orders")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("__sq2_customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey FROM __sq2_orders
+        WHERE o_custkey IN (SELECT c_custkey FROM __sq2_customer WHERE c_acctbal > 9000)
+        """
+    )
+
+
+@register(
+    "a4_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+           round(quantile_cont(l_quantity, 0.5), 4) AS median,
+           round(quantile_cont(l_quantity, 0.75), 4) AS q75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a4_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines: linear interpolation;
+    the 100 TB variant is approx_percentile — same plan, sketch agg)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("q25"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("q75"),
+    )
+
+
+@register(
+    "text_edit_distance",
+    """
+    SELECT d.doc_id, levenshtein(substring(d.source, 1, 8), substring(d.lang, 1, 8)) AS src_lang_dist,
+           levenshtein(lower(substring(d.text, 1, 12)), 'lorem ipsum!') AS lorem_dist
+    FROM documents d
+    """,
+)
+def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance (fuzzy matching surface for text dedup)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.levenshtein(
+            F.substring("source", 1, 8), F.substring("lang", 1, 8)
+        ).alias("src_lang_dist"),
+        F.levenshtein(
+            F.lower(F.substring("text", 1, 12)), F.lit("lorem ipsum!")
+        ).alias("lorem_dist"),
+    )
+
+
+@register(
+    "w5_range_frame",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT
+                                  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 2) AS rolling_10m,
+           first_value(event_id) OVER w AS first_ev,
+           last_value(event_id) OVER w AS last_ev,
+           coalesce(nth_value(event_id, 2) OVER w, -1) AS second_ev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def w5_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame keyed on event-time seconds (true time-windowed running
+    sum — rows at the same second aggregate together) + first/last/nth
+    positional window functions."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "__sec", F.unix_timestamp("ts")
+    )
+    w_range = (
+        Window.partitionBy("user_id").orderBy("__sec").rangeBetween(-600, 0)
+    )
+    w_rows = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w_range), 2).alias("rolling_10m"),
+        F.first("event_id").over(w_rows).alias("first_ev"),
+        F.last("event_id").over(w_rows).alias("last_ev"),
+        F.coalesce(F.nth_value("event_id", 2).over(w_rows), F.lit(-1)).alias(
+            "second_ev"
+        ),
     )
 
 
