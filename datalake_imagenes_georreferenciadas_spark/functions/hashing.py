@@ -44,16 +44,16 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
 
 
-def shingles(text: Column, k: int = 3) -> Column:
-    """k-word shingles as strings; empty array when fewer than k tokens.
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """k-word shingles from a token-array column.
 
-    Built by zipping k shifted views of the token array (``arrays_zip`` of
-    ``slice`` columns). Crucially this is O(k·T) per row: a
-    sequence+transform+``slice(toks, i, k)`` formulation re-evaluates the
-    token subtree per position (O(T²)) because lambda bodies are evaluated
-    per element and projection collapse defeats CSE.
+    ``arrays_zip`` of k shifted slices + one transform — O(k·T) per row.
+    Pass a MATERIALIZED token column (an attribute, e.g. projected before
+    an exchange) in hot paths: expression arguments are re-evaluated per
+    reference (k+1 of them here), attributes are read. A
+    sequence+transform+``slice(toks, i, k)`` formulation would be O(T²)
+    (lambda bodies evaluate per element; projection collapse defeats CSE).
     """
-    toks = tokens(text)
     n = F.size(toks) - F.lit(k - 1)
     shifted = [F.slice(toks, i + 1, n) for i in range(k)]
     zipped = F.arrays_zip(*shifted)
@@ -63,6 +63,11 @@ def shingles(text: Column, k: int = 3) -> Column:
             lambda row: F.concat_ws(" ", *[row.getField(str(i)) for i in range(k)]),
         )
     )
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles as strings; empty array when fewer than k tokens."""
+    return shingles_from_tokens(tokens(text), k)
 
 
 def shingles_sql(text_expr: str, k: int = 3) -> str:

@@ -33,7 +33,33 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash64, lsh_bands, shingles, tokens
+from ..functions.hashing import (
+    hash64,
+    lsh_bands,
+    shingles,
+    shingles_from_tokens,
+    tokens,
+)
+
+
+def _exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, __sh) one row per shingle — the shared hot path.
+
+    Tokenizes ONCE per row and materializes the token array through a
+    repartition exchange, so the shingle construction downstream reads an
+    attribute instead of re-running the tokenizer per slice (3-4× saving),
+    and all per-shingle work runs at full parallelism even when the input
+    is a single parquet split.
+    """
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    tk = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks")).repartition(
+        n_part, F.col(id_col)
+    )
+    return tk.select(
+        F.col(id_col), F.explode(shingles_from_tokens(F.col("__toks"), k)).alias("__sh")
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -90,14 +116,7 @@ def minhash_signatures(
     """
     coeffs = _minhash_coeffs(num_hashes)
     base = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("__shingles"))
-    # spread the hash-heavy map work: small parquet inputs arrive as 1-2
-    # splits, and the groupBy below reuses this hash partitioning (one
-    # exchange total, now BEFORE the expensive per-shingle work). Explicit
-    # partition count, or AQE coalesces the tiny exchange back to 1.
-    n_part = df.sparkSession.sparkContext.defaultParallelism
-    ex = base.repartition(n_part, F.col(id_col)).select(
-        F.col(id_col), F.explode("__shingles").alias("__sh")
-    )
+    ex = _exploded_shingles(df, id_col, text_col, k)
     h = ex.select(
         F.col(id_col),
         (hash64(F.col("__sh"), seed=0) % F.lit(2**30)).alias("__lo"),
@@ -161,25 +180,47 @@ def minhash_lsh_pairs(
     threshold. The only shuffles are the band join and the distinct — no
     cross join anywhere.
     """
-    sig = with_minhash(df, text_col, k, num_hashes, bands, id_col).select(
-        F.col(id_col), F.col("__shingles"), F.explode(F.col("__bands")).alias("band")
-    )
-    left = sig.select(
-        F.col(id_col).alias("a_id"), F.col("__shingles").alias("a_sh"), "band"
-    )
-    right = sig.select(
-        F.col(id_col).alias("b_id"), F.col("__shingles").alias("b_sh"), "band"
-    )
+    sig = with_minhash(
+        df, text_col, k, num_hashes, bands, id_col, keep_shingles=False
+    ).select(F.col(id_col), F.explode(F.col("__bands")).alias("band"))
+    left = sig.select(F.col(id_col).alias("a_id"), "band")
+    right = sig.select(F.col(id_col).alias("b_id"), "band")
     cand = (
         left.join(right, "band")
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_sh", "b_sh")
+        .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
-    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh"))).cast("double")
-    union = F.size(F.array_union(F.col("a_sh"), F.col("b_sh"))).cast("double")
+    # count-based exact-Jaccard verification: shingle arrays never cross a
+    # shuffle — candidates (tiny) broadcast against the exploded DISTINCT
+    # shingle rows, intersections counted, sizes joined in
+    ex = _exploded_shingles(df, id_col, text_col, k).distinct()
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("__n"))
+    ex_a = ex.select(F.col(id_col).alias("a_id"), F.col("__sh"))
+    ex_b = ex.select(F.col(id_col).alias("b_id"), F.col("__sh"))
+    inter = (
+        F.broadcast(cand)
+        .join(ex_a, "a_id")
+        .join(ex_b, ["b_id", "__sh"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("__inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("__n").alias("__nb"))
     return (
-        cand.withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1.0)), 6))
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__inter")
+                / F.greatest(
+                    (F.col("__na") + F.col("__nb") - F.col("__inter")).cast("double"),
+                    F.lit(1.0),
+                ),
+                6,
+            ),
+        )
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("a_id", "b_id", "jaccard")
     )
@@ -201,10 +242,7 @@ def ngram_jaccard_pairs(
     hot shingle (stop-phrase); production adds a document-frequency cap on
     the exploded side (drop shingles appearing in >M docs) — same plan.
     """
-    ex = (
-        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("__sh"))
-        .distinct()
-    )
+    ex = _exploded_shingles(df, id_col, text_col, k).distinct()
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("__n"))
     inter = (
         ex.alias("a")

@@ -39,9 +39,9 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     "f17_cosine_topk": (1, ["BroadcastNestedLoopJoin", "!SortMergeJoin"]),
     # LSH ANN: bucket equi-join must be a broadcast hash join here
     "ann_lsh_topk": (1, ["BroadcastHashJoin", "!CartesianProduct"]),
-    # minhash: ONE exchange for repartition reused by the groupBy, plus the
-    # small sig join (broadcast)
-    "dedup_minhash_bands": (2, ["BroadcastHashJoin", "!SortMergeJoin"]),
+    # minhash bands: ONE exchange (repartition reused by the groupBy), no
+    # join at all — signatures flow straight to band keys
+    "dedup_minhash_bands": (1, ["HashAggregate", "!SortMergeJoin", "!BroadcastHashJoin"]),
     # spatial broadcast join with UDF-free ray-cast predicate
     "geo_contains": (0, ["BroadcastNestedLoopJoin", "!CartesianProduct"]),
     # cell equi-join: 2 exchanges (both sides hash on cell) is the designed
