@@ -1910,6 +1910,147 @@ def w5_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ======================================================================
+# EXT — multi-join analytics (join-reordering surface), pandas_udf path,
+# map columns
+# ======================================================================
+
+
+@register(
+    "tpch_q3_shape",
+    f"""
+    SELECT l.l_orderkey,
+           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           floor(epoch(o.o_orderdate))::BIGINT AS orderdate_epoch,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join with selective filters on every side,
+    grouped revenue, top-10. Catalyst pushes all three predicates into
+    the scans and broadcasts the filtered customer side."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_timestamp("o_orderdate").alias("orderdate_epoch"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_shape",
+    f"""
+    SELECT n.n_name,
+           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way star join (region→nation→customer→orders→
+    lineitem). Three dimension broadcasts chain into the fact scan; the
+    only shuffle is the final group-by."""
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+    )
+
+
+@register("f17_cosine_pandas", _COSINE_ALL_SQL)
+def f17_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME cosine scan as f17_cosine_all, but through an Arrow-
+    vectorized pandas_udf (numpy batch kernel) instead of higher-order
+    column functions — the documented slow-path escape hatch, checked
+    against the identical oracle to prove the two paths agree."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _cos_batch(a, b):
+        # `from __future__ import annotations` stringifies type hints,
+        # which pandas_udf can't resolve → use the explicit-returnType form
+        out = []
+        for x, y in zip(a, b):
+            xv = np.asarray(x, dtype=np.float64)
+            yv = np.asarray(y, dtype=np.float64)
+            out.append(
+                float(np.dot(xv, yv) / (np.sqrt(np.dot(xv, xv)) * np.sqrt(np.dot(yv, yv))))
+            )
+        return pd.Series(out)
+
+    cos_pd = pandas_udf(_cos_batch, "double")
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    return emb.crossJoin(F.broadcast(q)).select(
+        "vec_id", F.round(cos_pd(F.col("embedding"), F.col("qe")), 6).alias("cos")
+    )
+
+
+@register(
+    "f15_map_ops",
+    """
+    SELECT doc_id,
+           map_extract(m, 'lang')[1] AS lang_v,
+           len(map_keys(m)) AS n_keys
+    FROM (SELECT doc_id, MAP {'lang': lang, 'source': source} AS m FROM documents)
+    """,
+)
+def f15_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (§1.4: properties pass-through as maps): build,
+    access by key, enumerate keys."""
+    docs = table(spark, sf_dir, "documents")
+    m = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    return docs.select(
+        "doc_id",
+        m.getItem("lang").alias("lang_v"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
