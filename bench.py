@@ -45,9 +45,12 @@ BENCH_QUERIES = [
     "text_stats",
     "text_lang_agg",
     "geo_classify",
+    "geo_classify_bulk",
     "session_stats",
     "tumbling_window_agg",
     "skew_salted_join",
+    "tpch_q3_shape",
+    "tpch_q5_shape",
 ]
 
 

@@ -1373,12 +1373,15 @@ def w4_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a4_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (beyond rollup/cube)."""
-    table(spark, sf_dir, "lineitem").createOrReplaceTempView("__gs_lineitem")
+    import uuid
+
+    view = f"__gs_lineitem_{uuid.uuid4().hex[:8]}"
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView(view)
     return spark.sql(
         f"""
         SELECT l_returnflag, l_linestatus, count(*) AS n,
                {_dsum_sql('l_quantity')} AS sum_qty
-        FROM __gs_lineitem
+        FROM {view}
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
@@ -1797,12 +1800,15 @@ def a4_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sub_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery (Catalyst turns it into a broadcast one-row join)."""
-    table(spark, sf_dir, "orders").createOrReplaceTempView("__sq_orders")
+    import uuid
+
+    view = f"__sq_orders_{uuid.uuid4().hex[:8]}"
+    table(spark, sf_dir, "orders").createOrReplaceTempView(view)
     return spark.sql(
-        """
+        f"""
         SELECT o_orderkey,
-               round(o_totalprice / (SELECT avg(o_totalprice) FROM __sq_orders), 6) AS price_ratio
-        FROM __sq_orders WHERE o_totalprice > 400000
+               round(o_totalprice / (SELECT avg(o_totalprice) FROM {view}), 6) AS price_ratio
+        FROM {view} WHERE o_totalprice > 400000
         """
     )
 
@@ -1816,12 +1822,15 @@ def sub_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sub_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN-subquery (planned as a left-semi join)."""
-    table(spark, sf_dir, "orders").createOrReplaceTempView("__sq2_orders")
-    table(spark, sf_dir, "customer").createOrReplaceTempView("__sq2_customer")
+    import uuid
+
+    sfx = uuid.uuid4().hex[:8]
+    table(spark, sf_dir, "orders").createOrReplaceTempView(f"__sq2_orders_{sfx}")
+    table(spark, sf_dir, "customer").createOrReplaceTempView(f"__sq2_customer_{sfx}")
     return spark.sql(
-        """
-        SELECT o_orderkey, o_custkey FROM __sq2_orders
-        WHERE o_custkey IN (SELECT c_custkey FROM __sq2_customer WHERE c_acctbal > 9000)
+        f"""
+        SELECT o_orderkey, o_custkey FROM __sq2_orders_{sfx}
+        WHERE o_custkey IN (SELECT c_custkey FROM __sq2_customer_{sfx} WHERE c_acctbal > 9000)
         """
     )
 
@@ -2048,6 +2057,70 @@ def f15_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         m.getItem("lang").alias("lang_v"),
         F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+# ======================================================================
+# GEO at volume — the classifier over 20k generated points (bench-scale
+# spatial join, still fully oracle-checked)
+# ======================================================================
+
+_BULK_N = 20000
+_BULK_PTS_SQL = f"""
+SELECT i AS img_id,
+       ((i * 73) % 997) / 997.0 * 16.0 - 2.0 AS lon,
+       ((i * 131) % 983) / 983.0 * 14.0 - 2.0 AS lat
+FROM generate_series(0, {_BULK_N - 1}) AS g(i)
+"""
+
+_GEO_BULK_SQL = f"""
+WITH pts AS ({_BULK_PTS_SQL}),
+e AS (SELECT * FROM {GF.edges_values_sql()}),
+v AS (SELECT * FROM {GF.vertices_values_sql()}),
+cr AS (
+  SELECT p.img_id, e.id_predio, e.nombre,
+         min((e.x2 - e.x1) * (p.lat - e.y1) - (e.y2 - e.y1) * (p.lon - e.x1)) AS mn,
+         max((e.x2 - e.x1) * (p.lat - e.y1) - (e.y2 - e.y1) * (p.lon - e.x1)) AS mx
+  FROM pts p CROSS JOIN e
+  GROUP BY p.img_id, e.id_predio, e.nombre),
+vd AS (
+  SELECT p.img_id, v.id_predio, v.nombre,
+         min((p.lon - v.x) * (p.lon - v.x) + (p.lat - v.y) * (p.lat - v.y)) AS d2
+  FROM pts p CROSS JOIN v
+  GROUP BY p.img_id, v.id_predio, v.nombre),
+scored AS (
+  SELECT cr.img_id, cr.id_predio, cr.nombre,
+         CASE WHEN cr.mn > 0 OR cr.mx < 0 THEN 0 ELSE 1 END AS r,
+         CASE WHEN cr.mn > 0 OR cr.mx < 0 THEN 0.0 ELSE vd.d2 END AS d
+  FROM cr JOIN vd ON cr.img_id = vd.img_id
+       AND cr.id_predio = vd.id_predio AND cr.nombre = vd.nombre),
+win AS (
+  SELECT img_id, id_predio, nombre, r,
+         row_number() OVER (PARTITION BY img_id ORDER BY r, d, id_predio, nombre) AS rn
+  FROM scored)
+SELECT img_id, id_predio, nombre,
+       CASE WHEN r = 0 THEN 'contains' ELSE 'nearest' END AS method
+FROM win WHERE rn = 1
+"""
+
+
+@register("geo_classify_bulk", _GEO_BULK_SQL)
+def geo_classify_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single-pass classifier over 20k generated points — the spatial
+    join at bench volume (20k × 3 polygons scored in one broadcast pass),
+    still value-checked against the oracle.
+
+    Note the convex-polygon oracle (same-sign cross test) and the engine's
+    general ray-cast agree because the fixture rings are convex and the
+    generated points never land exactly on an edge.
+    """
+    pts = spark.range(_BULK_N).select(
+        F.col("id").alias("img_id"),
+        (((F.col("id") * 73) % 997) / 997.0 * 16.0 - 2.0).alias("lon"),
+        (((F.col("id") * 131) % 983) / 983.0 * 14.0 - 2.0).alias("lat"),
+    )
+    return classify_points(pts, GF.spark_polys(spark)).select(
+        "img_id", "id_predio", "nombre", "method"
     )
 
 
