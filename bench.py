@@ -60,8 +60,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = all_queries()
-    # warmup: trivial count to pay JVM/first-stage costs once
-    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+    # warmup: touch every table's footer + one count so per-query timings
+    # reflect steady-state plan execution, not scan initialization
+    from datalake_imagenes_georreferenciadas_spark.tables import TABLE_NAMES, table as load
+
+    for t in TABLE_NAMES:
+        load(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
