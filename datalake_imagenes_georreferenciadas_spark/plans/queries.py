@@ -2124,6 +2124,46 @@ def geo_classify_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ======================================================================
+# S6 — JSON feature scan (script_geo.py:193-194)
+# ======================================================================
+
+_S6_SQL = f"""
+SELECT pp.id_predio, pp.nombre, pp.codigo, pp.seccion, pp.rodal, pp.tipouso, pp.apl,
+       (SELECT count(*) FROM {GF.vertices_values_sql()}
+        WHERE v.id_predio = pp.id_predio) AS n_vertices
+FROM {GF.polys_props_values_sql()}
+"""
+
+
+@register("s6_features_json", _S6_SQL)
+def s6_features_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: per-parcel polygon JSON files → explicit-schema json scan
+    (no inference pass) → properties + ring cardinality. The fixture
+    polygons round-trip through real JSON files on disk."""
+    import json
+
+    from ..sources.files import read_features_json
+
+    d = tempfile.mkdtemp(prefix="features_json_")
+    for p in GF.POLYS:
+        rec = {k: v for k, v in p.items() if k != "ring"}
+        rec["ring"] = [{"x": x, "y": y} for x, y in p["ring"]]
+        with open(os.path.join(d, f"{p['id_predio']}.json"), "w") as f:
+            f.write(json.dumps(rec))
+    feats = read_features_json(spark, d)
+    return feats.select(
+        "id_predio",
+        "nombre",
+        "codigo",
+        "seccion",
+        "rodal",
+        "tipouso",
+        "apl",
+        F.size("ring").alias("n_vertices"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -47,10 +47,6 @@ def start_file_ingest(
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # idempotence: skip if this batch's run id already landed
-        existing = (
-            store.runs().filter(F.col("id_proceso") == id_proceso).count()
-        )
         run_id = store.start_run(id_proceso)
         rows = to_catalog_rows(batch_df)
         # dedupe vs catalog (late/duplicate file guard): anti-join on the
@@ -60,7 +56,6 @@ def start_file_ingest(
             store.catalog().select("ruta_resultado"), "ruta_resultado", "left_anti"
         )
         store.insert_catalog(fresh, run_id)
-        _ = existing
 
     return (
         stream.writeStream.foreachBatch(handle_batch)
