@@ -74,7 +74,16 @@ PROCESO_MODEL_PUBLISH = 2
 
 
 class CatalogStore:
-    """Catalog + runs + lineage over parquet directories."""
+    """Catalog + runs + lineage over parquet directories.
+
+    The catalog table is SNAPSHOT-VERSIONED: inserts append to the
+    current snapshot directory (``catalog_v{N}``); updates write a brand-
+    new snapshot and flip an atomically-renamed pointer file. Readers
+    therefore never observe a half-written state (the Delta-style
+    copy-on-write contract on plain parquet), a crash mid-update leaves
+    the previous snapshot intact, and old snapshots stay readable —
+    ``catalog(version=N)`` is time travel.
+    """
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -91,9 +100,43 @@ class CatalogStore:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(path)
 
+    # ---- catalog versioning ----------------------------------------------
+    def current_version(self) -> int:
+        ptr = self._path("catalog.version")
+        if not os.path.exists(ptr):
+            return 0
+        with open(ptr) as f:
+            return int(f.read().strip())
+
+    def catalog_versions(self) -> list[int]:
+        import re
+
+        out = []
+        for d in os.listdir(self.root):
+            m = re.fullmatch(r"catalog_v(\d+)", d)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def _set_version(self, version: int) -> None:
+        ptr = self._path("catalog.version")
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, ptr)  # atomic pointer flip
+
+    def _catalog_dir(self, version: int | None = None) -> str:
+        v = self.current_version() if version is None else version
+        return self._path(f"catalog_v{v}")
+
     # ---- reads -----------------------------------------------------------
-    def catalog(self) -> DataFrame:
-        return self._read("catalog", CATALOG_SCHEMA)
+    def catalog(self, version: int | None = None) -> DataFrame:
+        """The catalog snapshot — latest by default, or any retained
+        ``version`` (time travel)."""
+        path = self._catalog_dir(version)
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], CATALOG_SCHEMA)
+        return self.spark.read.schema(CATALOG_SCHEMA).parquet(path)
 
     def runs(self) -> DataFrame:
         return self._read("runs", RUNS_SCHEMA)
@@ -130,7 +173,7 @@ class CatalogStore:
         w = Window.orderBy("indice", "ruta_resultado")
         with_id = rows.withColumn("id", (F.lit(base) + F.row_number().over(w)).cast("long"))
         ordered = with_id.select([f.name for f in CATALOG_SCHEMA.fields])
-        ordered.write.mode("append").parquet(self._path("catalog"))
+        ordered.write.mode("append").parquet(self._catalog_dir())
         lineage = ordered.select(
             F.lit(run_id).cast("long").alias("id_ejecucion"),
             F.col("id").alias("id_imagen_fuente"),
@@ -138,12 +181,16 @@ class CatalogStore:
         lineage.write.mode("append").parquet(self._path("lineage"))
         return ordered
 
-    def update_processed_img(self, new_tipo_img: int, ids: list[int]) -> None:
+    def update_processed_img(self, new_tipo_img: int, ids: list[int]) -> int:
         """S15: MERGE-shaped state advance (mysql_process.py:83-91).
 
-        anti-join untouched ∪ updated → overwrite: the plain-parquet
-        emulation of ``MERGE INTO catalog ... WHEN MATCHED THEN UPDATE``.
+        Copy-on-write: anti-join untouched ∪ updated rows are written to a
+        NEW snapshot directory, then the version pointer flips atomically.
+        Readers mid-update keep seeing the previous snapshot; a crash
+        before the flip changes nothing. Returns the new version.
         """
+        if not ids:
+            return self.current_version()  # no-op: don't burn a snapshot
         cat = self.catalog()
         updates = self.spark.createDataFrame([(int(i),) for i in ids], "id long")
         untouched = cat.join(updates, "id", "left_anti")
@@ -151,13 +198,10 @@ class CatalogStore:
             "id_tipo_img", F.lit(new_tipo_img).cast("int")
         )
         merged = untouched.unionByName(changed)
-        tmp = self._path("catalog__tmp")
-        merged.write.mode("overwrite").parquet(tmp)
-        final = self.spark.read.schema(CATALOG_SCHEMA).parquet(tmp)
-        final.write.mode("overwrite").parquet(self._path("catalog"))
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
+        new_version = self.current_version() + 1
+        merged.write.mode("overwrite").parquet(self._catalog_dir(new_version))
+        self._set_version(new_version)
+        return new_version
 
     # ---- queries ---------------------------------------------------------
     def filtered_paths(

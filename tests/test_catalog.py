@@ -77,6 +77,29 @@ def test_update_processed_img_merge(spark):
     assert store.catalog().count() == 4
 
 
+def test_update_is_versioned_snapshot(spark):
+    """Copy-on-write MERGE: the update lands in a NEW snapshot; the old
+    version stays readable (time travel) and the pointer names the new."""
+    store = CatalogStore(spark, tempfile.mkdtemp())
+    run = store.start_run(PROCESO_INGEST)
+    store.insert_catalog(_rows(spark), run)
+    assert store.current_version() == 0
+    v = store.update_processed_img(10, [1])
+    assert v == 1 and store.current_version() == 1
+    assert store.catalog_versions() == [0, 1]
+    # latest sees the update; version 0 still has the original value
+    assert {r["id"]: r["id_tipo_img"] for r in store.catalog().collect()}[1] == 10
+    assert {r["id"]: r["id_tipo_img"] for r in store.catalog(version=0).collect()}[1] != 10
+    # a second update stacks another snapshot
+    store.update_processed_img(10, [2])
+    assert store.catalog_versions() == [0, 1, 2]
+    # inserts go to the CURRENT snapshot
+    run2 = store.start_run(PROCESO_INGEST)
+    store.insert_catalog(_rows(spark, 1), run2)
+    assert store.catalog().count() == 5
+    assert store.catalog(version=0).count() == 4  # old snapshot untouched
+
+
 def test_filtered_paths_flagship_query(spark):
     store = CatalogStore(spark, tempfile.mkdtemp())
     run = store.start_run(PROCESO_INGEST)
