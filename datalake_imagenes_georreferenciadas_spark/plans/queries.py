@@ -2164,6 +2164,126 @@ def s6_features_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ======================================================================
+# F — scalar surface pack 2: date arithmetic, strings, arrays, conditionals
+# ======================================================================
+
+
+@register(
+    "f_date_arith",
+    """
+    SELECT o_orderkey,
+           date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch_start,
+           floor(epoch(o_orderdate + INTERVAL '3 months'))::BIGINT AS plus3m_epoch,
+           floor(epoch(date_trunc('month', o_orderdate)))::BIGINT AS month_start_epoch,
+           dayofweek(o_orderdate) AS dow
+    FROM orders WHERE o_orderkey < 200
+    """,
+)
+def f_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic: datediff, add_months, date_trunc, day-of-week.
+    (DuckDB dayofweek is 0=Sunday; Spark dayofweek is 1=Sunday → align.)"""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias(
+            "days_since_epoch_start"
+        ),
+        F.unix_timestamp(F.add_months("o_orderdate", 3).cast("timestamp")).alias(
+            "plus3m_epoch"
+        ),
+        F.unix_timestamp(F.date_trunc("month", "o_orderdate")).alias("month_start_epoch"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+    )
+
+
+@register(
+    "f_string_pack2",
+    """
+    SELECT doc_id,
+           upper(substring(source, 1, 4)) AS up4,
+           lpad(lang, 5, '*') AS padded,
+           reverse(lang) AS rev,
+           repeat(lang, 2) AS doubled,
+           replace(source, 'src', 'S-') AS translated,
+           strpos(text, 'a') AS first_a
+    FROM documents
+    """,
+)
+def f_string_pack2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String surface pack 2: case, pad, reverse, repeat, replace, locate."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper(F.substring("source", 1, 4)).alias("up4"),
+        F.lpad("lang", 5, "*").alias("padded"),
+        F.reverse("lang").alias("rev"),
+        F.repeat("lang", 2).alias("doubled"),
+        F.replace(F.col("source"), F.lit("src"), F.lit("S-")).alias("translated"),
+        F.locate("a", F.col("text")).alias("first_a"),
+    )
+
+
+@register(
+    "f_array_pack2",
+    """
+    SELECT vec_id,
+           round(list_sort(list_transform(embedding[1:6], x -> round(x::DOUBLE, 4)))[1], 4) AS min_of_first6,
+           len(list_distinct(list_transform(embedding[1:8], x -> round(x::DOUBLE, 1)))) AS distinct_rounded,
+           list_position(list_transform(embedding[1:6], x -> round(x::DOUBLE, 4)),
+                         round(embedding[3]::DOUBLE, 4)) AS pos_of_third,
+           len(flatten([embedding[1:3], embedding[4:6]])) AS flat_len
+    FROM embeddings
+    """,
+)
+def f_array_pack2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface pack 2: sort, distinct, position, flatten."""
+    e = table(spark, sf_dir, "embeddings")
+    first6 = F.transform(F.slice("embedding", 1, 6), lambda x: F.round(x.cast("double"), 4))
+    return e.select(
+        "vec_id",
+        F.round(F.element_at(F.array_sort(first6), 1), 4).alias("min_of_first6"),
+        F.size(
+            F.array_distinct(
+                F.transform(F.slice("embedding", 1, 8), lambda x: F.round(x.cast("double"), 1))
+            )
+        ).alias("distinct_rounded"),
+        F.array_position(first6, F.round(F.element_at("embedding", 3).cast("double"), 4)).alias(
+            "pos_of_third"
+        ),
+        F.size(F.flatten(F.array(F.slice("embedding", 1, 3), F.slice("embedding", 4, 3)))).alias(
+            "flat_len"
+        ),
+    )
+
+
+@register(
+    "f_conditionals",
+    """
+    SELECT event_id,
+           nullif(event_type, 'error') AS non_error,
+           coalesce(nullif(event_type, 'error'), 'ERR!') AS labeled,
+           greatest(value, 50.0) AS at_least_50,
+           least(value, 50.0) AS at_most_50,
+           CASE WHEN value IS NULL THEN 'null' ELSE 'set' END AS nvl2ish
+    FROM events
+    """,
+)
+def f_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional scalar surface: nullif, coalesce chains, greatest/least."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.nullif(F.col("event_type"), F.lit("error")).alias("non_error"),
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("error")), F.lit("ERR!")).alias(
+            "labeled"
+        ),
+        F.greatest("value", F.lit(50.0)).alias("at_least_50"),
+        F.least("value", F.lit(50.0)).alias("at_most_50"),
+        F.when(F.col("value").isNull(), "null").otherwise("set").alias("nvl2ish"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
