@@ -2284,6 +2284,80 @@ def f_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "w6_distribution_funcs",
+    """
+    SELECT c_custkey, c_nationkey,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def w6_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank, cume_dist."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@register(
+    "j1_correlated_exists",
+    """
+    SELECT c.c_custkey, c.c_acctbal FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > c.c_acctbal * 50)
+    """,
+)
+def j1_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with a cross-table predicate (decorrelated by
+    Catalyst into a left-semi join with a non-equi condition)."""
+    import uuid
+
+    sfx = uuid.uuid4().hex[:8]
+    table(spark, sf_dir, "customer").createOrReplaceTempView(f"__ce_c_{sfx}")
+    table(spark, sf_dir, "orders").createOrReplaceTempView(f"__ce_o_{sfx}")
+    return spark.sql(
+        f"""
+        SELECT c.c_custkey, c.c_acctbal FROM __ce_c_{sfx} c
+        WHERE EXISTS (SELECT 1 FROM __ce_o_{sfx} o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > c.c_acctbal * 50)
+        """
+    )
+
+
+@register(
+    "f15_lateral_explode",
+    """
+    SELECT vec_id, pos, round(val, 4) AS val FROM (
+      SELECT vec_id, unnest(list_transform(embedding[1:4], x -> round(x::DOUBLE, 4))) AS val,
+             generate_subscripts(embedding[1:4], 1) AS pos
+      FROM embeddings WHERE vec_id < 20)
+    """,
+)
+def f15_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW posexplode via SQL — the generator/UDTF surface."""
+    import uuid
+
+    view = f"__lv_emb_{uuid.uuid4().hex[:8]}"
+    table(spark, sf_dir, "embeddings").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT vec_id, pos + 1 AS pos, round(val, 4) AS val
+        FROM {view}
+        LATERAL VIEW posexplode(slice(transform(embedding, x -> round(cast(x AS double), 4)), 1, 4)) t AS pos, val
+        WHERE vec_id < 20
+        """
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
