@@ -1050,15 +1050,21 @@ def geo_affine_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     m AS (SELECT *, CASE WHEN prev IS NULL OR (epoch(ts) - epoch(prev)) > 1800.0
                          THEN 1 ELSE 0 END AS new_sess FROM o),
-    s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                        ROWS UNBOUNDED PRECEDING) AS session_seq FROM m)
+    s AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM m)
     SELECT user_id, session_seq, count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
     FROM s GROUP BY user_id, session_seq
     """,
 )
 def session_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization (gaps-and-islands) + per-session aggregates."""
+    """Sessionization (gaps-and-islands) + per-session aggregates.
+
+    Oracle note: DuckDB's windowed ``sum(INTEGER)`` yields HUGEINT
+    (int128), which an Arrow/pandas fetch widens to float64 — hashing
+    ``3.0`` against Spark's ``3``. The oracle CASTs the running sum to
+    BIGINT so both engines emit int64 (CORRECTNESS_r01 red cell).
+    """
     ev = table(spark, sf_dir, "events")
     s = sessionize(ev, gap_minutes=30.0)
     return s.groupBy("user_id", "session_seq").agg(

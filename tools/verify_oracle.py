@@ -67,6 +67,21 @@ def main() -> int:
         try:
             res = con.sql(oracles[name])
             dcols_raw = res.columns
+            # The driver fetches the DuckDB side via Arrow/pandas, which
+            # widens non-int64 integer types (HUGEINT from sum(INTEGER),
+            # unsigned ints, ...) to float64 — hash-mismatching against
+            # Spark's int64 even when values are equal. Flag those here so
+            # the local fetchall() (which hides the widening) can't lie.
+            widened = [
+                f"{c}:{t}"
+                for c, t in zip(dcols_raw, (str(t) for t in res.types))
+                if t.split("(")[0]
+                in {"HUGEINT", "UHUGEINT", "UINTEGER", "UBIGINT"}
+                or t.startswith("DECIMAL")
+            ]
+            if widened:
+                print(f"WARN {name}: oracle emits non-int64/decimal {widened} "
+                      "— driver pandas fetch will widen; CAST in the SQL")
             dsort = sorted(range(len(dcols_raw)), key=lambda i: dcols_raw[i])
             dcols = sorted(dcols_raw)
             drows = sorted(row_key(tuple(row[i] for i in dsort)) for row in res.fetchall())
