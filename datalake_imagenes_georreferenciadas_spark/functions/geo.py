@@ -54,17 +54,16 @@ def extent_centroid(extent: Column) -> Column:
     )
 
 
-def point_in_ring(px: Column, py: Column, ring: Column) -> Column:
-    """F12: ray-casting containment of point (px,py) in a polygon ring.
+def ring_crossings(px: Column, py: Column, ring: Column) -> Column:
+    """Crossing count of a rightward ray from (px,py) against one ring.
 
     ``ring`` is ``array<struct<x,y>>`` (closed or open — the edge walk
-    wraps). Crossing-number algorithm as one ``aggregate`` higher-order
-    expression: count edges whose y-span straddles py and whose
-    x-at-py lies right of px; odd count = inside.
+    wraps). One ``aggregate`` higher-order expression: count edges whose
+    y-span straddles py and whose x-at-py lies right of px.
     """
     n = F.size(ring)
     idx = F.sequence(F.lit(1), n)
-    crossings = F.aggregate(
+    return F.aggregate(
         idx,
         F.lit(0),
         lambda acc, i: acc
@@ -73,7 +72,31 @@ def point_in_ring(px: Column, py: Column, ring: Column) -> Column:
             F.lit(1),
         ).otherwise(F.lit(0)),
     )
-    return crossings % 2 == 1
+
+
+def point_in_ring(px: Column, py: Column, ring: Column) -> Column:
+    """F12: ray-casting containment of point (px,py) in ONE polygon ring
+    (odd crossing count = inside)."""
+    return ring_crossings(px, py, ring) % 2 == 1
+
+
+def point_in_rings(px: Column, py: Column, rings: Column) -> Column:
+    """F12 on full (Multi)Polygon geometry: ``rings`` is
+    ``array<array<struct<x,y>>>`` holding every ring — exterior shells AND
+    interior holes, flattened across MultiPolygon parts.
+
+    Even-odd rule: total ray crossings over ALL rings, odd = inside. For
+    valid geometry (holes inside shells, shells disjoint) this equals
+    shapely's ``Polygon(shell, holes).contains`` / MultiPolygon-any-part
+    semantics (reference script_geo.py:50-57,84 — the nested coordinate
+    walk + shapely containment honoring interior rings): in-shell counts
+    1, in-a-hole adds 1 more → even → outside; a second shell adds its
+    own odd count for points inside it.
+    """
+    total = F.aggregate(
+        rings, F.lit(0), lambda acc, r: acc + ring_crossings(px, py, r)
+    )
+    return total % 2 == 1
 
 
 def _edge_crosses(px: Column, py: Column, a: Column, b: Column) -> Column:

@@ -24,8 +24,13 @@ Plan shapes, scale-first:
   ``coalesce`` → the unclassifiable branch yields nulls and the P7 label,
   implementing §2.11 bug 2's intent.
 
-Polygon encoding: ``ring array<struct<x:double,y:double>>`` — plain Spark
-types; WKT would round-trip through a parser for no benefit here.
+Polygon encoding: ``rings array<array<struct<x:double,y:double>>>`` —
+every ring of the (Multi)Polygon, exterior shells and interior holes
+alike, as plain Spark types (WKT would round-trip through a parser for no
+benefit here). Containment is the even-odd ray-cast over all rings
+(functions.geo.point_in_rings), so holes subtract and MultiPolygon parts
+add without the operator caring which ring is which — matching shapely's
+semantics in the reference (script_geo.py:50-57,84).
 """
 
 from __future__ import annotations
@@ -33,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.geo import dist2, grid_cell, point_in_ring
+from ..functions.geo import dist2, grid_cell, point_in_rings
 from .topk import argmin_per_group
 
 
@@ -43,13 +48,14 @@ def contains_join(
     point_id: str = "img_id",
     x_col: str = "lon",
     y_col: str = "lat",
-    ring_col: str = "ring",
+    ring_col: str = "rings",
     how: str = "left",
 ) -> DataFrame:
     """J2: point-in-polygon join, broadcast-nested-loop with a ray-cast
-    predicate. Use when the polygon side fits in memory (the reference's
-    own assumption — it holds all parcels in a driver list)."""
-    pred = point_in_ring(points[x_col], points[y_col], polys[ring_col])
+    predicate over all rings (holes honored). Use when the polygon side
+    fits in memory (the reference's own assumption — it holds all parcels
+    in a driver list)."""
+    pred = point_in_rings(points[x_col], points[y_col], polys[ring_col])
     return points.join(F.broadcast(polys), pred, how)
 
 
@@ -60,7 +66,7 @@ def contains_join_grid(
     point_id: str = "img_id",
     x_col: str = "lon",
     y_col: str = "lat",
-    ring_col: str = "ring",
+    ring_col: str = "rings",
 ) -> DataFrame:
     """J2 at scale (§4.3): grid-cell equi-join prefilter, then exact test.
 
@@ -68,35 +74,41 @@ def contains_join_grid(
     (dimension-side blowup is bounded and tiny); each point maps to exactly
     one cell. The join becomes ``point.cell = poly.cell`` — an equi-join
     Catalyst can hash-partition — and the ray-cast runs only on survivors.
+    The bbox spans ALL rings (for valid geometry the shells' bbox — holes
+    lie inside shells; MultiPolygon parts each contribute).
     """
     cells = polys.withColumn(
+        "__flat", F.flatten(F.col(ring_col))
+    ).withColumn(
         "__cells",
         F.expr(
             f"""
             flatten(transform(
-              sequence(cast(floor(array_min(transform({ring_col}, p -> p.x)) / {eps}) as bigint),
-                       cast(floor(array_max(transform({ring_col}, p -> p.x)) / {eps}) as bigint)),
+              sequence(cast(floor(array_min(transform(__flat, p -> p.x)) / {eps}) as bigint),
+                       cast(floor(array_max(transform(__flat, p -> p.x)) / {eps}) as bigint)),
               cx -> transform(
-                sequence(cast(floor(array_min(transform({ring_col}, p -> p.y)) / {eps}) as bigint),
-                         cast(floor(array_max(transform({ring_col}, p -> p.y)) / {eps}) as bigint)),
+                sequence(cast(floor(array_min(transform(__flat, p -> p.y)) / {eps}) as bigint),
+                         cast(floor(array_max(transform(__flat, p -> p.y)) / {eps}) as bigint)),
                 cy -> struct(cx as cx, cy as cy))))
             """
         ),
-    ).withColumn("__cell", F.explode("__cells")).drop("__cells")
+    ).withColumn("__cell", F.explode("__cells")).drop("__cells", "__flat")
     pts = points.withColumn("__cell", grid_cell(F.col(x_col), F.col(y_col), eps))
     joined = pts.join(cells, "__cell")
-    return joined.filter(point_in_ring(F.col(x_col), F.col(y_col), F.col(ring_col))).drop(
+    return joined.filter(point_in_rings(F.col(x_col), F.col(y_col), F.col(ring_col))).drop(
         "__cell"
     )
 
 
 def explode_vertices(
-    polys: DataFrame, ring_col: str = "ring", keep: tuple[str, ...] = ("id_predio", "nombre")
+    polys: DataFrame, ring_col: str = "rings", keep: tuple[str, ...] = ("id_predio", "nombre")
 ) -> DataFrame:
-    """Dimension prep for J3: one row per polygon vertex (the reference's
-    ``allcoor`` vertex→parcel index, script_geo.py:146-154)."""
+    """Dimension prep for J3: one row per polygon vertex across every ring
+    — shells and holes, like the reference's ``allcoor`` vertex→parcel
+    index built from the full nested coordinate walk
+    (script_geo.py:50-57,146-154)."""
     return polys.select(
-        *keep, F.explode(F.col(ring_col)).alias("__v")
+        *keep, F.explode(F.flatten(F.col(ring_col))).alias("__v")
     ).select(*keep, F.col("__v.x").alias("vx"), F.col("__v.y").alias("vy"))
 
 
@@ -106,7 +118,7 @@ def nearest_vertex_join(
     point_id: str = "img_id",
     x_col: str = "lon",
     y_col: str = "lat",
-    ring_col: str = "ring",
+    ring_col: str = "rings",
     keep: tuple[str, ...] = ("id_predio", "nombre"),
 ) -> DataFrame:
     """J3–J5: nearest polygon vertex per point, deterministic argmin.
@@ -130,7 +142,7 @@ def classify_points(
     point_id: str = "img_id",
     x_col: str = "lon",
     y_col: str = "lat",
-    ring_col: str = "ring",
+    ring_col: str = "rings",
     keep: tuple[str, ...] = ("id_predio", "nombre"),
     unclassifiable_label: str = "IMAGEN NO CLASIFICABLE",
 ) -> DataFrame:
@@ -155,13 +167,13 @@ def classify_points(
     # polygon and never changed which polygon won), but 2 stages instead
     # of 6 — at 100 TB the fact side is scanned ONCE.
     px, py = F.col(x_col), F.col(y_col)
-    ring = F.col(ring_col)
+    rings = F.col(ring_col)
     scored = located.join(F.broadcast(polys.select(*keep, ring_col))).select(
         point_id,
         *keep,
-        point_in_ring(px, py, ring).alias("__in"),
+        point_in_rings(px, py, rings).alias("__in"),
         F.array_min(
-            F.transform(ring, lambda p: dist2(px, py, p["x"], p["y"]))
+            F.transform(F.flatten(rings), lambda p: dist2(px, py, p["x"], p["y"]))
         ).alias("__vd2"),
     )
     rank = F.struct(
@@ -177,9 +189,13 @@ def classify_points(
         F.when(F.col("__w.__in"), F.lit("contains")).otherwise(F.lit("nearest")).alias("method"),
     )
 
+    # Null literals must carry each keep column's REAL dtype — a hardcoded
+    # string cast would silently widen non-string keeps in the unionByName
+    # (or error under ANSI).
+    keep_types = {f.name: f.dataType for f in polys.schema.fields}
     unc = unlocated.select(
         point_id,
-        *[F.lit(None).cast("string").alias(c) for c in keep],
+        *[F.lit(None).cast(keep_types[c]).alias(c) for c in keep],
         F.lit(unclassifiable_label).alias("method"),
     )
     return located_out.unionByName(unc)

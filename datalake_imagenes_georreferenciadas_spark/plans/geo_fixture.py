@@ -1,17 +1,26 @@
 """Hand-made geo fixture (FIXTURES.md §B) shared by the Spark plans and the
-DuckDB oracle as inline VALUES — tiny convex polygons so containment has a
-DuckDB-expressible twin (same-sign cross-product test), per SURVEY §5.2.
+DuckDB oracle as inline VALUES.
 
-Mirrors the reference's data model: image centroids (some unlocatable →
-the P7 unclassifiable branch) vs parcel polygons with CODIGO/SECCION/...
-properties (script_geo.py:75,85-86).
+Geometry model mirrors the reference's (script_geo.py:3,50-57,84): each
+parcel is a Polygon or MultiPolygon whose ``rings`` hold every ring —
+exterior shells first, interior holes after (orientation-free: containment
+is the even-odd ray-cast, so ring order/winding never matter). P1–P3 are
+the original convex single-ring parcels; P4 carries a hole (annulus); P5
+is a MultiPolygon of two shells, the second with a hole — the cadastral
+shapes shapely's ``Polygon(...).contains`` honors and a single-ring test
+would misclassify.
+
+Image centroids cover every branch: inside each parcel, inside P4's hole
+(NOT contained → nearest fallback), in each P5 part, inside P5's hole,
+outside-all, and null → the P7 unclassifiable branch (script_geo.py:75,
+85-86).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-# (img_id, lon, lat) — inside P1, inside P2, inside P3, outside-all ×3, null ×2
+# (img_id, lon, lat)
 POINTS: list[tuple[int, float | None, float | None]] = [
     (1, 1.0, 1.0),      # inside P1 (triangle)
     (2, 1.5, 0.6),      # inside P1
@@ -23,9 +32,15 @@ POINTS: list[tuple[int, float | None, float | None]] = [
     (8, -2.0, -2.0),    # outside all → NN fallback
     (9, None, None),    # unlocatable → IMAGEN NO CLASIFICABLE
     (10, None, 4.0),    # half-null → unclassifiable
+    (11, 12.2, 6.2),    # inside P4's annulus (shell minus hole) → contains
+    (12, 12.75, 6.75),  # inside P4's HOLE → not contained → nearest
+    (13, 0.7, 8.7),     # inside P5 part A → contains
+    (14, 4.7, 9.8),     # inside P5 part B, outside its hole → contains
+    (15, 4.0, 9.0),     # inside P5 part B's HOLE → not contained → nearest
 ]
 
-# id_predio, nombre, codigo, seccion, rodal, tipouso, apl, ring (closed not required)
+# id_predio, nombre, codigo, seccion, rodal, tipouso, apl,
+# rings = [shell, hole*, shell2, hole*...] (flattened MultiPolygon parts)
 POLYS: list[dict] = [
     {
         "id_predio": "P1",
@@ -35,7 +50,7 @@ POLYS: list[dict] = [
         "rodal": "R1",
         "tipouso": "BOSQUE",
         "apl": "A",
-        "ring": [(0.0, 0.0), (3.0, 0.0), (1.0, 2.5)],
+        "rings": [[(0.0, 0.0), (3.0, 0.0), (1.0, 2.5)]],
     },
     {
         "id_predio": "P2",
@@ -45,7 +60,7 @@ POLYS: list[dict] = [
         "rodal": "R2",
         "tipouso": "PRADERA",
         "apl": "B",
-        "ring": [(5.0, 5.0), (6.0, 5.0), (6.0, 6.0), (5.0, 6.0)],
+        "rings": [[(5.0, 5.0), (6.0, 5.0), (6.0, 6.0), (5.0, 6.0)]],
     },
     {
         "id_predio": "P3",
@@ -55,7 +70,36 @@ POLYS: list[dict] = [
         "rodal": "R3",
         "tipouso": "BOSQUE",
         "apl": "A",
-        "ring": [(9.5, 0.0), (10.5, -0.3), (11.2, 0.5), (10.4, 1.4), (9.7, 1.1)],
+        "rings": [[(9.5, 0.0), (10.5, -0.3), (11.2, 0.5), (10.4, 1.4), (9.7, 1.1)]],
+    },
+    {
+        # Polygon with an interior ring: 1.5×1.5 shell, 0.5×0.5 hole
+        "id_predio": "P4",
+        "nombre": "FUNDO_ANILLO",
+        "codigo": "C04",
+        "seccion": "S4",
+        "rodal": "R4",
+        "tipouso": "PRADERA",
+        "apl": "B",
+        "rings": [
+            [(12.0, 6.0), (13.5, 6.0), (13.5, 7.5), (12.0, 7.5)],
+            [(12.5, 6.5), (13.0, 6.5), (13.0, 7.0), (12.5, 7.0)],
+        ],
+    },
+    {
+        # MultiPolygon: part A (plain square) + part B (square with hole)
+        "id_predio": "P5",
+        "nombre": "FUNDO_MULTI",
+        "codigo": "C05",
+        "seccion": "S5",
+        "rodal": "R5",
+        "tipouso": "BOSQUE",
+        "apl": "A",
+        "rings": [
+            [(0.0, 8.0), (1.5, 8.0), (1.5, 9.5), (0.0, 9.5)],
+            [(3.0, 8.0), (5.0, 8.0), (5.0, 10.0), (3.0, 10.0)],
+            [(3.6, 8.6), (4.4, 8.6), (4.4, 9.4), (3.6, 9.4)],
+        ],
     },
 ]
 
@@ -74,14 +118,14 @@ def spark_polys(spark: SparkSession) -> DataFrame:
             p["rodal"],
             p["tipouso"],
             p["apl"],
-            [{"x": x, "y": y} for x, y in p["ring"]],
+            [[{"x": x, "y": y} for x, y in ring] for ring in p["rings"]],
         )
         for p in POLYS
     ]
     return spark.createDataFrame(
         rows,
         "id_predio string, nombre string, codigo string, seccion string, rodal string, "
-        "tipouso string, apl string, ring array<struct<x double, y double>>",
+        "tipouso string, apl string, rings array<array<struct<x double, y double>>>",
     )
 
 
@@ -98,29 +142,51 @@ def points_values_sql() -> str:
 
 
 def vertices_values_sql() -> str:
-    """``(VALUES ...) AS v(id_predio, nombre, seq, x, y)`` body."""
+    """``(VALUES ...) AS v(id_predio, nombre, seq, x, y)`` — every vertex
+    of every ring (shells AND holes), the reference's ``allcoor`` walk over
+    all coordinate arrays (script_geo.py:50-57,146-154)."""
     rows = []
     for p in POLYS:
-        for seq, (x, y) in enumerate(p["ring"], 1):
-            rows.append(
-                f"('{p['id_predio']}', '{p['nombre']}', {seq}, {x!r}::DOUBLE, {y!r}::DOUBLE)"
-            )
+        seq = 0
+        for ring in p["rings"]:
+            for x, y in ring:
+                seq += 1
+                rows.append(
+                    f"('{p['id_predio']}', '{p['nombre']}', {seq}, {x!r}::DOUBLE, {y!r}::DOUBLE)"
+                )
     return f"(VALUES {', '.join(rows)}) AS v(id_predio, nombre, seq, x, y)"
 
 
 def edges_values_sql() -> str:
     """``(VALUES ...) AS e(id_predio, nombre, x1, y1, x2, y2)`` — closed
-    edge walk, same wraparound as functions.geo.point_in_ring."""
+    edge walk per ring (shells and holes), same wraparound as
+    functions.geo.ring_crossings."""
     rows = []
     for p in POLYS:
-        ring = p["ring"]
-        n = len(ring)
-        for i in range(n):
-            (x1, y1), (x2, y2) = ring[i], ring[(i + 1) % n]
-            rows.append(
-                f"('{p['id_predio']}', '{p['nombre']}', {x1!r}::DOUBLE, {y1!r}::DOUBLE, {x2!r}::DOUBLE, {y2!r}::DOUBLE)"
-            )
+        for ring in p["rings"]:
+            n = len(ring)
+            for i in range(n):
+                (x1, y1), (x2, y2) = ring[i], ring[(i + 1) % n]
+                rows.append(
+                    f"('{p['id_predio']}', '{p['nombre']}', {x1!r}::DOUBLE, {y1!r}::DOUBLE, {x2!r}::DOUBLE, {y2!r}::DOUBLE)"
+                )
     return f"(VALUES {', '.join(rows)}) AS e(id_predio, nombre, x1, y1, x2, y2)"
+
+
+def crossings_sql(lon: str = "p.lon", lat: str = "p.lat") -> str:
+    """Even-odd ray-cast as SQL over the ``e`` edge table: crossing count
+    of the rightward ray from (lon,lat), exactly mirroring the engine's
+    ``_edge_crosses`` float expression (same operand order → identical
+    IEEE doubles in both engines). Group by polygon and test
+    ``% 2 = 1`` for containment — valid for holes, MultiPolygons, and
+    concave rings alike. The inner CASE keeps the division off
+    non-straddling (possibly horizontal, y2=y1) edges.
+    """
+    return (
+        f"sum(CASE WHEN (e.y1 > {lat}) != (e.y2 > {lat}) THEN "
+        f"CASE WHEN {lon} < (e.x2 - e.x1) * ({lat} - e.y1) / (e.y2 - e.y1) + e.x1 "
+        f"THEN 1 ELSE 0 END ELSE 0 END)"
+    )
 
 
 def polys_props_values_sql() -> str:

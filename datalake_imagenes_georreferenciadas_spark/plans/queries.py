@@ -905,19 +905,19 @@ WITH pts AS (SELECT * FROM {GF.points_values_sql()}),
 e AS (SELECT * FROM {GF.edges_values_sql()}),
 cr AS (
   SELECT p.img_id, e.id_predio, e.nombre,
-         min((e.x2 - e.x1) * (p.lat - e.y1) - (e.y2 - e.y1) * (p.lon - e.x1)) AS mn,
-         max((e.x2 - e.x1) * (p.lat - e.y1) - (e.y2 - e.y1) * (p.lon - e.x1)) AS mx
+         {GF.crossings_sql()} AS crossings
   FROM pts p CROSS JOIN e
   WHERE p.lon IS NOT NULL AND p.lat IS NOT NULL
   GROUP BY p.img_id, e.id_predio, e.nombre)
-SELECT img_id, id_predio, nombre FROM cr WHERE mn > 0 OR mx < 0
+SELECT img_id, id_predio, nombre FROM cr WHERE crossings % 2 = 1
 """
 
 
 @register("geo_contains", _GEO_CONTAINS_SQL)
 def geo_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2: point-in-polygon broadcast join, ray-casting predicate
-    (script_geo.py:84 intent; oracle = convex same-sign cross test)."""
+    """J2: point-in-polygon broadcast join, even-odd ray-cast over all
+    rings — holes and MultiPolygon parts honored (script_geo.py:84; the
+    oracle mirrors the exact float expression, geo_fixture.crossings_sql)."""
     pts = GF.spark_points(spark).filter(
         F.col("lon").isNotNull() & F.col("lat").isNotNull()
     )
@@ -968,8 +968,7 @@ e AS (SELECT * FROM {GF.edges_values_sql()}),
 v AS (SELECT * FROM {GF.vertices_values_sql()}),
 cr AS (
   SELECT p.img_id, e.id_predio, e.nombre,
-         min((e.x2 - e.x1) * (p.lat - e.y1) - (e.y2 - e.y1) * (p.lon - e.x1)) AS mn,
-         max((e.x2 - e.x1) * (p.lat - e.y1) - (e.y2 - e.y1) * (p.lon - e.x1)) AS mx
+         {GF.crossings_sql()} AS crossings
   FROM pts p CROSS JOIN e
   WHERE p.lon IS NOT NULL AND p.lat IS NOT NULL
   GROUP BY p.img_id, e.id_predio, e.nombre),
@@ -977,7 +976,7 @@ inside AS (
   SELECT img_id, id_predio, nombre FROM (
     SELECT img_id, id_predio, nombre,
            row_number() OVER (PARTITION BY img_id ORDER BY id_predio, nombre) AS rn
-    FROM cr WHERE mn > 0 OR mx < 0) WHERE rn = 1),
+    FROM cr WHERE crossings % 2 = 1) WHERE rn = 1),
 near AS (
   SELECT img_id, id_predio, nombre FROM (
     SELECT d.img_id, d.id_predio, d.nombre,
@@ -2085,8 +2084,7 @@ e AS (SELECT * FROM {GF.edges_values_sql()}),
 v AS (SELECT * FROM {GF.vertices_values_sql()}),
 cr AS (
   SELECT p.img_id, e.id_predio, e.nombre,
-         min((e.x2 - e.x1) * (p.lat - e.y1) - (e.y2 - e.y1) * (p.lon - e.x1)) AS mn,
-         max((e.x2 - e.x1) * (p.lat - e.y1) - (e.y2 - e.y1) * (p.lon - e.x1)) AS mx
+         {GF.crossings_sql()} AS crossings
   FROM pts p CROSS JOIN e
   GROUP BY p.img_id, e.id_predio, e.nombre),
 vd AS (
@@ -2096,8 +2094,8 @@ vd AS (
   GROUP BY p.img_id, v.id_predio, v.nombre),
 scored AS (
   SELECT cr.img_id, cr.id_predio, cr.nombre,
-         CASE WHEN cr.mn > 0 OR cr.mx < 0 THEN 0 ELSE 1 END AS r,
-         CASE WHEN cr.mn > 0 OR cr.mx < 0 THEN 0.0 ELSE vd.d2 END AS d
+         CASE WHEN cr.crossings % 2 = 1 THEN 0 ELSE 1 END AS r,
+         CASE WHEN cr.crossings % 2 = 1 THEN 0.0 ELSE vd.d2 END AS d
   FROM cr JOIN vd ON cr.img_id = vd.img_id
        AND cr.id_predio = vd.id_predio AND cr.nombre = vd.nombre),
 win AS (
@@ -2113,12 +2111,13 @@ FROM win WHERE rn = 1
 @register("geo_classify_bulk", _GEO_BULK_SQL)
 def geo_classify_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The single-pass classifier over 20k generated points — the spatial
-    join at bench volume (20k × 3 polygons scored in one broadcast pass),
+    join at bench volume (20k × 5 parcels scored in one broadcast pass),
     still value-checked against the oracle.
 
-    Note the convex-polygon oracle (same-sign cross test) and the engine's
-    general ray-cast agree because the fixture rings are convex and the
-    generated points never land exactly on an edge.
+    The oracle is the same even-odd ray-cast as the engine (identical
+    float expression, see geo_fixture.crossings_sql), so holes, the
+    MultiPolygon, and concave rings all agree; the generated rational-grid
+    points never land exactly on an edge.
     """
     pts = spark.range(_BULK_N).select(
         F.col("id").alias("img_id"),
@@ -2153,8 +2152,10 @@ def s6_features_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = tempfile.mkdtemp(prefix="features_json_")
     for p in GF.POLYS:
-        rec = {k: v for k, v in p.items() if k != "ring"}
-        rec["ring"] = [{"x": x, "y": y} for x, y in p["ring"]]
+        rec = {k: v for k, v in p.items() if k != "rings"}
+        rec["rings"] = [
+            [{"x": x, "y": y} for x, y in ring] for ring in p["rings"]
+        ]
         with open(os.path.join(d, f"{p['id_predio']}.json"), "w") as f:
             f.write(json.dumps(rec))
     feats = read_features_json(spark, d)
@@ -2166,7 +2167,7 @@ def s6_features_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rodal",
         "tipouso",
         "apl",
-        F.size("ring").alias("n_vertices"),
+        F.size(F.flatten("rings")).alias("n_vertices"),
     )
 
 

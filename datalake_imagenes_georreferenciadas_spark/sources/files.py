@@ -23,6 +23,9 @@ RING_SCHEMA = T.ArrayType(
     T.StructType([T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())])
 )
 
+#: every ring of a (Multi)Polygon — shells and holes (script_geo.py:50-57)
+RINGS_SCHEMA = T.ArrayType(RING_SCHEMA)
+
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("id_predio", T.StringType()),
@@ -32,7 +35,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("rodal", T.StringType()),
         T.StructField("tipouso", T.StringType()),
         T.StructField("apl", T.StringType()),
-        T.StructField("ring", RING_SCHEMA),
+        T.StructField("rings", RINGS_SCHEMA),
     ]
 )
 

@@ -127,3 +127,41 @@ class TestDedupProperties:
         ys = [p[1] for p in ext]
         assert min(xs) == 0.0 and max(xs) == 7.0
         assert min(ys) == -9.0 and max(ys) == 0.0
+
+
+def _py_point_in_rings(px, py, rings):
+    crossings = 0
+    for ring in rings:
+        n = len(ring)
+        for i in range(n):
+            ax, ay = ring[i]
+            bx, by = ring[(i + 1) % n]
+            if (ay > py) != (by > py):
+                if px < (bx - ax) * (py - ay) / (by - ay) + ax:
+                    crossings += 1
+    return crossings % 2 == 1
+
+
+class TestEvenOddHoleProperty:
+    """Even-odd over [shell, hole] ≡ in-shell AND NOT in-hole — the
+    algebraic identity the multi-ring kernel relies on (valid geometry:
+    hole strictly inside shell)."""
+
+    @given(pt=POINTS, inner_r=st.floats(0.1, 0.4))
+    @settings(max_examples=100, deadline=None)
+    def test_annulus_identity(self, pt, inner_r):
+        import math as m
+
+        shell = [
+            (2.0 * m.cos(a), 2.0 * m.sin(a))
+            for a in [i * 2 * m.pi / 8 for i in range(8)]
+        ]
+        hole = [
+            (inner_r * m.cos(a), inner_r * m.sin(a))
+            for a in [i * 2 * m.pi / 6 for i in range(6)]
+        ]
+        px, py = pt
+        expected = _py_point_in_ring(px, py, shell) and not _py_point_in_ring(
+            px, py, hole
+        )
+        assert _py_point_in_rings(px, py, [shell, hole]) == expected

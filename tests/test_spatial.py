@@ -12,6 +12,7 @@ from datalake_imagenes_georreferenciadas_spark.functions.geo import (
     dist2,
     extent_centroid,
     point_in_ring,
+    point_in_rings,
 )
 from datalake_imagenes_georreferenciadas_spark.operators.spatial import (
     classify_points,
@@ -20,17 +21,23 @@ from datalake_imagenes_georreferenciadas_spark.operators.spatial import (
     nearest_vertex_join,
 )
 
-RING_SCHEMA = (
-    "id_predio string, nombre string, ring array<struct<x:double,y:double>>"
+RINGS_SCHEMA = (
+    "id_predio string, nombre string, rings array<array<struct<x:double,y:double>>>"
 )
+
+
+def _sq(x0, y0, side):
+    return [
+        Row(x=x0, y=y0), Row(x=x0 + side, y=y0),
+        Row(x=x0 + side, y=y0 + side), Row(x=x0, y=y0 + side),
+    ]
 
 
 def _polys(spark):
     # unit square at origin and a far square at (10,10)
-    sq = [Row(x=0.0, y=0.0), Row(x=1.0, y=0.0), Row(x=1.0, y=1.0), Row(x=0.0, y=1.0)]
-    far = [Row(x=10.0, y=10.0), Row(x=11.0, y=10.0), Row(x=11.0, y=11.0), Row(x=10.0, y=11.0)]
     return spark.createDataFrame(
-        [("P1", "origin", sq), ("P2", "far", far)], RING_SCHEMA
+        [("P1", "origin", [_sq(0.0, 0.0, 1.0)]), ("P2", "far", [_sq(10.0, 10.0, 1.0)])],
+        RINGS_SCHEMA,
     )
 
 
@@ -85,9 +92,9 @@ def test_nearest_vertex_join_picks_closest(spark):
 
 def test_nearest_tie_breaks_deterministically(spark):
     # point equidistant from P1's (1,1) and a twin polygon's (1,1)
-    sq = [Row(x=0.0, y=0.0), Row(x=1.0, y=0.0), Row(x=1.0, y=1.0), Row(x=0.0, y=1.0)]
+    sq = _sq(0.0, 0.0, 1.0)
     polys = spark.createDataFrame(
-        [("PB", "twin-b", sq), ("PA", "twin-a", sq)], RING_SCHEMA
+        [("PB", "twin-b", [sq]), ("PA", "twin-a", [sq])], RINGS_SCHEMA
     )
     pts = _points(spark, [(1, 2.0, 2.0)])
     got = nearest_vertex_join(pts, polys).collect()[0]
@@ -151,3 +158,96 @@ def test_grid_vs_broadcast_property(spark, n_pts):
         for r in contains_join_grid(pts, polys, eps=0.7).select("img_id", "id_predio").collect()
     }
     assert a == b
+
+
+# ---- multi-ring geometry: holes + MultiPolygon (VERDICT r1 item 2) ----
+
+
+def _holed_polys(spark):
+    """P4: 4×4 shell with 2×2 hole; P5: MultiPolygon of two squares, the
+    second with a centered hole."""
+    return spark.createDataFrame(
+        [
+            ("P4", "annulus", [_sq(0.0, 0.0, 4.0), _sq(1.0, 1.0, 2.0)]),
+            (
+                "P5",
+                "multi",
+                [_sq(10.0, 0.0, 2.0), _sq(20.0, 0.0, 4.0), _sq(21.0, 1.0, 2.0)],
+            ),
+        ],
+        RINGS_SCHEMA,
+    )
+
+
+def test_point_in_rings_honors_holes(spark):
+    df = spark.createDataFrame(
+        [(0.5, 0.5), (2.0, 2.0), (3.5, 3.5), (5.0, 0.5)], "x double, y double"
+    ).withColumn(
+        "rings",
+        F.expr(
+            "array(array(struct(0.0d as x, 0.0d as y), struct(4.0d as x, 0.0d as y), "
+            "struct(4.0d as x, 4.0d as y), struct(0.0d as x, 4.0d as y)), "
+            "array(struct(1.0d as x, 1.0d as y), struct(3.0d as x, 1.0d as y), "
+            "struct(3.0d as x, 3.0d as y), struct(1.0d as x, 3.0d as y)))"
+        ),
+    )
+    got = [
+        r["inside"]
+        for r in df.select(
+            point_in_rings(F.col("x"), F.col("y"), F.col("rings")).alias("inside")
+        ).collect()
+    ]
+    # annulus: in shell / in HOLE / in annulus / outside
+    assert got == [True, False, True, False]
+
+
+def test_contains_join_hole_and_multipolygon(spark):
+    pts = _points(
+        spark,
+        [
+            (1, 0.5, 0.5),    # P4 annulus → contained
+            (2, 2.0, 2.0),    # P4 hole → NOT contained
+            (3, 11.0, 1.0),   # P5 part 1 → contained
+            (4, 20.5, 0.5),   # P5 part 2 rim → contained
+            (5, 22.0, 2.0),   # P5 part 2 hole → NOT contained
+        ],
+    )
+    out = contains_join(pts, _holed_polys(spark), how="inner").select(
+        "img_id", "id_predio"
+    ).collect()
+    assert {(r["img_id"], r["id_predio"]) for r in out} == {
+        (1, "P4"), (3, "P5"), (4, "P5")
+    }
+
+
+def test_grid_join_matches_broadcast_on_holed_geometry(spark):
+    import random
+
+    rng = random.Random(7)
+    pts = _points(
+        spark, [(i, rng.uniform(-1, 25), rng.uniform(-1, 5)) for i in range(60)]
+    )
+    polys = _holed_polys(spark)
+    a = {
+        (r["img_id"], r["id_predio"])
+        for r in contains_join(pts, polys, how="inner").select("img_id", "id_predio").collect()
+    }
+    b = {
+        (r["img_id"], r["id_predio"])
+        for r in contains_join_grid(pts, polys, eps=1.5).select("img_id", "id_predio").collect()
+    }
+    assert a == b
+
+
+def test_classify_hole_point_falls_back_to_nearest(spark):
+    pts = _points(spark, [(1, 2.0, 2.0)])  # P4's hole center
+    out = classify_points(pts, _holed_polys(spark)).collect()[0]
+    assert out["method"] == "nearest" and out["id_predio"] == "P4"
+
+
+def test_nearest_vertex_includes_hole_vertices(spark):
+    # nearest vertex to (2.1, 2.1) is the hole corner (3,3)? no — (2.1,2.1)
+    # is nearest to hole corner (1,1)? d2=2.42; (3,3) d2=1.62 → (3,3).
+    pts = _points(spark, [(1, 2.1, 2.1)])
+    got = nearest_vertex_join(pts, _holed_polys(spark)).collect()[0]
+    assert (got["vx"], got["vy"]) == (3.0, 3.0) and got["id_predio"] == "P4"
