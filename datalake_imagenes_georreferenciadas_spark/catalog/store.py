@@ -10,9 +10,17 @@ Design notes vs the reference:
 
 - AUTO_INCREMENT + read-modify-write id allocation (``last_id``,
   mysql_process.py:13-25) is a single-writer bottleneck and a race; ids
-  here are allocated per-batch as ``base + monotonically_increasing_id
-  offsets`` via a window-free ``row_number`` over a deterministic order —
-  contention-free and cluster-safe.
+  here are allocated per-batch, deterministically and WITHOUT a global
+  single-partition window: a per-``indice`` partitioned ``row_number``
+  plus driver-computed cumulative group offsets — the zipWithIndex
+  pattern (see ``_with_ids``).
+- Writer concurrency: the store assumes ONE writer at a time (the
+  reference's cron posture — one script run per schedule). Two concurrent
+  writers could mint colliding run/catalog ids (max+1 read-then-append)
+  or race the version-pointer flip. Multi-writer coordination belongs to
+  a table format with a transaction log (Delta/Iceberg — the documented
+  production path); this plain-parquet emulation keeps the single-writer
+  contract explicit instead of half-locking around it.
 - ``update_processed_img`` (mysql_process.py:83-91) row-at-a-time UPDATE →
   a MERGE-shaped plan: anti-join the untouched rows, union the updated
   ones, overwrite. (Delta's MERGE INTO is the production path; plain
@@ -161,17 +169,56 @@ class CatalogStore:
         run.write.mode("append").parquet(self._path("runs"))
         return run_id
 
+    def _with_ids(self, rows: DataFrame, base: int) -> DataFrame:
+        """Dense deterministic ids = ``base`` + global row_number over
+        ``(indice, ruta_resultado)`` — allocated WITHOUT funnelling the
+        batch through one task (no unpartitioned window), via the
+        zipWithIndex pattern:
+
+        1. ``row_number`` partitioned BY ``indice`` (hash-distributed),
+        2. per-``indice`` group counts — a tiny map-side-combined
+           aggregate, one row per distinct ``indice``, collected to the
+           driver,
+        3. cumulative offsets in ``indice`` order (NULLS FIRST, matching
+           Spark's ASC sort) broadcast-joined back.
+
+        Group-major layout + within-group order by ``ruta_resultado``
+        equals the global ``(indice, ruta_resultado)`` ordering, so ids
+        match a single global ``row_number`` exactly while every exchange
+        stays hash-partitioned. Skew note: one degenerate hot ``indice``
+        can be subdivided by extending the group key with a
+        ``ruta_resultado`` prefix — order-preserving because the
+        within-group sort key extends the group key.
+        """
+        w_local = Window.partitionBy("indice").orderBy("ruta_resultado")
+        counts = sorted(
+            rows.groupBy("indice").agg(F.count(F.lit(1)).alias("cnt")).collect(),
+            key=lambda r: (r["indice"] is not None, r["indice"] or ""),
+        )
+        offsets, acc = [], 0
+        for r in counts:
+            offsets.append((r["indice"], acc))
+            acc += r["cnt"]
+        off = self.spark.createDataFrame(offsets, "__gk string, __off long")
+        return (
+            rows.withColumn("__rn", F.row_number().over(w_local))
+            .join(F.broadcast(off), F.col("indice").eqNullSafe(F.col("__gk")))
+            .withColumn("id", (F.lit(base) + F.col("__off") + F.col("__rn")).cast("long"))
+            .drop("__gk", "__off", "__rn")
+        )
+
     def insert_catalog(self, rows: DataFrame, run_id: int) -> DataFrame:
         """S13: append catalog rows + one lineage row each (J6).
 
         ``rows`` carries the CATALOG columns minus ``id``; ids are
         allocated as ``last_id + row_number over a deterministic order``
-        (no read-modify-write per row, unlike mysql_process.py:46-61).
-        Returns the inserted rows with their ids.
+        with no read-modify-write per row (unlike mysql_process.py:46-61)
+        and no single-partition exchange (``_with_ids``). ``rows`` is
+        evaluated twice (group counts + the write) — persist upstream if
+        it is expensive to recompute. Returns the inserted rows with ids.
         """
         base = self.last_id()
-        w = Window.orderBy("indice", "ruta_resultado")
-        with_id = rows.withColumn("id", (F.lit(base) + F.row_number().over(w)).cast("long"))
+        with_id = self._with_ids(rows, base)
         ordered = with_id.select([f.name for f in CATALOG_SCHEMA.fields])
         ordered.write.mode("append").parquet(self._catalog_dir())
         lineage = ordered.select(

@@ -100,6 +100,38 @@ def test_update_is_versioned_snapshot(spark):
     assert store.catalog(version=0).count() == 4  # old snapshot untouched
 
 
+def test_insert_id_plan_has_no_single_partition_exchange(spark):
+    """VERDICT r1 #3: id allocation must not funnel the batch through one
+    task. The _with_ids plan may only shuffle hash-partitioned on the
+    group key; the offsets side arrives via BroadcastExchange."""
+    store = CatalogStore(spark, tempfile.mkdtemp())
+    plan = store._with_ids(_rows(spark), 0)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(indice" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_insert_ids_match_global_row_number_order(spark):
+    """Partition-offset allocation must equal the single global
+    row_number over (indice, ruta_resultado) — the oracle's definition."""
+    rows = [
+        ("B_ix", f"lake/b/{i}.jpg") for i in range(5)
+    ] + [("A_ix", f"lake/a/{i}.jpg") for i in range(3)] + [
+        ("C_ix", "lake/c/0.jpg")
+    ]
+    df = spark.createDataFrame(rows, "indice string, ruta_resultado string")
+    store = CatalogStore(spark, tempfile.mkdtemp())
+    got = {
+        (r["indice"], r["ruta_resultado"]): r["id"]
+        for r in store._with_ids(df, 100).collect()
+    }
+    expected_order = sorted(rows)
+    for rank, key in enumerate(expected_order, 1):
+        assert got[key] == 100 + rank
+
+
 def test_filtered_paths_flagship_query(spark):
     store = CatalogStore(spark, tempfile.mkdtemp())
     run = store.start_run(PROCESO_INGEST)
