@@ -51,14 +51,19 @@ def _plane_matrix(num_planes: int, dim: int) -> tuple[tuple[float, ...], ...]:
     )
 
 
-def hyperplane_signature(vec: Column, num_planes: int = 8, dim: int = 64) -> Column:
+def hyperplane_signature(
+    vec: Column, num_planes: int = 8, dim: int = 64, plane_offset: int = 0
+) -> Column:
     """Sign pattern of the vector against ``num_planes`` hyperplanes,
     packed into a BIGINT bucket id. ``dim`` must equal the vector length
-    (the plane matrix is a plan-time literal)."""
-    planes = _plane_matrix(num_planes, dim)
+    (the plane matrix is a plan-time literal). ``plane_offset`` selects a
+    disjoint slice of the global plane family, so band ``b`` of a banded
+    scheme gets independent hash functions via
+    ``plane_offset=b*planes_per_band``."""
+    planes = _plane_matrix(plane_offset + num_planes, dim)
     bucket = F.lit(0).cast("bigint")
     for p in range(num_planes):
-        plane = F.array(*[F.lit(c) for c in planes[p]])
+        plane = F.array(*[F.lit(c) for c in planes[plane_offset + p]])
         proj = F.aggregate(
             F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
@@ -70,13 +75,15 @@ def hyperplane_signature(vec: Column, num_planes: int = 8, dim: int = 64) -> Col
     return bucket
 
 
-def hyperplane_signature_sql(vec_expr: str, num_planes: int = 8, dim: int = 64) -> str:
+def hyperplane_signature_sql(
+    vec_expr: str, num_planes: int = 8, dim: int = 64, plane_offset: int = 0
+) -> str:
     """DuckDB twin of :func:`hyperplane_signature` (same literal planes,
     same left-to-right accumulation order)."""
-    planes = _plane_matrix(num_planes, dim)
+    planes = _plane_matrix(plane_offset + num_planes, dim)
     terms = []
     for p in range(num_planes):
-        lits = "[" + ", ".join(repr(c) for c in planes[p]) + "]"
+        lits = "[" + ", ".join(repr(c) for c in planes[plane_offset + p]) + "]"
         proj = (
             f"list_aggregate(list_transform(generate_series(1, {dim}), "
             f"i -> ({vec_expr})[i]::DOUBLE * ({lits})[i]), 'sum')"
@@ -182,35 +189,62 @@ def ivf_topk(
 def cosine_near_pairs(
     data: DataFrame,
     threshold: float = 0.25,
-    num_planes: int = 4,
+    num_bands: int = 4,
+    planes_per_band: int = 5,
     dim: int = 64,
     data_id: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (dedup family #5).
+    """Embedding-cosine near-duplicate pairs (dedup family #5), banded
+    OR-of-ANDs LSH — the MinHash-banding recall construction on
+    hyperplane signatures.
 
-    Candidates = vectors sharing an LSH hyperplane bucket (equi self-join,
-    never all-pairs); survivors verified with exact cosine ≥ threshold.
-    Recall is tunable via ``num_planes`` (fewer planes → bigger buckets →
-    higher recall, more verification work) and multi-probe at scale.
+    Each vector gets ``num_bands`` independent bucket ids (disjoint
+    ``planes_per_band``-plane slices of the global plane family); a pair
+    is a candidate iff it collides in ANY band. Versus one flat
+    signature, bands keep bucket cardinality bounded — 2^planes_per_band
+    buckets PER BAND, so at 100 TB the per-bucket self-join stays
+    ~N/2^planes_per_band per band instead of an effectively-all-pairs
+    join inside a handful of giant buckets — while the OR across bands
+    recovers recall (P[candidate] = 1-(1-p^r)^b). Candidates dedup on
+    (a,b) before the exact-cosine verify so multi-band collisions score
+    once.
     """
-    b = data.select(
+    keyed = data.select(
         F.col(data_id),
         F.col(vec_col),
-        hyperplane_signature(F.col(vec_col), num_planes, dim).alias("__bucket"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        hyperplane_signature(
+                            F.col(vec_col),
+                            planes_per_band,
+                            dim,
+                            plane_offset=band * planes_per_band,
+                        ).alias("bucket"),
+                    )
+                    for band in range(num_bands)
+                ]
+            ).alias("__bands")
+        ).alias("__bk"),
+    ).select(data_id, vec_col, F.col("__bk.band").alias("__band"), F.col("__bk.bucket").alias("__bucket"))
+    left = keyed.select(
+        F.col(data_id).alias("a_id"), F.col(vec_col).alias("__va"), "__band", "__bucket"
     )
-    left = b.select(
-        F.col(data_id).alias("a_id"), F.col(vec_col).alias("__va"), "__bucket"
+    right = keyed.select(
+        F.col(data_id).alias("b_id"), F.col(vec_col).alias("__vb"), "__band", "__bucket"
     )
-    right = b.select(
-        F.col(data_id).alias("b_id"), F.col(vec_col).alias("__vb"), "__bucket"
+    cand = (
+        left.join(right, ["__band", "__bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
     )
-    cand = left.join(right, "__bucket").filter(F.col("a_id") < F.col("b_id"))
     return (
         cand.withColumn("cos", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("a_id", "b_id", "cos")
-        .dropDuplicates(["a_id", "b_id"])
     )
 
 

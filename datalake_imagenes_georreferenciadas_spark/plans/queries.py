@@ -1436,25 +1436,41 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COS_BANDS, _COS_PLANES = 4, 5
+_COS_BAND_COLS = ",\n         ".join(
+    SIM.hyperplane_signature_sql(
+        "embedding", _COS_PLANES, plane_offset=b * _COS_PLANES
+    )
+    + f" AS bucket{b}"
+    for b in range(_COS_BANDS)
+)
+_COS_OR = " OR ".join(f"a.bucket{b} = b2.bucket{b}" for b in range(_COS_BANDS))
+# A pair appears at most once from the join (the OR is ONE predicate over
+# the vec_id-ordered pair), so no DISTINCT is needed — mirroring the
+# engine's dropDuplicates-before-verify.
 _COSINE_PAIRS_SQL = f"""
 WITH b AS (
   SELECT vec_id, embedding,
-         {SIM.hyperplane_signature_sql('embedding', 4)} AS bucket
+         {_COS_BAND_COLS}
   FROM embeddings),
 cand AS (
   SELECT a.vec_id AS a_id, b2.vec_id AS b_id,
          round({V.cosine_sql('a.embedding', 'b2.embedding')}, 6) AS cos
-  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+  FROM b a JOIN b b2 ON a.vec_id < b2.vec_id AND ({_COS_OR}))
 SELECT a_id, b_id, cos FROM cand WHERE cos >= 0.25
 """
 
 
 @register("dedup_cosine_pairs", _COSINE_PAIRS_SQL)
 def dedup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs: LSH bucket equi-join candidates,
-    exact cosine verify (dedup family #5)."""
+    """Embedding-cosine near-dup pairs: banded OR-of-ANDs hyperplane LSH
+    candidates (bounded per-band buckets), exact cosine verify (dedup
+    family #5, VERDICT r1 #4)."""
     return SIM.cosine_near_pairs(
-        table(spark, sf_dir, "embeddings"), threshold=0.25, num_planes=4
+        table(spark, sf_dir, "embeddings"),
+        threshold=0.25,
+        num_bands=_COS_BANDS,
+        planes_per_band=_COS_PLANES,
     )
 
 

@@ -85,6 +85,50 @@ def test_cosine_near_pairs_detects_duplicates(spark):
     w = [rng.uniform(-1, 1) for _ in range(8)]
     rows = [(1, v), (2, v), (3, w)]  # 1 and 2 identical
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    pairs = cosine_near_pairs(df, threshold=0.99, num_planes=2, dim=8).collect()
+    pairs = cosine_near_pairs(
+        df, threshold=0.99, num_bands=2, planes_per_band=2, dim=8
+    ).collect()
     assert len(pairs) == 1
     assert (pairs[0]["a_id"], pairs[0]["b_id"], pairs[0]["cos"]) == (1, 2, 1.0)
+
+
+def test_cosine_near_pairs_multi_band_collisions_dedup(spark):
+    """An identical pair collides in EVERY band (same signature per band)
+    — the output must still carry it exactly once."""
+    v = [float(i) for i in range(8)]
+    df = spark.createDataFrame(
+        [(1, v), (2, v)], "vec_id long, embedding array<double>"
+    )
+    pairs = cosine_near_pairs(
+        df, threshold=0.5, num_bands=4, planes_per_band=3, dim=8
+    ).collect()
+    assert len(pairs) == 1 and pairs[0]["cos"] == 1.0
+
+
+def test_banded_lsh_bucket_occupancy_bounded(spark):
+    """VERDICT r1 #4: the banding must keep per-(band,bucket) cardinality
+    well under N — the self-join inside a bucket is the quadratic term at
+    scale. 200 random 16-dim vectors over 2^5-bucket bands should spread
+    so no bucket holds more than ~1/4 of the corpus."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from datalake_imagenes_georreferenciadas_spark.operators.similarity import hyperplane_signature
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for band in range(4):
+        occ = (
+            df.select(
+                hyperplane_signature(
+                    F.col("embedding"), 5, 16, plane_offset=band * 5
+                ).alias("b")
+            )
+            .groupBy("b")
+            .count()
+            .agg(F.max("count").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        assert occ <= 50, f"band {band} hot bucket: {occ}/200"
