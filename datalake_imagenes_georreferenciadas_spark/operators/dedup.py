@@ -232,17 +232,34 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     jaccard_threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join (dedup family #4).
 
     Fully aggregative plan — no arrays cross the shuffle: explode DISTINCT
     shingles, self equi-join on the shingle (only docs sharing a shingle
     ever pair — a word-level inverted index), count intersections per
-    pair, then ``|A∩B| / (|A|+|B|-|A∩B|)``. At 100 TB the only risk is a
-    hot shingle (stop-phrase); production adds a document-frequency cap on
-    the exploded side (drop shingles appearing in >M docs) — same plan.
+    pair, then ``|A∩B| / (|A|+|B|-|A∩B|)``.
+
+    ``max_doc_freq`` is the hot-shingle guard for scale: shingles present
+    in more than that many documents (stop-phrases) are anti-joined out of
+    the inverted index BEFORE the self-join — one such key otherwise pairs
+    every co-containing doc quadratically (df=1M docs → 5·10^11 candidate
+    rows from a single shuffle key). Sizes are computed over the SAME
+    capped index, so the Jaccard stays internally consistent on the
+    reduced shingle universe (stop-shingles carry no signal for near-dup
+    anyway). The hot-key list is a tiny aggregate — AQE broadcasts the
+    anti-join side at runtime. ``None`` = exact, uncapped.
     """
     ex = _exploded_shingles(df, id_col, text_col, k).distinct()
+    if max_doc_freq is not None:
+        hot = (
+            ex.groupBy("__sh")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_doc_freq)
+            .select("__sh")
+        )
+        ex = ex.join(hot, "__sh", "left_anti")
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("__n"))
     inter = (
         ex.alias("a")

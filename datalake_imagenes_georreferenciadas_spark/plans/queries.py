@@ -1411,9 +1411,12 @@ def a5_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # EXT — dedup families #4/#5: exact n-gram Jaccard, embedding cosine
 # ======================================================================
 
+_NGRAM_MAX_DF = 100
 _NGRAM_JACCARD_SQL = f"""
 WITH base AS (SELECT doc_id, {H.shingles_sql('text', 3)} AS shingles FROM documents),
-ex AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(shingles) AS sh FROM base)),
+ex0 AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(shingles) AS sh FROM base)),
+hot AS (SELECT sh FROM ex0 GROUP BY sh HAVING count(*) > {_NGRAM_MAX_DF}),
+ex AS (SELECT * FROM ex0 WHERE sh NOT IN (SELECT sh FROM hot)),
 sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
@@ -1430,9 +1433,13 @@ WHERE round(i::DOUBLE / (sa.n + sb.n - i), 6) >= 0.1
 @register("dedup_ngram_jaccard", _NGRAM_JACCARD_SQL)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard join (inverted-index equi-join, count-based —
-    no arrays cross the shuffle)."""
+    no arrays cross the shuffle), with the hot-shingle document-frequency
+    cap active (VERDICT r1 #5) and mirrored in the oracle."""
     return D.ngram_jaccard_pairs(
-        table(spark, sf_dir, "documents"), k=3, jaccard_threshold=0.1
+        table(spark, sf_dir, "documents"),
+        k=3,
+        jaccard_threshold=0.1,
+        max_doc_freq=_NGRAM_MAX_DF,
     )
 
 

@@ -95,3 +95,38 @@ def test_simhash_identical_equal_distinct_differ(spark):
 def test_simhash_empty_text_is_zero(spark):
     df = _docs(spark, [(1, "")])
     assert simhash_table(df).collect()[0]["fp"] == 0
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """VERDICT r1 #5: a stop-phrase shingle shared by every doc must not
+    pair the whole corpus. With the cap at 3 the universal shingle drops
+    out of the index; only the genuinely-similar pair (same unique tail)
+    survives."""
+    from datalake_imagenes_georreferenciadas_spark.operators.dedup import ngram_jaccard_pairs
+
+    stop = "lorem ipsum dolor"  # one 3-shingle shared by ALL docs
+    rows = [(i, f"{stop} unique{i} tail{i} end{i}") for i in range(8)]
+    rows += [(100, f"{stop} same same same"), (101, f"{stop} same same same")]
+    df = _docs(spark, rows)
+
+    uncapped = ngram_jaccard_pairs(df, k=3, jaccard_threshold=0.01).collect()
+    capped = ngram_jaccard_pairs(
+        df, k=3, jaccard_threshold=0.01, max_doc_freq=3
+    ).collect()
+    # uncapped: every pair shares the stop shingle → C(10,2)=45 candidates
+    assert len(uncapped) == 45
+    # capped: only the true near-dup pair survives, at full similarity
+    assert len(capped) == 1
+    got = capped[0]
+    assert (got["a_id"], got["b_id"], got["jaccard"]) == (100, 101, 1.0)
+
+
+def test_ngram_jaccard_cap_keeps_moderate_shingles(spark):
+    """Shingles at or below the cap stay: df == cap is NOT dropped."""
+    from datalake_imagenes_georreferenciadas_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [(1, "a b c x y z"), (2, "a b c p q r")]  # share shingle 'a b c', df=2
+    out = ngram_jaccard_pairs(
+        _docs(spark, rows), k=3, jaccard_threshold=0.0, max_doc_freq=2
+    ).collect()
+    assert len(out) == 1 and out[0]["jaccard"] == round(1 / 7, 6)
