@@ -261,36 +261,70 @@ def resize_images(binary_df: DataFrame, width: int = 64, height: int = 64) -> Da
     return binary_df.select("path", "content").mapInPandas(batches, RESIZE_SCHEMA)
 
 
-EXTRACT_SCHEMA = "archive string, member string, size long, content binary"
+EXTRACT_SCHEMA = (
+    "archive string, member string, size long, content binary, skipped_reason string"
+)
+
+
+def _extract_zip(p: str, b: bytes):
+    import zipfile
+
+    zf = zipfile.ZipFile(io.BytesIO(b))
+    for info in zf.infolist():
+        if info.is_dir():
+            continue
+        yield (p, info.filename, info.file_size, zf.read(info), None)
+
+
+def _extract_tar(p: str, b: bytes):
+    import tarfile
+
+    # mode 'r:*' sniffs plain/gz/bz2/xz compression from the stream
+    tf = tarfile.open(fileobj=io.BytesIO(b), mode="r:*")
+    for info in tf.getmembers():
+        if not info.isfile():
+            continue
+        f = tf.extractfile(info)
+        yield (p, info.name, info.size, f.read() if f else b"", None)
 
 
 def extract_archives(binary_df: DataFrame) -> DataFrame:
     """S2: archive extract as a one-to-many mapInPandas kernel — the
-    reference's ``extract_files`` unzip-then-delete loop
+    reference's patoolib ``extract_files`` extract-then-delete loop
     (download_list_images.py:27-30) without ever touching local disk:
-    zip bytes in, one row per member out. REAL implementation (stdlib
-    zipfile); non-zip inputs yield zero rows rather than failing the task.
+    archive bytes in, one row per member out.
+
+    REAL stdlib implementations: zip (zipfile) and tar/tar.gz/tbz2/txz
+    (tarfile with compression sniffing), dispatched by magic bytes then
+    by attempt. An archive no handler can open yields ONE row with
+    ``skipped_reason`` set and null member/content — a landing bucket
+    with ``.rar`` surfaces in the output instead of silently dropping
+    data (the reference's patoolib covered rar/7z; those need external
+    tools, so they land in the skipped channel here).
     """
-    import io
-    import zipfile
+
+    def _extract_one(p: str, b: bytes):
+        b = bytes(b)
+        attempts = []
+        if b[:4] in (b"PK\x03\x04", b"PK\x05\x06", b"PK\x07\x08"):
+            attempts = [_extract_zip, _extract_tar]
+        else:
+            attempts = [_extract_tar, _extract_zip]
+        for fn in attempts:
+            try:
+                return list(fn(p, b))
+            except Exception:
+                continue
+        return [(p, None, None, None, "unsupported or corrupt archive")]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            archives, members, sizes, contents = [], [], [], []
+            rows = []
             for p, b in zip(pdf["path"], pdf["content"]):
-                try:
-                    zf = zipfile.ZipFile(io.BytesIO(bytes(b)))
-                except zipfile.BadZipFile:
-                    continue
-                for info in zf.infolist():
-                    if info.is_dir():
-                        continue
-                    archives.append(p)
-                    members.append(info.filename)
-                    sizes.append(info.file_size)
-                    contents.append(zf.read(info))
+                rows.extend(_extract_one(p, b))
             yield pd.DataFrame(
-                {"archive": archives, "member": members, "size": sizes, "content": contents}
+                rows,
+                columns=["archive", "member", "size", "content", "skipped_reason"],
             )
 
     return binary_df.select("path", "content").mapInPandas(batches, EXTRACT_SCHEMA)
