@@ -61,6 +61,11 @@ RUNS_SCHEMA = T.StructType(
         T.StructField("id_ejecucion", T.LongType(), False),
         T.StructField("id_proceso", T.IntegerType(), True),
         T.StructField("fecha", T.TimestampType(), True),
+        # streaming provenance: the foreachBatch batchId that produced this
+        # run, null for ad-hoc runs. Keyed lookups make run creation
+        # idempotent under micro-batch replay (crash between insert and
+        # checkpoint commit re-delivers the same batchId).
+        T.StructField("batch_id", T.LongType(), True),
     ]
 )
 
@@ -159,14 +164,31 @@ class CatalogStore:
         return int(row["m"]) if row["m"] is not None else 0
 
     # ---- writes ----------------------------------------------------------
-    def start_run(self, id_proceso: int) -> int:
-        """S14: append a run row, return its id (mysql_process.py:28-43)."""
+    def start_run(self, id_proceso: int, batch_id: int | None = None) -> int:
+        """S14: append a run row, return its id (mysql_process.py:28-43).
+
+        With ``batch_id`` set (streaming foreachBatch), run creation is
+        IDEMPOTENT: a replay of the same micro-batch finds the existing
+        run row and reuses its id instead of appending a duplicate —
+        the runs table stays exactly-once under crash-replay."""
+        if batch_id is not None:
+            row = (
+                self.runs()
+                .filter(F.col("batch_id") == batch_id)
+                .agg(F.min("id_ejecucion").alias("m"))
+                .collect()[0]
+            )
+            if row["m"] is not None:
+                return int(row["m"])
         row = self.runs().agg(F.max("id_ejecucion").alias("m")).collect()[0]
         run_id = (int(row["m"]) if row["m"] is not None else 0) + 1
         run = self.spark.createDataFrame(
-            [(run_id, id_proceso)], "id_ejecucion long, id_proceso int"
+            [(run_id, id_proceso, batch_id)],
+            "id_ejecucion long, id_proceso int, batch_id long",
         ).withColumn("fecha", F.current_timestamp())
-        run.write.mode("append").parquet(self._path("runs"))
+        run.select("id_ejecucion", "id_proceso", "fecha", "batch_id").write.mode(
+            "append"
+        ).parquet(self._path("runs"))
         return run_id
 
     def _with_ids(self, rows: DataFrame, base: int) -> DataFrame:

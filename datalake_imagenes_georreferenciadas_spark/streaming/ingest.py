@@ -9,10 +9,12 @@ mysql_process.py:59-60). The Spark shape:
 - ``readStream.format("parquet"|"binaryFile")`` with a checkpoint dir →
   the source itself tracks which files are done (replaces download +
   ``del_files`` lifecycle, S4).
-- ``foreachBatch(fn)`` → ``batchId`` *is* the run id (``ID_EJECUCION``);
-  per-batch appends keyed by batchId are idempotent on replay →
-  exactly-once catalog/lineage bookkeeping.
-- late/duplicate files → anti-join vs the catalog inside the batch fn.
+- ``foreachBatch(fn)`` → ``batchId`` keys the run row (``ID_EJECUCION``
+  provenance): replaying a micro-batch reuses the existing run id
+  (``start_run(batch_id=...)``) and the catalog anti-join drops the
+  already-inserted rows → exactly-once catalog/run/lineage bookkeeping.
+- late/duplicate files → within-batch ``dropDuplicates`` on the content
+  path, then anti-join vs the catalog inside the batch fn.
 """
 
 from __future__ import annotations
@@ -47,11 +49,15 @@ def start_file_ingest(
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        run_id = store.start_run(id_proceso)
-        rows = to_catalog_rows(batch_df)
-        # dedupe vs catalog (late/duplicate file guard): anti-join on the
-        # content path — the stream source already tracks files, this
-        # guards re-delivered content after checkpoint loss
+        # batchId IS the replay key: a crash between insert and checkpoint
+        # commit re-delivers this batch, start_run finds the existing run
+        # row for the batchId and reuses its id — runs stay exactly-once.
+        run_id = store.start_run(id_proceso, batch_id=batch_id)
+        # within-batch dedup first (two source files can map to the same
+        # ruta_resultado), then the cross-batch guard: anti-join vs the
+        # catalog, which on replay also drops everything the first
+        # delivery already inserted.
+        rows = to_catalog_rows(batch_df).dropDuplicates(["ruta_resultado"])
         fresh = rows.join(
             store.catalog().select("ruta_resultado"), "ruta_resultado", "left_anti"
         )

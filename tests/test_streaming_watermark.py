@@ -121,3 +121,51 @@ def test_ingest_checkpoint_restart_no_reprocessing(spark, tmp_path):
     assert store.catalog().count() == 1  # no duplicate rows
     assert store.lineage().count() == 1
     assert store.runs().count() == runs_after_first  # empty batch → no run row
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    """ADVICE r1: a crash-replay of the same micro-batch (same batchId,
+    same data) must not append a second run row nor duplicate catalog
+    rows; rows sharing ruta_resultado within one batch insert once."""
+    store = CatalogStore(spark, str(tmp_path / "rcat"))
+
+    batch = spark.createDataFrame(
+        [
+            ("C1", "lake/C1/1.jpg"),
+            ("C1", "lake/C1/1.jpg"),  # within-batch duplicate path
+            ("C2", "lake/C2/2.jpg"),
+        ],
+        "codigo string, ruta_resultado string",
+    ).select(
+        F.concat_ws("_", "codigo", F.lit("S"), F.lit("X"), F.lit("A")).alias("indice"),
+        "codigo",
+        F.lit("P").alias("nombre_predio"),
+        F.lit("S").alias("seccion"),
+        F.lit("E").alias("especie"),
+        F.lit("A").alias("apl"),
+        F.lit(0).cast("int").alias("id_tipo_img"),
+        F.lit(0).cast("int").alias("id_proceso"),
+        "ruta_resultado",
+        F.current_timestamp().alias("fecha"),
+    )
+
+    def deliver(batch_df, batch_id):
+        run_id = store.start_run(0, batch_id=batch_id)
+        rows = batch_df.dropDuplicates(["ruta_resultado"])
+        fresh = rows.join(
+            store.catalog().select("ruta_resultado"), "ruta_resultado", "left_anti"
+        )
+        store.insert_catalog(fresh, run_id)
+        return run_id
+
+    r1 = deliver(batch, batch_id=7)
+    assert store.catalog().count() == 2  # within-batch dup collapsed
+    assert store.runs().count() == 1
+    # crash-replay: same batchId, same content
+    r2 = deliver(batch, batch_id=7)
+    assert r2 == r1  # run id reused, not re-minted
+    assert store.runs().count() == 1
+    assert store.catalog().count() == 2
+    assert store.lineage().count() == 2
+    # a genuinely new batch still gets a fresh run
+    assert store.start_run(0, batch_id=8) == r1 + 1
