@@ -61,7 +61,6 @@ def main() -> int:
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )
-        n_exchange = len(re.findall(r"\bExchange\b", plan.split("== Physical Plan ==")[-1].split("(")[0])) or plan.count("+- Exchange") + plan.count("   Exchange")
         # count Exchange operator nodes in the operator list section
         op_ids = re.findall(r"\(\d+\) (\w+)", plan)
         n_exchange = sum(1 for o in op_ids if o == "Exchange")
