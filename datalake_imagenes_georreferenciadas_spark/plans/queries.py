@@ -2388,6 +2388,189 @@ def f15_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ======================================================================
+# S2 — archive extraction end-to-end (zip + tar.gz + skipped channel)
+# ======================================================================
+
+_ARCHIVE_SQL = """
+SELECT 'zip' AS kind, doc_id, strlen(text)::BIGINT AS size
+FROM documents WHERE doc_id % 10 = 0
+UNION ALL
+SELECT 'tar' AS kind, doc_id, strlen(text)::BIGINT AS size
+FROM documents WHERE doc_id % 10 = 1
+UNION ALL
+SELECT 'skipped' AS kind, NULL::BIGINT AS doc_id, NULL::BIGINT AS size
+"""
+
+
+@register("s2_archive_extract", _ARCHIVE_SQL)
+def s2_archive_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 end-to-end (download_list_images.py:27-30 parity): a landing
+    bucket holding a zip (docs with doc_id%10=0), a tar.gz (%10=1), and a
+    garbage blob → binaryFile scan → extract_archives mapInPandas →
+    one row per member + ONE skipped_reason row for the garbage. The
+    archive fixture is built driver-side (it IS the landing bucket, not
+    the engine path); member sizes equal the docs' utf-8 byte lengths,
+    which the oracle reproduces via strlen."""
+    import io
+    import tarfile
+    import zipfile
+
+    from ..sources.binary import extract_archives, read_binary_dir
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    sub = {
+        r["doc_id"]: r["text"]
+        for r in docs.filter(F.col("doc_id") % 10 < 2).collect()
+    }
+    d = tempfile.mkdtemp(prefix="s2_archives_")
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w") as zf:
+        for i in sorted(k for k in sub if k % 10 == 0):
+            zf.writestr(f"doc_{i}.txt", sub[i].encode("utf-8"))
+    with open(os.path.join(d, "batch.zip"), "wb") as f:
+        f.write(zbuf.getvalue())
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w:gz") as tf:
+        for i in sorted(k for k in sub if k % 10 == 1):
+            data = sub[i].encode("utf-8")
+            info = tarfile.TarInfo(f"doc_{i}.txt")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    with open(os.path.join(d, "batch.tar.gz"), "wb") as f:
+        f.write(tbuf.getvalue())
+    with open(os.path.join(d, "corrupt.rar"), "wb") as f:
+        f.write(b"Rar!\x1a\x07\x00 not really")
+
+    out = extract_archives(read_binary_dir(spark, d))
+    return out.select(
+        F.when(F.col("skipped_reason").isNotNull(), "skipped")
+        .when(F.col("archive").endswith(".zip"), "zip")
+        .otherwise("tar")
+        .alias("kind"),
+        F.regexp_extract("member", r"doc_(\d+)\.txt", 1).cast("long").alias("doc_id"),
+        F.col("size"),
+    )
+
+
+# ======================================================================
+# F16 — the training-corpus quality pre-filter pipeline
+# ======================================================================
+
+
+@register(
+    "text_quality_filter",
+    f"""
+    SELECT doc_id, {TX.quality_score_sql('text')} AS score,
+           {TX.lang_guess_sql('text')} AS lang_guess
+    FROM documents
+    WHERE {TX.quality_score_sql('text')} >= 0.5
+      AND {TX.lang_guess_sql('text')} <> 'unknown'
+    """,
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical LLM-corpus pre-filter: quality score + language ID,
+    keep docs above threshold with a confident language — pure column
+    expressions, no shuffle, trivially parallel at 100 TB."""
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        TX.quality_score(F.col("text")).alias("score"),
+        TX.lang_guess(F.col("text")).alias("lang_guess"),
+    )
+    return scored.filter((F.col("score") >= 0.5) & (F.col("lang_guess") != "unknown"))
+
+
+# ======================================================================
+# F16 — winnowing fingerprints (rolling-hash document sketch)
+# ======================================================================
+
+_WINNOW_K, _WINNOW_W = 3, 4
+
+_WINNOW_SQL = f"""
+WITH hs AS (
+  SELECT doc_id,
+         [{H.hash64_sql('sh', 0)} FOR sh IN {H.shingles_sql('text', _WINNOW_K)}] AS hs
+  FROM documents)
+SELECT doc_id, fp FROM (
+  SELECT doc_id,
+         unnest(list_distinct([list_min(list_slice(hs, i, i + {_WINNOW_W - 1}))
+                               FOR i IN generate_series(1, len(hs) - {_WINNOW_W} + 1)])) AS fp
+  FROM hs WHERE len(hs) >= {_WINNOW_W})
+"""
+
+
+@register("text_winnowing_fp", _WINNOW_SQL)
+def text_winnowing_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. MOSS): min shingle-hash
+    per sliding window of {w}, deduped — the rolling-hash document sketch
+    guaranteeing a shared fingerprint for any match ≥ w+k-1 tokens.
+
+    Plan shape: the shingle-hash array is materialized through a
+    repartition exchange so the window mins read an ATTRIBUTE (free)
+    rather than re-evaluating the tokenize→shingle→hash subtree per
+    window position (the O(T²) higher-order-function trap); the window
+    sweep itself is O(T·w) array arithmetic, JVM-side, shuffle-free.
+    """
+    docs = table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    hs = docs.select(
+        "doc_id",
+        F.transform(
+            H.shingles(F.col("text"), _WINNOW_K),
+            lambda sh: H.hash64(sh, seed=0),
+        ).alias("__hs"),
+    ).repartition(n_part, "doc_id")
+    w = _WINNOW_W
+    return hs.filter(F.size("__hs") >= w).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__hs") - w + 1),
+                    lambda i: F.array_min(F.slice(F.col("__hs"), i, w)),
+                )
+            )
+        ).alias("fp"),
+    )
+
+
+# ======================================================================
+# §2.9 EXT — custom stateful streaming operator (applyInPandasWithState)
+# ======================================================================
+
+
+@register("streaming_stateful_totals")  # rows-only: custom state, no SQL twin
+def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-state streaming: per-event-type running totals held in
+    GroupState (streaming.stateful.running_totals). One availableNow
+    micro-batch over the events file → one updated row per key. The
+    driver records a rows-only check (custom state has no ANSI-SQL twin);
+    the multi-batch accumulation contract is pytest-verified
+    (test_streaming.py)."""
+    import uuid
+
+    from ..streaming.stateful import running_totals
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stream_dir = tempfile.mkdtemp(prefix="events_stateful_")
+    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    stream = spark.readStream.format("parquet").schema(raw_schema).load(stream_dir)
+    totals = running_totals(stream.select("event_type", "value"))
+    name = f"stateful_totals_{uuid.uuid4().hex[:8]}"
+    q = (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -73,3 +73,47 @@ def test_sessionize_gap_semantics(spark):
     assert out[1] == 1 and out[2] == 1
     assert out[3] == 2
     assert out[4] == 1
+
+
+def test_stateful_running_totals_accumulate_across_batches(spark, tmp_path):
+    """applyInPandasWithState: GroupState persists across micro-batches —
+    batch 2's emitted totals include batch 1's contribution."""
+    from datalake_imagenes_georreferenciadas_spark.streaming.stateful import running_totals
+
+    src = str(tmp_path / "ev_src")
+    ckpt = str(tmp_path / "ev_ckpt")
+    os.makedirs(src)
+    schema = "event_type string, value double"
+
+    def run_batch(name):
+        # memory sink cannot recover from a checkpoint; foreachBatch can —
+        # and it's the production sink shape for stateful updates anyway
+        rows = []
+
+        def sink(df, _bid):
+            rows.extend(df.collect())
+
+        stream = spark.readStream.format("parquet").schema(schema).load(os.path.join(src, "*"))
+        q = (
+            running_totals(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["event_type"]: (r["n"], r["sum_value"]) for r in rows}
+
+    spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0)], schema
+    ).write.parquet(os.path.join(src, "b1"))
+    got1 = run_batch("st_b1")
+    assert got1 == {"a": (2, 3.0), "b": (1, 10.0)}
+
+    spark.createDataFrame([("a", 4.0), ("c", 0.5)], schema).write.parquet(
+        os.path.join(src, "b2")
+    )
+    got2 = run_batch("st_b2")
+    # only keys present in batch 2 emit; 'a' carries state from batch 1
+    assert got2 == {"a": (3, 7.0), "c": (1, 0.5)}
