@@ -2571,6 +2571,96 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+# ======================================================================
+# EXT — bucketed co-located join (the 100 TB shuffle-elimination path)
+# ======================================================================
+
+
+@register(
+    "j_bucketed_join",
+    f"""
+    SELECT o.o_orderpriority, count(*) AS n,
+           {_dsum_sql('l.l_extendedprice')} AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def j_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big join WITHOUT a join-side shuffle: both fact tables written
+    ``bucketBy(8, orderkey).sortBy(orderkey)``, then SortMergeJoined on
+    the bucket column — bucket-aligned scans feed the join directly (the
+    formatted plan shows SelectedBucketsCount and no Exchange before the
+    join; only the final groupBy shuffles). At 100 TB this is THE
+    standing join layout: pay the bucketed write once, every subsequent
+    orderkey join is exchange-free. The merge hint pins SMJ so the demo
+    doesn't degrade to broadcast at toy scale.
+    """
+    import uuid
+
+    sfx = uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix="bucketed_")
+    for name, src_cols in (
+        ("orders", ["o_orderkey", "o_orderpriority"]),
+        ("lineitem", ["l_orderkey", "l_extendedprice"]),
+    ):
+        key = src_cols[0]
+        (
+            table(spark, sf_dir, name)
+            .select(*src_cols)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(base, name))
+            .saveAsTable(f"__bkt_{name}_{sfx}")
+        )
+    o = spark.table(f"__bkt_orders_{sfx}")
+    li = spark.table(f"__bkt_lineitem_{sfx}")
+    joined = o.hint("merge").join(li, li.l_orderkey == o.o_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), _dsum(F.col("l_extendedprice")).alias("revenue")
+    )
+
+
+# ======================================================================
+# EXT — forward-fill (gap-fill) window: last_value IGNORE NULLS
+# ======================================================================
+
+
+@register(
+    "w7_gap_fill",
+    """
+    SELECT event_id, user_id,
+           floor(epoch(ts))::BIGINT AS ts_epoch,
+           round(last_value(CASE WHEN event_type = 'click' THEN NULL ELSE value END
+                            IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS filled_value
+    FROM events WHERE user_id < 50
+    """,
+)
+def w7_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill over event gaps: clicks carry no value (masked null),
+    each row takes the most recent non-null value in its user timeline —
+    ``last(col, ignorenulls=True)`` over an unbounded-preceding row
+    frame. The sensor/telemetry gap-fill shape; one hash exchange on
+    user_id."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    masked = F.when(F.col("event_type") == "click", F.lit(None)).otherwise(
+        F.col("value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.round(F.last(masked, ignorenulls=True).over(w), 4).alias("filled_value"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

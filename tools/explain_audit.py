@@ -47,6 +47,9 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # cell equi-join: 2 exchanges (both sides hash on cell) is the designed
     # scale shape — the point is that it's shuffle-partitionable, not BNLJ
     "geo_contains_grid": (2, ["!CartesianProduct", "!BroadcastNestedLoopJoin"]),
+    # bucketed co-located join: bucket-aligned scans feed the SMJ with NO
+    # join-side shuffle; the single allowed exchange is the final groupBy
+    "j_bucketed_join": (1, ["SortMergeJoin", "SelectedBucketsCount: 8 out of 8", "!BroadcastHashJoin", "!CartesianProduct"]),
 }
 
 
