@@ -286,6 +286,61 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_components(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    MinHash-LSH pair graph — the step that turns pairwise near-dups into
+    keep-one-per-group dedup decisions (component = min doc id, the
+    canonical representative).
+
+    Iterative min-label propagation: every doc starts labelled with its
+    own id; each round pushes labels across the (symmetric) edge set and
+    keeps the per-node min; converged when the label sum stops falling
+    (labels only decrease, so an unchanged sum IS the fixpoint).
+    Each round is one distributed join + groupBy — rounds = graph
+    diameter, which for near-dup clusters is tiny (they're cliques or
+    near-cliques from the band join). ``localCheckpoint`` truncates the
+    growing lineage per round, the standard Spark iterative pattern; at
+    extreme scale swap the loop for large-star/small-star contraction —
+    same per-round plan shape.
+    """
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, k, num_hashes, bands, jaccard_threshold
+    )
+    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = df.select(
+        F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("component")
+    )
+    prev_sum = None
+    for _ in range(max_iterations):
+        prop = sym.join(labels, sym.src == labels.id).select(
+            F.col("dst").alias("id"), "component"
+        )
+        labels = (
+            labels.union(prop)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        s = labels.agg(F.sum("component").alias("s")).collect()[0]["s"]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    sym.unpersist()
+    return labels.select(F.col("id").alias(id_col), "component")
+
+
 def simhash_table(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -777,7 +777,11 @@ def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.explode("__bands").alias("band"))
 
 
-_NEAR_PAIRS_SQL = _minhash_cte() + """,
+def _near_pairs_cte(threshold: float = 0.1) -> str:
+    """CTE prefix ending in ``pairs`` = verified MinHash-LSH near-dup
+    pairs above ``threshold`` (shared by the pairs query and the
+    connected-components oracle)."""
+    return _minhash_cte() + f""",
 expl AS (SELECT doc_id, unnest(bands) AS band FROM bandt),
 cand AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -789,15 +793,50 @@ verified AS (
                           - len(list_filter(list_distinct(sa.shingles), s -> list_contains(sb.shingles, s))), 1)::DOUBLE, 6) AS jaccard
   FROM cand c
   JOIN base sa ON sa.doc_id = c.a_id
-  JOIN base sb ON sb.doc_id = c.b_id)
-SELECT a_id, b_id, jaccard FROM verified WHERE jaccard >= 0.1
-"""
+  JOIN base sb ON sb.doc_id = c.b_id),
+pairs AS (SELECT a_id, b_id, jaccard FROM verified WHERE jaccard >= {threshold})"""
+
+
+_NEAR_PAIRS_SQL = _near_pairs_cte() + "\nSELECT a_id, b_id, jaccard FROM pairs"
 
 
 @register("dedup_near_pairs", _NEAR_PAIRS_SQL)
 def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs + exact-Jaccard verification."""
     return D.minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"),
+        k=3,
+        num_hashes=16,
+        bands=4,
+        jaccard_threshold=0.1,
+    )
+
+
+# connected components over the near-dup graph: min reachable id per doc,
+# expressed for the oracle as a recursive closure (UNION dedups, so the
+# recursion terminates); docs not in any pair stay their own component
+_COMPONENTS_SQL = (
+    _near_pairs_cte()
+    + """,
+edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs),
+reach AS (
+  SELECT doc_id AS id, doc_id AS r FROM documents
+  UNION
+  SELECT e.dst AS id, r.r FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+"""
+).replace("WITH base AS", "WITH RECURSIVE base AS", 1)
+
+
+@register("dedup_components", _COMPONENTS_SQL)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the verified
+    MinHash-LSH pair graph by iterative min-label propagation (each round
+    a distributed join+groupBy; converges in graph-diameter rounds). The
+    oracle computes the same min-reachable-id via a recursive CTE."""
+    return D.dedup_components(
         table(spark, sf_dir, "documents"),
         k=3,
         num_hashes=16,

@@ -130,3 +130,29 @@ def test_ngram_jaccard_cap_keeps_moderate_shingles(spark):
         _docs(spark, rows), k=3, jaccard_threshold=0.0, max_doc_freq=2
     ).collect()
     assert len(out) == 1 and out[0]["jaccard"] == round(1 / 7, 6)
+
+
+def test_dedup_components_transitive_closure(spark):
+    """A~B and B~C near-dup (but A and C share less) must land in ONE
+    component labelled by the min id — the transitive step pairwise
+    output can't express."""
+    from datalake_imagenes_georreferenciadas_spark.operators.dedup import dedup_components
+
+    # chain fixture chosen so BOTH adjacent pairs band-collide under the
+    # deterministic md5 hash family (verified against a pure-python
+    # replica) with jaccard 0.6, while the 1-3 overlap (0.333) falls
+    # below the 0.45 verify threshold — so 1 and 3 connect ONLY through 2
+    rows = [
+        (1, "beta gamma psi mu zeta kappa iota eta omega tau lam chi rho xi"),
+        (2, "beta gamma psi mu zeta kappa iota eta omega tau lam pi ups omicron"),
+        (3, "nu theta phi mu zeta kappa iota eta omega tau lam pi ups omicron"),
+        (9, "totally unrelated words only here now"),
+    ]
+    out = {
+        r["doc_id"]: r["component"]
+        for r in dedup_components(
+            _docs(spark, rows), k=3, num_hashes=16, bands=8, jaccard_threshold=0.45
+        ).collect()
+    }
+    assert out[1] == out[2] == out[3] == 1  # one cluster, min-id label
+    assert out[9] == 9  # isolated doc is its own component
