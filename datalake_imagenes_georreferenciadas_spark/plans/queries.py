@@ -2700,6 +2700,126 @@ def w7_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ======================================================================
+# S15/M2 — snapshot time-travel diff (the MERGE made driver-checkable)
+# ======================================================================
+
+_SNAPSHOT_DIFF_SQL = """
+WITH rows0 AS (
+  SELECT 'C' || (doc_id % 10)::VARCHAR AS codigo,
+         concat_ws('_', 'C' || (doc_id % 10)::VARCHAR, lang, 'X', 'A') AS indice,
+         'lake/BR/C' || (doc_id % 10)::VARCHAR || '/' || doc_id::VARCHAR || '.jpg' AS ruta_resultado,
+         CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 3 END AS tipo0
+  FROM documents),
+ids AS (
+  SELECT *, row_number() OVER (ORDER BY indice, ruta_resultado) AS id FROM rows0)
+SELECT id, tipo0 AS tipo_old, 10 AS tipo_new FROM ids WHERE id % 7 = 0
+"""
+
+
+@register("catalog_snapshot_diff", _SNAPSHOT_DIFF_SQL)
+def catalog_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 end-to-end through the versioned store: insert a snapshot,
+    MERGE-update every 7th id (copy-on-write → new snapshot + pointer
+    flip), then DIFF the two time-travel reads — an anti-equi join on
+    (id, id_tipo_img) between ``catalog(version=0)`` and
+    ``catalog(version=1)`` reporting exactly the changed rows. The
+    oracle reproduces the deterministic id allocation and the %7 update
+    set in closed form."""
+    from ..catalog.store import CatalogStore
+
+    docigo = F.concat(F.lit("C"), (F.col("doc_id") % 10).cast("string"))
+    rows = table(spark, sf_dir, "documents").select(
+        F.concat_ws("_", docigo, F.col("lang"), F.lit("X"), F.lit("A")).alias("indice"),
+        docigo.alias("codigo"),
+        F.lit("P").alias("nombre_predio"),
+        F.lit("S").alias("seccion"),
+        F.lit("E").alias("especie"),
+        F.lit("A").alias("apl"),
+        F.when(F.col("doc_id") % 2 == 0, 0).otherwise(3).cast("int").alias("id_tipo_img"),
+        F.lit(0).cast("int").alias("id_proceso"),
+        F.concat(
+            F.lit("lake/BR/"), docigo, F.lit("/"), F.col("doc_id").cast("string"), F.lit(".jpg")
+        ).alias("ruta_resultado"),
+        F.current_timestamp().alias("fecha"),
+    )
+    store = CatalogStore(spark, tempfile.mkdtemp(prefix="catalog_diff_"))
+    run_id = store.start_run(0)
+    inserted = store.insert_catalog(rows, run_id)
+    update_ids = [
+        r["id"] for r in inserted.filter(F.col("id") % 7 == 0).select("id").collect()
+    ]
+    store.update_processed_img(10, update_ids)
+    v0 = store.catalog(version=0).select("id", F.col("id_tipo_img").alias("tipo_old"))
+    v1 = store.catalog(version=1).select("id", F.col("id_tipo_img").alias("tipo_new"))
+    return v0.join(v1, "id").filter(F.col("tipo_old") != F.col("tipo_new"))
+
+
+# ======================================================================
+# F16 — corpus-wide n-gram statistics (the classic big-data shuffle)
+# ======================================================================
+
+
+@register(
+    "text_top_bigrams",
+    f"""
+    SELECT bigram, n FROM (
+      SELECT bigram, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, bigram) AS rn
+      FROM (SELECT unnest({H.shingles_sql('text', 2)}) AS bigram FROM documents)
+      GROUP BY bigram)
+    WHERE rn <= 20
+    """,
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams: explode → map-side-combined count →
+    TakeOrdered top-k (deterministic tiebreak on the bigram). The
+    canonical one-shuffle-plus-limit corpus statistic; at 100 TB the
+    partial aggregation keeps the shuffle linear in DISTINCT bigrams,
+    not corpus size."""
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(H.shingles(F.col("text"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        counts.orderBy(F.col("n").desc(), "bigram").limit(20).select("bigram", "n")
+    )
+
+
+# ======================================================================
+# EXT — correlated scalar subquery (decorrelated agg-join)
+# ======================================================================
+
+
+@register(
+    "sub_correlated_scalar",
+    """
+    SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS price
+    FROM orders o
+    WHERE o.o_totalprice > 2 * (SELECT avg(o2.o_totalprice) FROM orders o2
+                                WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def sub_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subquery — Catalyst decorrelates the per-row
+    avg into one grouped aggregate + an equi-join (the rewrite you'd
+    hand-write at scale: no per-row re-scan)."""
+    import uuid
+
+    view = f"__cs_orders_{uuid.uuid4().hex[:8]}"
+    table(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS price
+        FROM {view} o
+        WHERE o.o_totalprice > 2 * (SELECT avg(o2.o_totalprice) FROM {view} o2
+                                    WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
