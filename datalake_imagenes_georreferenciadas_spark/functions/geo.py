@@ -163,6 +163,47 @@ def reproject_utm_to_wgs84_approx(x: Column, y: Column, zone: int = 18, south: b
     return F.struct(lon.alias("lon"), lat.alias("lat"))
 
 
+_MORTON_MASKS = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def _morton_spread(v: Column) -> Column:
+    """Spread a 16-bit int's bits to even positions (magic-number Morton
+    interleave; shift literals unrolled — Spark's shiftleft needs them)."""
+    for shift, mask in _MORTON_MASKS:
+        v = (v.bitwiseOR(F.shiftleft(v, shift))).bitwiseAND(F.lit(mask))
+    return v
+
+
+def morton_key(qx: Column, qy: Column) -> Column:
+    """Z-order (Morton) key from two 16-bit quantized coordinates —
+    the space-filling-curve sort key that co-locates spatially-near rows.
+
+    The 100 TB use: ``repartitionByRange(morton_key).sortWithinPartitions``
+    before the parquet write clusters each file to a small lon/lat tile,
+    so min/max column stats turn bbox predicates into file skips — the
+    same effect Delta's OPTIMIZE ZORDER buys, from two plain columns."""
+    return _morton_spread(qx.cast("bigint")).bitwiseOR(
+        F.shiftleft(_morton_spread(qy.cast("bigint")), 1)
+    )
+
+
+def _morton_spread_sql(expr: str) -> str:
+    for shift, mask in _MORTON_MASKS:
+        expr = f"((({expr}) | (({expr}) << {shift})) & {mask})"
+        # NOTE: textual duplication re-evaluates; fine for the oracle
+    return expr
+
+
+def morton_key_sql(qx_expr: str, qy_expr: str) -> str:
+    """DuckDB twin of :func:`morton_key` (same bit algebra)."""
+    return f"({_morton_spread_sql(qx_expr)} | ({_morton_spread_sql(qy_expr)} << 1))"
+
+
 def grid_cell(x: Column, y: Column, eps: float) -> Column:
     """Grid-cell id for the spatial-join prefilter (SURVEY §4.3): the cell
     containing (x,y) at resolution ``eps`` degrees."""

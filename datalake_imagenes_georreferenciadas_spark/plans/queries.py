@@ -2820,6 +2820,146 @@ def sub_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ======================================================================
+# §2.9 EXT — watermarked stream-stream interval join
+# ======================================================================
+
+
+@register(
+    "streaming_stream_join",
+    """
+    SELECT p.event_id AS p_id, v.event_id AS view_id, p.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts >= p.ts - INTERVAL '30 minutes' AND v.ts <= p.ts
+    """,
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks: purchases matched to the
+    views that preceded them within 30 minutes per user. Both sides carry
+    watermarks and the join condition bounds event time, so the state
+    store can evict expired rows — the unbounded-state hazard of naive
+    stream joins, solved the Structured Streaming way. availableNow over
+    one batch ⇒ the result equals the batch interval join the oracle
+    runs."""
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stream_dir = tempfile.mkdtemp(prefix="events_ssj_")
+    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+
+    def side(event_type: str, id_alias: str, ts_alias: str):
+        s = spark.readStream.format("parquet").schema(raw_schema).load(stream_dir)
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return (
+            s.filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.col("user_id").alias(f"{id_alias}_user"),
+                F.col("ts").alias(ts_alias),
+            )
+            .withWatermark(ts_alias, "1 hour")
+        )
+
+    purchases = side("purchase", "p_id", "p_ts")
+    views = side("view", "view_id", "v_ts")
+    joined = purchases.join(
+        views,
+        F.expr(
+            "view_id_user = p_id_user AND "
+            "v_ts >= p_ts - INTERVAL 30 MINUTES AND v_ts <= p_ts"
+        ),
+        "inner",
+    ).select("p_id", "view_id", F.col("p_id_user").alias("user_id"))
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# ======================================================================
+# EXT — z-order keys, histograms, deterministic sampling
+# ======================================================================
+
+from ..functions.geo import morton_key, morton_key_sql  # noqa: E402
+
+_ZQX = "cast(floor((lon + 2.0) / 16.0 * 65536) AS BIGINT)"
+_ZQY = "cast(floor((lat + 2.0) / 16.0 * 65536) AS BIGINT)"
+
+
+@register(
+    "geo_zorder_key",
+    f"""
+    WITH pts AS ({_BULK_PTS_SQL})
+    SELECT img_id, {morton_key_sql(_ZQX, _ZQY)} AS zkey FROM pts
+    """,
+)
+def geo_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys over the 20k bulk points — the
+    space-filling-curve layout op: ``repartitionByRange(zkey)`` +
+    sortWithinPartitions before the write co-locates spatial tiles per
+    file so min/max stats turn bbox scans into file skips (Delta
+    OPTIMIZE ZORDER semantics from plain columns). The key itself is
+    pure bit algebra, identical in both engines."""
+    pts = spark.range(_BULK_N).select(
+        F.col("id").alias("img_id"),
+        ((F.col("id") * 73 % 997) / 997.0 * 16.0 - 2.0).alias("lon"),
+        ((F.col("id") * 131 % 983) / 983.0 * 14.0 - 2.0).alias("lat"),
+    )
+    qx = F.floor((F.col("lon") + 2.0) / 16.0 * 65536).cast("bigint")
+    qy = F.floor((F.col("lat") + 2.0) / 16.0 * 65536).cast("bigint")
+    return pts.select("img_id", morton_key(qx, qy).alias("zkey"))
+
+
+@register(
+    "a4_histogram",
+    f"""
+    SELECT cast(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           count(*) AS n, {_dsum_sql('o_totalprice')} AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def a4_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: floor-bucket + grouped count/sum — one
+    map-side-combined shuffle over ~dozens of buckets regardless of
+    table size."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").alias("bucket")
+        )
+        .agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice")).alias("total"))
+    )
+
+
+@register(
+    "p8_hash_sample",
+    f"""
+    SELECT o_orderkey, round(o_totalprice, 2) AS price
+    FROM orders WHERE {H.hash64_sql('o_orderkey::VARCHAR')} % 20 = 0
+    """,
+)
+def p8_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% sample via the cross-engine hash family —
+    reproducible across runs/engines and stable under repartitioning,
+    unlike TABLESAMPLE; the standard trick for consistent dev subsets
+    and A/B splits of a 100 TB corpus."""
+    o = table(spark, sf_dir, "orders")
+    return o.filter(
+        H.hash64(F.col("o_orderkey").cast("string")) % 20 == 0
+    ).select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
