@@ -64,6 +64,11 @@ BENCH_QUERIES = [
     "skew_salted_join",
     "tpch_q3_shape",
     "tpch_q5_shape",
+    "dedup_components",
+    "text_winnowing_fp",
+    "text_top_bigrams",
+    "j_bucketed_join",
+    "geo_zorder_key",
 ]
 
 

@@ -319,8 +319,14 @@ def dedup_components(
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
-    labels = df.select(
-        F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("component")
+    # iterate ONLY over edge-incident nodes — isolated docs (the vast
+    # majority of a deduped corpus) are their own component by
+    # definition and would otherwise ride every round's join for nothing
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id").cast("long"))
+        .localCheckpoint(eager=True)
     )
     prev_sum = None
     for _ in range(max_iterations):
@@ -338,7 +344,14 @@ def dedup_components(
             break
         prev_sum = s
     sym.unpersist()
-    return labels.select(F.col("id").alias(id_col), "component")
+    all_ids = df.select(F.col(id_col).alias("id"))
+    return (
+        all_ids.join(labels, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("component", F.col("id").cast("long")).alias("component"),
+        )
+    )
 
 
 def simhash_table(

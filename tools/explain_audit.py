@@ -50,6 +50,13 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # bucketed co-located join: bucket-aligned scans feed the SMJ with NO
     # join-side shuffle; the single allowed exchange is the final groupBy
     "j_bucketed_join": (1, ["SortMergeJoin", "SelectedBucketsCount: 8 out of 8", "!BroadcastHashJoin", "!CartesianProduct"]),
+    # corpus bigram top-k: ONE agg exchange, then TakeOrdered (no sort
+    # exchange for the limit)
+    "text_top_bigrams": (1, ["HashAggregate", "TakeOrderedAndProject", "!SortMergeJoin"]),
+    # fixed-width histogram: single map-side-combined agg shuffle
+    "a4_histogram": (1, ["HashAggregate", "!SortMergeJoin"]),
+    # deterministic hash sample: pure scan+filter, no shuffle at all
+    "p8_hash_sample": (0, ["!Exchange", "!SortMergeJoin"]),
 }
 
 
