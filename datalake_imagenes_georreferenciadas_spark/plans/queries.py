@@ -2960,6 +2960,75 @@ def p8_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
 
 
+# ======================================================================
+# §2.10 EXT — per-group model fit (applyInPandas) + learned IVF codebook
+# ======================================================================
+
+
+@register(
+    "g1_trend_fit",
+    """
+    WITH e AS (
+      SELECT user_id, value,
+             (floor(epoch(ts))::BIGINT
+              - min(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id)) / 3600.0 AS xh
+      FROM events)
+    SELECT user_id, count(*) AS n, round(regr_slope(value, xh), 4) AS slope
+    FROM e GROUP BY user_id
+    """,
+)
+def g1_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trend slope fit as a grouped Arrow kernel
+    (``applyInPandas``): least squares of value over hours-since-first-
+    event, the canonical per-entity model-fit shape (one group = one
+    pandas frame = one numpy fit; groups shard across executors). The
+    oracle's ``regr_slope`` is the same closed form
+    cov(x,y)/var(x), so values hash-match at 4 decimals."""
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.floor(F.unix_timestamp("ts")).cast("long").alias("epoch"), "value"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = (pdf["epoch"] - pdf["epoch"].min()) / 3600.0
+        y = pdf["value"]
+        xc = x - x.mean()
+        denom = float((xc * xc).sum())
+        slope = round(float((xc * (y - y.mean())).sum() / denom), 4) if denom else None
+        return pd.DataFrame(
+            {"user_id": [int(pdf["user_id"].iloc[0])], "n": [len(pdf)], "slope": [slope]}
+        )
+
+    return ev.groupBy("user_id").applyInPandas(fit, "user_id long, n long, slope double")
+
+
+@register("ann_ivf_kmeans")  # rows-only: the learned codebook has no SQL twin
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a REAL learned codebook: pyspark.ml KMeans (seeded)
+    fits coarse centroids over the embeddings, then the same
+    centroid-equi-join probe plan as `ann_ivf_topk` runs against them.
+    The driver records rows-only (k-means centers are float-order
+    dependent, no cross-engine twin); the fixed-codebook twin
+    `ann_ivf_topk` is the oracle-checked path."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    feat = emb.select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=8, seed=42, maxIter=5).fit(feat)
+    centroids = spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())],
+        "centroid_id int, centroid array<double>",
+    )
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return SIM.ivf_topk(emb, queries_df, centroids, k=10, nprobe=2)
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
