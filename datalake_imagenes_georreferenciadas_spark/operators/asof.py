@@ -99,3 +99,88 @@ def range_join(
         cond = c if cond is None else (cond & c)
     cond = cond & (right_ts >= left_ts + lower) & (right_ts <= left_ts + upper)
     return left.join(right, cond, how)
+
+
+def resample_interpolate(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    tiebreak_col: str = "event_id",
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Time-series resample with LINEAR INTERPOLATION: for every
+    ``step_seconds`` grid point inside each key's [min ts, max ts], the
+    value interpolated between the latest event at-or-before and the
+    earliest event strictly after the grid point (last grid point may
+    have no successor → carries the previous value).
+
+    The hypertable-rollup / sensor-resample shape, built as the same
+    union-merge as :func:`asof_join` run in BOTH directions: events and
+    grid rows union into one timeline per key, a forward window fills
+    (prev_x, prev_v), a backward window fills (next_x, next_v) — ONE
+    shuffle on the key, no per-grid-point probe, no range explosion.
+    Events sort before their exact grid point (``is_grid`` in the order)
+    so an event exactly on the grid wins as "prev" and interpolation
+    degenerates to its value.
+
+    Timestamps are floored to epoch seconds on entry (cross-engine:
+    Spark ``unix_timestamp`` floors, the oracle uses
+    ``floor(epoch(...))``); ties within a second resolve by
+    ``tiebreak_col``.
+    """
+    k = F.col(key_col)
+    e = events.select(
+        k.alias("__k"),
+        F.unix_timestamp(F.col(ts_col)).alias("__x"),
+        F.col(val_col).cast("double").alias("__v"),
+        F.col(tiebreak_col).cast("long").alias("__tb"),
+    )
+    bounds = e.groupBy("__k").agg(F.min("__x").alias("__lo"), F.max("__x").alias("__hi"))
+    grid = bounds.select(
+        "__k",
+        F.explode(
+            F.expr(
+                f"sequence((__lo + {step_seconds - 1}) div {step_seconds},"
+                f" __hi div {step_seconds})"
+            )
+        ).alias("__g"),
+    ).select("__k", (F.col("__g") * step_seconds).alias("__x"))
+    pt = F.struct(F.col("__x").alias("x"), F.col("__v").alias("v"))
+    ev_rows = e.select("__k", "__x", F.lit(0).alias("__is_grid"), pt.alias("__pt"), "__tb")
+    null_pt = F.lit(None).cast("struct<x:bigint,v:double>")
+    grid_rows = grid.select(
+        "__k",
+        "__x",
+        F.lit(1).alias("__is_grid"),
+        null_pt.alias("__pt"),
+        F.lit(None).cast("long").alias("__tb"),
+    )
+    order = [F.col("__x"), F.col("__is_grid"), F.col("__tb")]
+    w_fwd = (
+        Window.partitionBy("__k").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_bwd = (
+        Window.partitionBy("__k").orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = (
+        ev_rows.unionByName(grid_rows)
+        .withColumn("__prev", F.last("__pt", ignorenulls=True).over(w_fwd))
+        .withColumn("__next", F.first("__pt", ignorenulls=True).over(w_bwd))
+    )
+    px, pv = F.col("__prev.x"), F.col("__prev.v")
+    nx, nv = F.col("__next.x"), F.col("__next.v")
+    interp = F.when(nx.isNull(), pv).otherwise(
+        pv + (nv - pv) * (F.col("__x") - px) / (nx - px)
+    )
+    # explicit HALF-UP rounding: interpolation lands on exact .xxxx5
+    # halves (rational grid fractions), where Spark's round() goes up but
+    # DuckDB's goes half-to-even — floor(x*1e4 + 0.5) is identical in both
+    rounded = F.floor(interp * 10000 + F.lit(0.5)) / 10000.0
+    return filled.filter(F.col("__is_grid") == 1).select(
+        F.col("__k").alias(key_col),
+        F.col("__x").alias("grid_epoch"),
+        rounded.alias(val_col),
+    )

@@ -3029,6 +3029,120 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, queries_df, centroids, k=10, nprobe=2)
 
 
+# ======================================================================
+# EXT — lake maintenance: compaction, schema-evolution reads
+# ======================================================================
+
+
+@register(
+    "s17_compaction",
+    f"""
+    SELECT lang, count(*) AS n, {_dsum_sql('n_chars')} AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def s17_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the lake-maintenance op every streaming
+    ingest needs: a fragmented write (64 shards) is compacted to 4 files
+    via ``repartition`` and re-read; the aggregate must equal the
+    oracle's direct scan, proving compaction loses nothing. At 100 TB
+    the same plan runs per partition-dir with checkpointed progress."""
+    frag_dir = os.path.join(tempfile.mkdtemp(prefix="compact_"), "frag")
+    compact_dir = os.path.join(os.path.dirname(frag_dir), "compact")
+    docs = table(spark, sf_dir, "documents")
+    docs.repartition(64).write.mode("overwrite").parquet(frag_dir)
+    frag = spark.read.parquet(frag_dir)
+    frag.repartition(4).write.mode("overwrite").parquet(compact_dir)
+    n_files = len(
+        [f for f in os.listdir(compact_dir) if f.endswith(".parquet")]
+    )
+    assert n_files <= 4, f"compaction produced {n_files} files"
+    return (
+        spark.read.parquet(compact_dir)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"), _dsum(F.col("n_chars")).alias("total_chars"))
+    )
+
+
+@register(
+    "s18_schema_evolution",
+    """
+    SELECT doc_id, lang, NULL::DOUBLE AS score FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, lang, round(n_chars / 1000.0, 4) AS score
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def s18_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: an old partition written WITHOUT the
+    ``score`` column and a new partition WITH it, merged by
+    ``mergeSchema`` — old rows surface score=NULL, exactly the
+    additive-column contract a long-lived lake table relies on."""
+    base = tempfile.mkdtemp(prefix="schema_evo_")
+    docs = table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "v1"))
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", F.round(F.col("n_chars") / 1000.0, 4).alias("score")
+    ).write.mode("overwrite").parquet(os.path.join(base, "v2"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(base, "v1"), os.path.join(base, "v2"))
+        .select("doc_id", "lang", "score")
+    )
+
+
+# ======================================================================
+# EXT — time-series resample + linear interpolation (hypertable rollup)
+# ======================================================================
+
+
+@register(
+    "ts_resample_interp",
+    """
+    WITH e AS (
+      SELECT user_id, floor(epoch(ts))::BIGINT AS x, value::DOUBLE AS v, event_id AS tb
+      FROM events WHERE user_id < 50),
+    b AS (SELECT user_id, min(x) AS lo, max(x) AS hi FROM e GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series((lo + 3599) // 3600, hi // 3600)) * 3600 AS x
+      FROM b),
+    u AS (
+      SELECT user_id, x, 0 AS is_grid, x AS px, v AS pv, tb FROM e
+      UNION ALL
+      SELECT user_id, x, 1, NULL, NULL, NULL FROM grid),
+    f AS (
+      SELECT user_id, x, is_grid,
+             last_value(px IGNORE NULLS) OVER w AS prev_x,
+             last_value(pv IGNORE NULLS) OVER w AS prev_v,
+             first_value(px IGNORE NULLS) OVER w2 AS next_x,
+             first_value(pv IGNORE NULLS) OVER w2 AS next_v
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY x, is_grid, tb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w2 AS (PARTITION BY user_id ORDER BY x, is_grid, tb
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, x AS grid_epoch,
+           floor((CASE WHEN next_x IS NULL THEN prev_v
+                  ELSE prev_v + (next_v - prev_v) * (x - prev_x) / (next_x - prev_x)
+                  END) * 10000 + 0.5) / 10000.0 AS value
+    FROM f WHERE is_grid = 1
+    """,
+)
+def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample of each user's event-value series with linear
+    interpolation between surrounding events (operators.asof.
+    resample_interpolate): the hypertable-rollup/sensor shape as ONE
+    union-merge timeline per key — forward window fills prev, backward
+    window fills next, no per-grid-point probe. Oracle mirrors the exact
+    window ordering and float expression."""
+    from ..operators.asof import resample_interpolate
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return resample_interpolate(ev, step_seconds=3600)
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
