@@ -189,6 +189,23 @@ def crossings_sql(lon: str = "p.lon", lat: str = "p.lat") -> str:
     )
 
 
+def ring_edges_values_sql() -> str:
+    """``(VALUES ...) AS re(id_predio, ring_idx, x1, y1, x2, y2)`` —
+    closed edge walk PER RING with the ring's index, for ring-level
+    shoelace areas."""
+    rows = []
+    for p in POLYS:
+        for ridx, ring in enumerate(p["rings"]):
+            n = len(ring)
+            for i in range(n):
+                (x1, y1), (x2, y2) = ring[i], ring[(i + 1) % n]
+                rows.append(
+                    f"('{p['id_predio']}', {ridx}, {x1!r}::DOUBLE, {y1!r}::DOUBLE, "
+                    f"{x2!r}::DOUBLE, {y2!r}::DOUBLE)"
+                )
+    return f"(VALUES {', '.join(rows)}) AS re(id_predio, ring_idx, x1, y1, x2, y2)"
+
+
 def polys_props_values_sql() -> str:
     """``(VALUES ...) AS pp(id_predio, nombre, codigo, seccion, rodal, tipouso, apl)``."""
     rows = ", ".join(

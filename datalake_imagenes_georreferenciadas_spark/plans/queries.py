@@ -1134,15 +1134,18 @@ def tumbling_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SLIDING_SQL = """
+SELECT (epoch(time_bucket(INTERVAL '5 minutes', ts)
+        - (k * INTERVAL '5 minutes')))::BIGINT AS window_start_epoch,
+       event_type, count(*) AS n
+FROM events CROSS JOIN (VALUES (0), (1)) AS ks(k)
+GROUP BY 1, 2
+"""
+
+
 @register(
     "sliding_window_agg",
-    """
-    SELECT (epoch(time_bucket(INTERVAL '5 minutes', ts)
-            - (k * INTERVAL '5 minutes')))::BIGINT AS window_start_epoch,
-           event_type, count(*) AS n
-    FROM events CROSS JOIN (VALUES (0), (1)) AS ks(k)
-    GROUP BY 1, 2
-    """,
+    _SLIDING_SQL,
 )
 def sliding_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (10 min window, 5 min slide) — each event lands in 2
@@ -3141,6 +3144,127 @@ def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
     return resample_interpolate(ev, step_seconds=3600)
+
+
+# ======================================================================
+# §2.9/F-geo/S6 — streaming sliding twin, shoelace areas, corrupt JSON
+# ======================================================================
+
+
+@register("streaming_sliding", _SLIDING_SQL)
+def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sliding-window aggregate executed as a Structured Streaming
+    query (file source, availableNow, complete-mode memory sink) —
+    batch/stream parity against the same oracle as
+    ``sliding_window_agg``."""
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stream_dir = tempfile.mkdtemp(prefix="events_sliding_")
+    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    stream = spark.readStream.format("parquet").schema(raw_schema).load(stream_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    agg = (
+        stream.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n",
+        )
+    )
+    name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "geo_ring_areas",
+    f"""
+    SELECT id_predio, ring_idx,
+           round(abs(sum(x1 * y2 - x2 * y1)) / 2, 6) AS area
+    FROM {GF.ring_edges_values_sql()}
+    GROUP BY id_predio, ring_idx
+    """,
+)
+def geo_ring_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shoelace area per polygon RING (shells and holes alike,
+    orientation-free via abs): one higher-order aggregate over the edge
+    walk — pure column arithmetic, no UDF, trivially parallel. Ring-level
+    rather than role-inferred so MultiPolygon parts and holes each report
+    their own area (net parcel area = shells − holes once roles are
+    assigned upstream)."""
+    polys = GF.spark_polys(spark)
+    ring = F.col("__r")
+    n = F.size(ring)
+    shoelace = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + (
+            F.element_at(ring, i)["x"] * F.element_at(ring, (i % n) + 1)["y"]
+            - F.element_at(ring, (i % n) + 1)["x"] * F.element_at(ring, i)["y"]
+        ),
+    )
+    return polys.select(
+        "id_predio", F.posexplode("rings").alias("ring_idx", "__r")
+    ).select(
+        "id_predio", "ring_idx", F.round(F.abs(shoelace) / 2, 6).alias("area")
+    )
+
+
+@register(
+    "s6_features_corrupt",
+    "SELECT 5::BIGINT AS n_valid, 1::BIGINT AS n_corrupt",
+)
+def s6_features_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode JSON scan with a corrupt-record channel: five
+    valid feature files plus one malformed blob read in one pass; bad
+    rows land in _corrupt_record instead of failing the scan (cache
+    before filtering on the corrupt column — Spark requires the
+    materialization). The production posture for a landing bucket where
+    one bad file must not kill the ingest."""
+    import json
+
+    d = tempfile.mkdtemp(prefix="features_corrupt_")
+    for p in GF.POLYS:
+        rec = {k: v for k, v in p.items() if k != "rings"}
+        rec["rings"] = [[{"x": x, "y": y} for x, y in ring] for ring in p["rings"]]
+        with open(os.path.join(d, f"{p['id_predio']}.json"), "w") as f:
+            f.write(json.dumps(rec))
+    with open(os.path.join(d, "zz_broken.json"), "w") as f:
+        f.write('{"id_predio": "BAD", "rings": [[{"x": 1')
+
+    from pyspark.sql import types as T
+
+    from ..sources.files import FEATURE_SCHEMA
+
+    # fresh StructType — StructType.add mutates in place, don't touch the
+    # shared FEATURE_SCHEMA
+    schema = T.StructType(
+        list(FEATURE_SCHEMA.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    feats = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(d)
+        .cache()
+    )
+    return feats.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_valid"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias("n_corrupt"),
+    )
 
 
 def all_queries() -> dict[str, QueryFn]:
