@@ -3267,6 +3267,164 @@ def s6_features_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ======================================================================
+# §2.10 EXT — Python UDTF (table function), array set ops, grouping_id
+# ======================================================================
+
+
+@register(
+    "f18_python_udtf",
+    """
+    SELECT doc_id, seg_idx, seg
+    FROM (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' the '), 1) - 1 AS seg_idx,
+             unnest(string_split(text, ' the ')) AS seg
+      FROM documents WHERE doc_id < 30)
+    WHERE seg <> ''
+    """,
+)
+def f18_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function): one input row → N output
+    rows from arbitrary Python, here segmenting text on a delimiter
+    token. The UDTF surface matters where the expansion logic is real
+    Python (parsers, tokenizers); this query's segmentation is
+    deliberately SQL-expressible so the oracle can value-check the
+    row-expansion contract itself."""
+    import uuid
+
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="seg_idx int, seg string")
+    class SplitSegments:
+        def eval(self, doc_id: int, text: str):
+            for i, seg in enumerate(text.split(" the ")):
+                if seg != "":
+                    yield i, seg
+
+    name = f"split_segments_{uuid.uuid4().hex[:8]}"
+    spark.udtf.register(name, SplitSegments)
+    view = f"__udtf_docs_{uuid.uuid4().hex[:8]}"
+    table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30).createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, s.seg_idx, s.seg
+        FROM {view} d, LATERAL {name}(d.doc_id, d.text) s
+        """
+    )
+
+
+@register(
+    "f15_array_setops",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct({H.shingles_sql('text', 3)}) AS a,
+             list_distinct({H.shingles_sql('lower(text)', 4)}) AS b
+      FROM documents WHERE doc_id < 100)
+    SELECT doc_id,
+           len(list_intersect(a, b))::INT AS n_inter,
+           len(list_distinct(list_concat(a, b)))::INT AS n_union,
+           (len(a) - len(list_intersect(a, b)))::INT AS n_only_a
+    FROM s
+    """,
+)
+def f15_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (F15 pack 3): intersect/union/except
+    cardinalities between two shingle sets per row — pure higher-order
+    column functions, no explode, no shuffle."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    a = F.array_distinct(H.shingles(F.col("text"), 3))
+    b = F.array_distinct(H.shingles(F.lower(F.col("text")), 4))
+    withab = docs.select("doc_id", a.alias("a"), b.alias("b"))
+    return withab.select(
+        "doc_id",
+        F.size(F.array_intersect("a", "b")).alias("n_inter"),
+        F.size(F.array_union("a", "b")).alias("n_union"),
+        F.size(F.array_except("a", "b")).alias("n_only_a"),
+    )
+
+
+@register(
+    "a4_grouping_id",
+    """
+    SELECT l_returnflag, l_linestatus,
+           (CASE WHEN grouping(l_returnflag) = 1 THEN 2 ELSE 0 END
+            + CASE WHEN grouping(l_linestatus) = 1 THEN 1 ELSE 0 END)::BIGINT AS gid,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a4_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping_id: the aggregation-level marker that lets a
+    consumer distinguish subtotal rows from real NULL groups — the
+    detail a naive rollup reader gets wrong."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().alias("gid"), F.count("*").alias("n"))
+        .select("l_returnflag", "l_linestatus", "gid", "n")
+    )
+
+
+_RECURSIVE_YM_SQL = """
+WITH RECURSIVE ym(n, mx) AS (
+  SELECT MIN(year(o_orderdate) * 12 + month(o_orderdate)),
+         MAX(year(o_orderdate) * 12 + month(o_orderdate))
+  FROM orders
+  UNION ALL
+  SELECT n + 1, mx FROM ym WHERE n < mx
+)
+SELECT n AS ym, count(o_orderkey) AS n_orders
+FROM ym LEFT JOIN orders ON year(o_orderdate) * 12 + month(o_orderdate) = n
+GROUP BY n
+"""
+
+
+@register("sql_recursive_cte", _RECURSIVE_YM_SQL)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): generate the contiguous
+    month series between the first and last order date — carrying the
+    bound through the recursion, no subquery in the recursive member —
+    then LEFT JOIN so empty months still appear (the gap-filled calendar
+    a naive GROUP BY month silently drops)."""
+    import uuid
+
+    view = f"__rc_orders_{uuid.uuid4().hex[:8]}"
+    table(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    return spark.sql(
+        _RECURSIVE_YM_SQL.replace("FROM orders", f"FROM {view}").replace(
+            "JOIN orders", f"JOIN {view}"
+        )
+    )
+
+
+@register(
+    "a6_collect_sorted",
+    """
+    SELECT o_orderpriority,
+           (list(o_orderkey ORDER BY o_orderkey))[1:5] AS first_keys,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a6_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ordered-array aggregate: sort_array(collect_list)
+    sliced — collect_list alone is partition-order nondeterministic, the
+    sort restores a stable contract. (At 100 TB collect the TOP-k per
+    group via a ranking window instead of sorting whole groups; the
+    slice here keeps the output bounded either way.)"""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.slice(F.sort_array(F.collect_list("o_orderkey")), 1, 5).alias("first_keys"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
