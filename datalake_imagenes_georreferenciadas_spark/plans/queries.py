@@ -3425,6 +3425,85 @@ def a6_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ======================================================================
+# A7 / F15 — deterministic moments, map transforms
+# ======================================================================
+
+
+@register(
+    "a7_moments",
+    """
+    WITH s AS (
+      SELECT lang, count(*) AS n,
+             sum(n_chars) AS s1, sum(n_chars * n_chars) AS s2,
+             sum(n_chars * n_chars * n_chars) AS s3
+      FROM documents GROUP BY lang)
+    SELECT lang, n,
+           round(s1 / n, 6) AS mean,
+           round(s2 / n - (s1 / n) * (s1 / n), 6) AS var_pop,
+           round((s3 / n - 3 * (s1 / n) * (s2 / n - (s1 / n) * (s1 / n))
+                  - (s1 / n) * (s1 / n) * (s1 / n))
+                 / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skew
+    FROM s
+    """,
+)
+def a7_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical moments (mean/variance/skewness) per group computed
+    from EXACT integer power sums — the order-independent formulation
+    that makes distributed float moments deterministic: the shuffle
+    carries bigint partials (map-side combined), the float arithmetic
+    happens once per group from identical inputs in both engines.
+    (Built-in var_pop/skewness stream floats partition-order-dependently
+    and won't hash-match.)"""
+    docs = table(spark, sf_dir, "documents")
+    nc = F.col("n_chars").cast("long")
+    s = docs.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(nc).alias("s1"),
+        F.sum(nc * nc).alias("s2"),
+        F.sum(nc * nc * nc).alias("s3"),
+    )
+    n, s1, s2, s3 = F.col("n"), F.col("s1"), F.col("s2"), F.col("s3")
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    skew = (s3 / n - 3 * mean * var - mean * mean * mean) / F.pow(var, 1.5)
+    return s.select(
+        "lang",
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(var, 6).alias("var_pop"),
+        F.round(skew, 6).alias("skew"),
+    )
+
+
+@register(
+    "f15_map_transform",
+    """
+    SELECT doc_id,
+           'lang=' || upper(lang) AS lang_kv,
+           1 AS n_filtered,
+           3 AS n_concat
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def f15_map_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map transform surface: transform_values, map_filter, map_concat —
+    the property-bag manipulation ops (§1.4 maps). The oracle computes
+    the equivalent scalars directly; the Spark plan routes them through
+    the real map higher-order functions."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    m = F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source"))
+    mt = F.transform_values(m, lambda k, v: F.concat(k, F.lit("="), F.upper(v)))
+    mf = F.map_filter(m, lambda k, v: k == "lang")
+    mc = F.map_concat(m, F.create_map(F.lit("extra"), F.col("lang")))
+    return docs.select(
+        "doc_id",
+        mt.getItem("lang").alias("lang_kv"),
+        F.size(mf).alias("n_filtered"),
+        F.size(mc).alias("n_concat"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
