@@ -165,3 +165,110 @@ class TestEvenOddHoleProperty:
             px, py, hole
         )
         assert _py_point_in_rings(px, py, [shell, hole]) == expected
+
+
+class TestMortonKeyProperties:
+    """morton_key must be a bijection on 16-bit pairs: even bits carry x,
+    odd bits carry y — verified by decoding the Spark-computed key in
+    pure Python."""
+
+    @given(
+        pts=st.lists(
+            st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    @settings(max_examples=20, deadline=None)
+    def test_interleave_roundtrip(self, pts, spark):
+        from pyspark.sql import functions as F
+
+        from datalake_imagenes_georreferenciadas_spark.functions.geo import morton_key
+
+        df = spark.createDataFrame(pts, "qx long, qy long")
+        got = df.select(
+            "qx", "qy", morton_key(F.col("qx"), F.col("qy")).alias("z")
+        ).collect()
+
+        def deinterleave(z):
+            x = y = 0
+            for b in range(16):
+                x |= ((z >> (2 * b)) & 1) << b
+                y |= ((z >> (2 * b + 1)) & 1) << b
+            return x, y
+
+        for r in got:
+            assert deinterleave(r["z"]) == (r["qx"], r["qy"])
+
+
+class TestWinnowingGuarantee:
+    """The winnowing guarantee: two docs sharing a contiguous token run
+    of length >= w + k - 1 share at least one fingerprint."""
+
+    @given(seed=st.integers(0, 10_000))
+    @settings(max_examples=25, deadline=None)
+    def test_shared_run_shares_fingerprint(self, seed):
+        import hashlib
+        import random
+
+        k, w = 3, 4
+        rng = random.Random(seed)
+        vocab = [f"tok{i}" for i in range(50)]
+        shared = [rng.choice(vocab) for _ in range(w + k - 1)]
+
+        def doc(prefix_n, suffix_n):
+            return (
+                [rng.choice(vocab) for _ in range(prefix_n)]
+                + shared
+                + [rng.choice(vocab) for _ in range(suffix_n)]
+            )
+
+        def fingerprints(toks):
+            shs = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+            hs = [
+                int(hashlib.md5(f"0:{s}".encode()).hexdigest()[:15], 16) for s in shs
+            ]
+            return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+        d1 = doc(rng.randint(0, 8), rng.randint(0, 8))
+        d2 = doc(rng.randint(0, 8), rng.randint(0, 8))
+        assert fingerprints(d1) & fingerprints(d2)
+
+
+class TestResampleProperties:
+    def test_interpolated_values_convex_and_exact_at_events(self, spark):
+        """Grid values lie within [min, max] of the key's event values,
+        and a grid point coinciding with an event takes its value."""
+        import datetime
+
+        from datalake_imagenes_georreferenciadas_spark.operators.asof import resample_interpolate
+
+        base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+        def t(mins):
+            return base + datetime.timedelta(minutes=mins)
+
+        rows = [
+            # user 1: event exactly on the hour grid at 60min
+            (1, 1, t(10), 10.0),
+            (2, 1, t(60), 99.0),
+            (3, 1, t(100), 20.0),
+            # user 2: plain interpolation between 0.0 and 8.0
+            (4, 2, t(50), 0.0),
+            (5, 2, t(70), 8.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, value double"
+        )
+        out = {
+            (r["user_id"], r["grid_epoch"]): r["value"]
+            for r in resample_interpolate(df, step_seconds=3600).collect()
+        }
+        epoch0 = int(base.replace(tzinfo=datetime.timezone.utc).timestamp())
+        # user 1, grid at +60min == event 2 exactly
+        assert out[(1, epoch0 + 3600)] == 99.0
+        # user 2, grid at +60min: halfway between 0.0 and 8.0
+        assert out[(2, epoch0 + 3600)] == 4.0
+        for (u, _), v in out.items():
+            vals = [r[3] for r in rows if r[1] == u]
+            assert min(vals) <= v <= max(vals)
