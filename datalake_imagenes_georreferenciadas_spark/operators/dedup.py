@@ -295,62 +295,92 @@ def dedup_components(
     bands: int = 4,
     jaccard_threshold: float = 0.5,
     max_iterations: int = 20,
+    small_graph_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the verified
     MinHash-LSH pair graph — the step that turns pairwise near-dups into
     keep-one-per-group dedup decisions (component = min doc id, the
     canonical representative).
 
-    Iterative min-label propagation: every doc starts labelled with its
-    own id; each round pushes labels across the (symmetric) edge set and
-    keeps the per-node min; converged when the label sum stops falling
-    (labels only decrease, so an unchanged sum IS the fixpoint).
-    Each round is one distributed join + groupBy — rounds = graph
-    diameter, which for near-dup clusters is tiny (they're cliques or
-    near-cliques from the band join). ``localCheckpoint`` truncates the
-    growing lineage per round, the standard Spark iterative pattern; at
-    extreme scale swap the loop for large-star/small-star contraction —
-    same per-round plan shape.
+    Hybrid execution, both paths deterministic and result-identical:
+
+    - the verified pair set after LSH pruning + Jaccard verify is
+      usually TINY relative to the corpus (near-dup rate ≪ 1). Below
+      ``small_graph_threshold`` edges, a driver-side union-find resolves
+      components exactly in one pass — no iterative jobs at all;
+    - above it, iterative min-label propagation over edge-incident
+      nodes only: each round one distributed join + groupBy, converged
+      when the monotonically-decreasing label sum stops falling; rounds
+      = cluster-graph diameter (near-cliques from the band join → tiny).
+      ``localCheckpoint`` truncates lineage per round; at extreme scale
+      swap for large-star/small-star contraction — same per-round shape.
+
+    Isolated docs never enter either path — they join back as their own
+    component at the end.
     """
     pairs = minhash_lsh_pairs(
         df, id_col, text_col, k, num_hashes, bands, jaccard_threshold
     )
-    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-    sym = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    # iterate ONLY over edge-incident nodes — isolated docs (the vast
-    # majority of a deduped corpus) are their own component by
-    # definition and would otherwise ride every round's join for nothing
-    labels = (
-        sym.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id").cast("long"))
-        .localCheckpoint(eager=True)
-    )
-    prev_sum = None
-    for _ in range(max_iterations):
-        prop = sym.join(labels, sym.src == labels.id).select(
-            F.col("dst").alias("id"), "component"
+    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")).persist()
+    n_edges = edges.count()
+
+    if n_edges <= small_graph_threshold:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in edges.collect():
+            a, b = r["src"], r["dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN id so the root IS the canonical label
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+        comp_rows = [(int(x), int(find(x))) for x in parent]
+        edges.unpersist()
+        labels = F.broadcast(
+            df.sparkSession.createDataFrame(
+                comp_rows or [(None, None)], "id long, component long"
+            ).filter(F.col("id").isNotNull())
         )
+    else:
+        sym = edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).persist()
         labels = (
-            labels.union(prop)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            sym.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("component", F.col("id").cast("long"))
             .localCheckpoint(eager=True)
         )
-        s = labels.agg(F.sum("component").alias("s")).collect()[0]["s"]
-        if s == prev_sum:
-            break
-        prev_sum = s
-    sym.unpersist()
+        prev_sum = None
+        for _ in range(max_iterations):
+            prop = sym.join(labels, sym.src == labels.id).select(
+                F.col("dst").alias("id"), "component"
+            )
+            labels = (
+                labels.union(prop)
+                .groupBy("id")
+                .agg(F.min("component").alias("component"))
+                .localCheckpoint(eager=True)
+            )
+            s = labels.agg(F.sum("component").alias("s")).collect()[0]["s"]
+            if s == prev_sum:
+                break
+            prev_sum = s
+        sym.unpersist()
+        edges.unpersist()
+
     all_ids = df.select(F.col(id_col).alias("id"))
-    return (
-        all_ids.join(labels, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce("component", F.col("id").cast("long")).alias("component"),
-        )
+    return all_ids.join(labels, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("component", F.col("id").cast("long")).alias("component"),
     )
 
 

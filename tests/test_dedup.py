@@ -156,3 +156,29 @@ def test_dedup_components_transitive_closure(spark):
     }
     assert out[1] == out[2] == out[3] == 1  # one cluster, min-id label
     assert out[9] == 9  # isolated doc is its own component
+
+
+def test_dedup_components_paths_agree(spark):
+    """The driver-side union-find (small graphs) and the distributed
+    label-propagation loop (forced via small_graph_threshold=0) must
+    produce identical components."""
+    from datalake_imagenes_georreferenciadas_spark.operators.dedup import dedup_components
+
+    rows = [
+        (1, "beta gamma psi mu zeta kappa iota eta omega tau lam chi rho xi"),
+        (2, "beta gamma psi mu zeta kappa iota eta omega tau lam pi ups omicron"),
+        (3, "nu theta phi mu zeta kappa iota eta omega tau lam pi ups omicron"),
+        (9, "totally unrelated words only here now"),
+    ]
+    kw = dict(k=3, num_hashes=16, bands=8, jaccard_threshold=0.45)
+    small = {
+        r["doc_id"]: r["component"]
+        for r in dedup_components(_docs(spark, rows), **kw).collect()
+    }
+    dist = {
+        r["doc_id"]: r["component"]
+        for r in dedup_components(
+            _docs(spark, rows), small_graph_threshold=0, **kw
+        ).collect()
+    }
+    assert small == dist == {1: 1, 2: 1, 3: 1, 9: 9}
