@@ -3504,6 +3504,73 @@ def f15_map_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ======================================================================
+# NORTH STAR — the full training-corpus preparation pipeline, end to end
+# ======================================================================
+
+# quality filter → exact dedup → near-dup components → canonical keep →
+# per-lang stats. The oracle composes the SAME CTE pieces the individual
+# queries verify, re-rooted onto the filtered/deduped subset.
+_PIPELINE_SQL = (
+    f"""
+WITH q AS (
+  SELECT doc_id, lang, text FROM documents
+  WHERE {TX.quality_score_sql('text')} >= 0.4),
+exact AS (
+  SELECT min(doc_id) AS doc_id FROM q GROUP BY sha256(text)),
+kept AS (
+  SELECT q.* FROM q JOIN exact USING (doc_id)),
+"""
+    + _near_pairs_cte(0.2).replace("WITH base AS", "base AS").replace(
+        "FROM documents", "FROM kept"
+    )
+    + """,
+edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs),
+reach AS (
+  SELECT doc_id AS id, doc_id AS r FROM kept
+  UNION
+  SELECT e.dst AS id, r.r FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+canon AS (
+  SELECT k.doc_id, k.lang FROM kept k JOIN comp c USING (doc_id)
+  WHERE c.doc_id = c.component)
+SELECT lang, count(*) AS n_kept FROM canon GROUP BY lang
+"""
+)
+# WITH RECURSIVE must prefix the whole CTE chain (DuckDB allows it even
+# when only `reach` recurses); the near-pairs CTE is re-rooted onto the
+# filtered/deduped subset via the replaces above.
+_PIPELINE_SQL = _PIPELINE_SQL.replace("WITH q AS", "WITH RECURSIVE q AS", 1)
+
+
+@register("pipeline_corpus_prep", _PIPELINE_SQL)
+def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole LLM-training-corpus preparation flow as ONE composed
+    plan: quality pre-filter (pure columns) → exact dedup (digest
+    groupBy, min-id representative) → near-dup connected components over
+    the survivors (MinHash-LSH pairs + union-find) → keep only each
+    cluster's canonical doc → per-language corpus stats. Every stage is
+    individually oracle-verified elsewhere; this entry verifies their
+    COMPOSITION — filters push into the scan, dedup shuffles on
+    digests, the component join broadcasts, and the whole thing remains
+    one lazy DataFrame until the final aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    q = docs.filter(TX.quality_score(F.col("text")) >= 0.4).select(
+        "doc_id", "lang", "text"
+    )
+    exact = D.exact_dedup(q).select("doc_id")
+    kept = q.join(exact, "doc_id")
+    comp = D.dedup_components(
+        kept, k=3, num_hashes=16, bands=4, jaccard_threshold=0.2
+    )
+    canon = kept.join(comp, "doc_id").filter(
+        F.col("doc_id") == F.col("component")
+    )
+    return canon.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
