@@ -3571,6 +3571,234 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canon.groupBy("lang").agg(F.count("*").alias("n_kept"))
 
 
+# ======================================================================
+# Training-data pipeline ops, round 2: packing, mixture, contamination,
+# repetition, bloom-prefiltered join
+# ======================================================================
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang, len({_TOKS_SQL}) AS n_tok,
+             {H.hash64_sql('doc_id::VARCHAR', 41)} AS ord_key
+      FROM documents),
+    packed AS (
+      SELECT lang, n_tok,
+             CAST(floor(coalesce(sum(n_tok) OVER (
+               PARTITION BY lang ORDER BY ord_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0)
+               AS BIGINT) AS bin_id
+      FROM base)
+    SELECT lang, bin_id, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY lang, bin_id
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate documents in a deterministic
+    shuffled order and chunk the token stream into fixed context windows
+    (2048 tokens) — each doc lands in the bin where its first token
+    falls. The pack order is a seeded md5 shuffle (reproducible across
+    engines and runs); packing is PER LANGUAGE SHARD, so the window is
+    partitioned — no global sort, no single-partition exchange, and at
+    100 TB each shard packs independently (the real-world layout: one
+    packing stream per data shard/domain)."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        TX.token_count(F.col("text")).alias("n_tok"),
+        H.hash64(F.col("doc_id"), seed=41).alias("ord_key"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("ord_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = base.select(
+        "lang",
+        "n_tok",
+        F.floor(
+            F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / F.lit(2048.0)
+        ).alias("bin_id"),
+    )
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("bin_tokens")
+    )
+
+
+@register(
+    "corpus_mixture",
+    """
+    WITH agg AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+    SELECT lang, n_docs,
+      floor((n_docs::DOUBLE / (sum(n_docs) OVER ())) * 1e6 + 0.5) / 1e6 AS share,
+      floor((0.2 / (n_docs::DOUBLE / (sum(n_docs) OVER ()))) * 1e6 + 0.5) / 1e6
+        AS repeat_factor
+    FROM agg
+    """,
+)
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: per-language corpus share and the
+    repeat (epoch) factor needed to hit a uniform 20% target mixture —
+    the bookkeeping behind up/down-sampling domains for a training run.
+    The global window runs over the POST-aggregate (one row per
+    language), so the single-partition stage touches ~#domains rows, not
+    the corpus; rounding is explicit half-up on both engines."""
+    docs = table(spark, sf_dir, "documents")
+    agg = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    tot = F.sum("n_docs").over(Window.partitionBy())
+    share_raw = F.col("n_docs") / tot
+    half_up = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return agg.select(
+        "lang",
+        "n_docs",
+        half_up(share_raw).alias("share"),
+        half_up(F.lit(0.2) / share_raw).alias("repeat_factor"),
+    )
+
+
+@register(
+    "contamination_ngrams",
+    f"""
+    WITH ev AS (
+      SELECT DISTINCT unnest({H.shingles_sql('text', 2)}) AS sh
+      FROM documents WHERE doc_id % 97 = 0),
+    tr AS (
+      SELECT DISTINCT doc_id, unnest({H.shingles_sql('text', 2)}) AS sh
+      FROM documents WHERE doc_id % 97 <> 0),
+    tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
+    hit AS (SELECT t.doc_id, count(*) AS n_overlap
+            FROM tr t JOIN ev USING (sh) GROUP BY t.doc_id)
+    SELECT d.doc_id, coalesce(tot.n_shingles, 0) AS n_shingles,
+           coalesce(hit.n_overlap, 0) AS n_overlap
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN tot USING (doc_id) LEFT JOIN hit USING (doc_id)
+    """,
+)
+def contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: per training document, how many of
+    its distinct word bigrams also appear in a held-out eval set (here a
+    deterministic 1/97 slice of the corpus). The eval shingle set is
+    tiny relative to the corpus, so it BROADCASTS — the training side is
+    scanned once, exploded, and semi-matched with no shuffle of the big
+    side by shingle; at 100 TB this is the standard inverted-index
+    decontamination pass (eval n-grams as the build side)."""
+    docs = table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 97 == 0
+    ev = (
+        docs.filter(is_eval)
+        .select(F.explode(H.shingles(F.col("text"), 2)).alias("sh"))
+        .distinct()
+    )
+    tr = (
+        docs.filter(~is_eval)
+        .select("doc_id", F.explode(H.shingles(F.col("text"), 2)).alias("sh"))
+        .distinct()
+    )
+    tot = tr.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hit = (
+        tr.join(F.broadcast(ev), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    base = docs.filter(~is_eval).select("doc_id")
+    return (
+        base.join(tot, "doc_id", "left")
+        .join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+        )
+    )
+
+
+@register(
+    "text_repetition",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id, len(toks) AS n_tok,
+           len(list_distinct(toks)) AS n_uniq,
+           floor((1.0 - len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1))
+                 * 1e6 + 0.5) / 1e6 AS rep_ratio
+    FROM base
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition score (Gopher-style quality signal):
+    fraction of tokens that are repeats of an earlier token in the same
+    doc. Pure per-row column expressions — embarrassingly parallel, no
+    shuffle; rounding is explicit half-up so Spark (HALF_UP) and DuckDB
+    (half-even on doubles) cannot disagree on knife-edge ratios."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", H.tokens(F.col("text")).alias("toks"))
+    n_tok = F.size("toks")
+    n_uniq = F.size(F.array_distinct("toks"))
+    ratio = 1.0 - n_uniq / F.greatest(n_tok, F.lit(1))
+    return base.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        n_uniq.alias("n_uniq"),
+        (F.floor(ratio * 1e6 + F.lit(0.5)) / 1e6).alias("rep_ratio"),
+    )
+
+
+_BLOOM_M = 8192  # bits in the two-hash bloom prefilter
+
+
+@register(
+    "j_bloom_prefilter",
+    """
+    SELECT o.o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 9900)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def j_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join: the small build side (high-balance
+    customers) is condensed into a two-hash bloom bit set (≤2·|build|
+    distinct ints, kilobytes) that is BROADCAST and applied to the fact
+    scan as two semi-joins BEFORE the exact key match — the hand-rolled
+    twin of Spark's row-level runtime filtering. Output is exactly the
+    semi-join (the bloom layers only prune, false positives are removed
+    by the final exact semi-join), so the oracle is a plain EXISTS. At
+    100 TB the bloom prefilter drops ~(1 - |build|/m)^2 of fact rows
+    before any shuffle or probe of the real key set."""
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9900)
+        .select("c_custkey")
+    )
+    orders = table(spark, sf_dir, "orders")
+    bits = cust.select(
+        F.explode(
+            F.array(
+                H.hash64(F.col("c_custkey"), seed=1) % _BLOOM_M,
+                H.hash64(F.col("c_custkey"), seed=2) % _BLOOM_M,
+            )
+        ).alias("bit")
+    ).distinct()
+    pref = orders
+    for s in (1, 2):
+        b = bits.withColumnRenamed("bit", f"bit{s}")
+        pref = pref.join(
+            F.broadcast(b),
+            (H.hash64(F.col("o_custkey"), seed=s) % _BLOOM_M) == F.col(f"bit{s}"),
+            "left_semi",
+        )
+    exact = pref.join(
+        F.broadcast(cust), pref.o_custkey == cust.c_custkey, "left_semi"
+    )
+    return exact.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
