@@ -3799,6 +3799,231 @@ def j_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
 
 
+@register(
+    "incremental_agg_merge",
+    """
+    SELECT year(o_orderdate)*100 + month(o_orderdate) AS month_key,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY 1
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the historical partition
+    ("state": orders before 1997) and the fresh partition ("delta") are
+    aggregated SEPARATELY into algebraic partial states (count, decimal
+    sum) and then MERGED by re-aggregating the states — never rescanning
+    history. The oracle is the full direct aggregate, proving state-merge
+    ≡ recompute. At 100 TB this is the nightly-refresh pattern: the
+    state table is O(groups), the delta scan is O(new data), and decimal
+    partials make the merge order-independent bit-for-bit."""
+    orders = table(spark, sf_dir, "orders")
+    month_key = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias(
+        "month_key"
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(month_key).agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("s"),
+        )
+
+    state = partial(orders.filter(F.col("o_orderdate") < "1997-01-01"))
+    delta = partial(orders.filter(F.col("o_orderdate") >= "1997-01-01"))
+    return (
+        state.unionByName(delta)
+        .groupBy("month_key")
+        .agg(
+            F.sum("cnt").alias("n_orders"),
+            F.sum("s").cast("double").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "training_order",
+    f"""
+    SELECT doc_id,
+           {H.hash64_sql('doc_id::VARCHAR', 99)} % 32 AS shard,
+           row_number() OVER (
+             PARTITION BY {H.hash64_sql('doc_id::VARCHAR', 99)} % 32
+             ORDER BY {H.hash64_sql('doc_id::VARCHAR', 100)}, doc_id) AS position
+    FROM documents
+    """,
+)
+def training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every doc gets a
+    reproducible (shard, position) — shard from one seeded md5, position
+    from a row_number ordered by a second independent hash WITHIN the
+    shard. No global sort: the window is partitioned 32 ways, so at
+    100 TB each shard orders independently (and maps 1:1 onto output
+    files via repartitionByRange/partitionBy on shard)."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        (H.hash64(F.col("doc_id"), seed=99) % 32).alias("shard"),
+        H.hash64(F.col("doc_id"), seed=100).alias("__ord"),
+    )
+    w = Window.partitionBy("shard").orderBy("__ord", "doc_id")
+    return base.select(
+        "doc_id", "shard", F.row_number().over(w).alias("position")
+    )
+
+
+def _trade_edges_sql() -> str:
+    """Nation-to-nation trade edges (customer nation → supplier nation,
+    weighted by lineitem count) + per-source totals, as SQL CTE bodies."""
+    return """
+    e AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2),
+    ow AS (SELECT src, sum(w) AS out_w FROM e GROUP BY src),
+    ew AS (SELECT e.src, e.dst, e.w, ow.out_w FROM e JOIN ow USING (src))
+    """
+
+
+def _pagerank_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+    {cur} AS (
+      SELECT n.id,
+             CAST(6000000000 + (85 * coalesce(f.infl, 0)) // 100 AS BIGINT) AS r
+      FROM (SELECT id FROM r0) n
+      LEFT JOIN (
+        SELECT ew.dst AS id, sum((p.r * ew.w) // ew.out_w) AS infl
+        FROM {prev} p JOIN ew ON ew.src = p.id GROUP BY ew.dst) f
+      USING (id))
+    """
+
+
+@register(
+    "graph_pagerank",
+    "WITH "
+    + _trade_edges_sql()
+    + ", r0 AS (SELECT n_nationkey AS id, CAST(40000000000 AS BIGINT) AS r FROM nation),"
+    + _pagerank_iter_sql("r0", "r1")
+    + ","
+    + _pagerank_iter_sql("r1", "r2")
+    + ","
+    + _pagerank_iter_sql("r2", "r3")
+    + """
+    SELECT n.n_name, r3.r AS rank_e12
+    FROM r3 JOIN nation n ON n.n_nationkey = r3.id
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (3 unrolled iterations, damping 0.85) over the
+    nation trade graph: customer-nation → supplier-nation edges weighted
+    by lineitem count. Ranks are held in FIXED-POINT BIGINT (units of
+    1e-12) with floor integer division — every arithmetic step is exact
+    and order-independent, so Spark's partition-parallel sums and the
+    DuckDB oracle agree bit-for-bit (no float-summation drift, the thing
+    that normally makes iterative numeric algorithms un-verifiable
+    cross-engine). The per-iteration plan is: tiny rank table (|V| rows)
+    broadcast-joined to the edge list, one groupBy(dst) — at 100 TB the
+    edge AGGREGATION dominates and shuffles once; iterations touch only
+    the aggregated |V|² graph."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = table(spark, sf_dir, "nation")
+
+    e = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    ow = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    ew = e.join(ow, "src")
+
+    nodes = nation.select(F.col("n_nationkey").alias("id"))
+    ranks = nodes.select("id", F.lit(40000000000).alias("r"))
+    for _ in range(3):
+        infl = (
+            F.broadcast(ranks.withColumnRenamed("id", "src"))
+            .join(ew, "src")
+            .select(F.col("dst").alias("id"), F.expr("(r * w) div out_w").alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("infl"))
+        )
+        ranks = nodes.join(infl, "id", "left").select(
+            "id",
+            (
+                F.lit(6000000000)
+                + F.expr("(85 * coalesce(infl, 0)) div 100")
+            ).alias("r"),
+        )
+    return ranks.join(F.broadcast(nation), ranks.id == nation.n_nationkey).select(
+        "n_name", F.col("r").alias("rank_e12")
+    )
+
+
+_CMS_W, _CMS_D = 256, 3  # count-min sketch width (columns) and depth (hash rows)
+
+
+def _cms_hash_sql(expr: str) -> str:
+    return f"(('0x' || substring(md5(s::VARCHAR || ':' || {expr}), 1, {H.HASH_HEX_CHARS}))::BIGINT % {_CMS_W})"
+
+
+@register(
+    "cms_heavy_hitters",
+    f"""
+    WITH tok AS (SELECT unnest({_TOKS_SQL}) AS tok FROM documents),
+    cells AS (SELECT tok, s, {_cms_hash_sql('tok')} AS col
+              FROM tok CROSS JOIN generate_series(0, {_CMS_D - 1}) t(s)),
+    sketch AS (SELECT s, col, count(*) AS cnt FROM cells GROUP BY s, col),
+    q AS (SELECT DISTINCT tok, s, col FROM cells),
+    est AS (SELECT q.tok, min(sk.cnt) AS cms_est
+            FROM q JOIN sketch sk ON sk.s = q.s AND sk.col = q.col
+            GROUP BY q.tok),
+    exact AS (SELECT tok, count(*) AS exact_n FROM tok GROUP BY tok)
+    SELECT e.tok, e.exact_n, est.cms_est FROM exact e JOIN est USING (tok)
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the corpus token stream ({_CMS_D} hash rows ×
+    {_CMS_W} columns), queried for every vocabulary token next to its
+    exact count (est ≥ exact always; equal when no bucket collision).
+    The sketch is an ALGEBRAIC aggregate — O(d·w) cells regardless of
+    corpus size, built with map-side partial counts and mergeable across
+    partitions/days — the scale story for streaming heavy-hitters where
+    exact per-token counts would need a corpus-wide shuffle. The seeded
+    md5 hash family makes the sketch bit-identical in both engines."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(H.tokens(F.col("text"))).alias("tok"))
+    cells = tok.select(
+        "tok",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        (H.hash64(F.col("tok"), seed=s) % _CMS_W).alias("col"),
+                    )
+                    for s in range(_CMS_D)
+                ]
+            )
+        ).alias("sc"),
+    ).select("tok", F.col("sc.s").alias("s"), F.col("sc.col").alias("col"))
+    sketch = cells.groupBy("s", "col").agg(F.count("*").alias("cnt"))
+    q = cells.distinct()
+    est = (
+        q.join(sketch, ["s", "col"])
+        .groupBy("tok")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    exact = tok.groupBy("tok").agg(F.count("*").alias("exact_n"))
+    return exact.join(est, "tok").select("tok", "exact_n", "cms_est")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
