@@ -3942,7 +3942,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("w"))
     )
     ow = e.groupBy("src").agg(F.sum("w").alias("out_w"))
-    ew = e.join(ow, "src")
+    ew = e.join(F.broadcast(ow), "src")
 
     nodes = nation.select(F.col("n_nationkey").alias("id"))
     ranks = nodes.select("id", F.lit(40000000000).alias("r"))
@@ -3954,7 +3954,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("id")
             .agg(F.sum("c").alias("infl"))
         )
-        ranks = nodes.join(infl, "id", "left").select(
+        ranks = nodes.join(F.broadcast(infl), "id", "left").select(
             "id",
             (
                 F.lit(6000000000)

@@ -57,6 +57,21 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     "a4_histogram": (1, ["HashAggregate", "!SortMergeJoin"]),
     # deterministic hash sample: pure scan+filter, no shuffle at all
     "p8_hash_sample": (0, ["!Exchange", "!SortMergeJoin"]),
+    # bloom prefilter: all three semi-joins broadcast, never shuffle the fact
+    "j_bloom_prefilter": (3, ["BroadcastHashJoin LeftSemi", "!SortMergeJoin", "!CartesianProduct"]),
+    # per-shard packing: partitioned window, ONE exchange (the final agg
+    # reuses the window's lang hash-partitioning), never a global sort
+    "pack_sequences": (1, ["Window", "!SinglePartition"]),
+    # sharded training order: one partitioned window, no global sort
+    "training_order": (1, ["Window", "row_number()", "!SinglePartition"]),
+    # contamination: eval shingle set broadcast, big side never shuffled by sh
+    "contamination_ngrams": (5, ["BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
+    # state-merge refresh: two partial aggs + merge agg reusing partitioning
+    "incremental_agg_merge": (2, ["Union", "HashAggregate", "!SortMergeJoin"]),
+    # CMS sketch: tiny sketch joins broadcast
+    "cms_heavy_hitters": (4, ["BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
+    # fixed-point pagerank: rank/out-weight joins broadcast every iteration
+    "graph_pagerank": (12, ["BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
 }
 
 
