@@ -69,6 +69,12 @@ BENCH_QUERIES = [
     "text_top_bigrams",
     "j_bucketed_join",
     "geo_zorder_key",
+    "pack_sequences",
+    "contamination_ngrams",
+    "j_bloom_prefilter",
+    "graph_pagerank",
+    "cms_heavy_hitters",
+    "pipeline_corpus_prep",
 ]
 
 

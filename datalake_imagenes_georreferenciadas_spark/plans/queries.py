@@ -4024,6 +4024,144 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est, "tok").select("tok", "exact_n", "cms_est")
 
 
+@register(
+    "dq_constraints",
+    """
+    SELECT 'orders_totalprice_positive' AS rule,
+           count(*) FILTER (WHERE o_totalprice IS NULL OR o_totalprice <= 0)
+             AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_orderkey_unique',
+           count(*) - count(DISTINCT o_orderkey) FROM orders
+    UNION ALL
+    SELECT 'orders_custkey_fk',
+           count(*) FILTER (WHERE NOT EXISTS
+             (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    FROM orders o
+    UNION ALL
+    SELECT 'lineitem_quantity_le_45',
+           count(*) FILTER (WHERE l_quantity > 45) FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_in_0_1',
+           count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) FROM lineitem
+    """,
+)
+def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint audit (Deequ-style ingest validation): one
+    violation count per declared rule — null/range checks as conditional
+    aggregates (ONE scan per table, map-side combined), uniqueness as
+    count minus count-distinct, referential integrity as an anti-join
+    count with the dimension side broadcast. At 100 TB the whole audit
+    is two fact scans + one broadcast — this is the pre-publish gate a
+    lake pipeline runs on every batch."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+
+    def one(rule: str, agg: F.Column, df: DataFrame) -> DataFrame:
+        return df.agg(agg.alias("n_violations")).select(
+            F.lit(rule).alias("rule"), "n_violations"
+        )
+
+    bad_price = F.count_if(
+        F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
+    )
+    dup_keys = F.count("*") - F.countDistinct("o_orderkey")
+    orphans = one(
+        "orders_custkey_fk",
+        F.count("*"),
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_anti"
+        ),
+    )
+    return (
+        one("orders_totalprice_positive", bad_price, orders)
+        .unionByName(one("orders_orderkey_unique", dup_keys, orders))
+        .unionByName(orphans)
+        .unionByName(one("lineitem_quantity_le_45", F.count_if(F.col("l_quantity") > 45), li))
+        .unionByName(
+            one(
+                "lineitem_discount_in_0_1",
+                F.count_if((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+                li,
+            )
+        )
+    )
+
+
+@register(
+    "stratified_sample",
+    f"""
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY {H.hash64_sql('doc_id::VARCHAR', 7)}, doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 10
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size stratified sample: exactly k=10 docs per language,
+    chosen by a seeded md5 order — deterministic and reproducible across
+    runs/engines (unlike TABLESAMPLE), the eval-holdout / inspection
+    sampling primitive. Partitioned window (one shuffle by stratum); at
+    100 TB a two-phase refinement (per-partition top-k then global top-k
+    per stratum, i.e. the topk_per_group shape) bounds state."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        H.hash64(F.col("doc_id"), seed=7), "doc_id"
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+        .select("lang", "doc_id")
+    )
+
+
+@register(
+    "streaming_dedup",
+    """
+    SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    """,
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingest under at-least-once delivery: the SAME events
+    file is fed to the stream TWICE (two symlinks — a replayed upstream),
+    and dropDuplicatesWithinWatermark(event_id) reduces it to the exact
+    event set (oracle = plain per-type counts of the un-duplicated
+    table). The watermark bounds dedup state: at 100 TB/day the state
+    store holds only ids within the lateness horizon, not the full
+    history — the scalable form of the reference's unguarded
+    double-insert (SURVEY §2.9)."""
+    import uuid
+
+    from ..streaming.windows import dedup_within_watermark
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stream_dir = tempfile.mkdtemp(prefix="events_dup_stream_")
+    os.symlink(src, os.path.join(stream_dir, "a.parquet"))
+    os.symlink(src, os.path.join(stream_dir, "b.parquet"))
+    stream = spark.readStream.format("parquet").schema(raw_schema).load(stream_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    deduped = dedup_within_watermark(stream, watermark_minutes=60).select(
+        "event_id", "event_type"
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).groupBy("event_type").agg(F.count("*").alias("n"))
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
