@@ -4162,6 +4162,111 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).groupBy("event_type").agg(F.count("*").alias("n"))
 
 
+@register(
+    "j1_full_outer",
+    """
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_custkey IS NOT NULL AS in_customers,
+           coalesce(o.n_orders, 0) AS n_orders
+    FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 0) c
+    FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders
+                     FROM orders GROUP BY o_custkey) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def j1_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join — the reconciliation shape (catalog entries vs
+    observed files: rows only-left are unreferenced, only-right are
+    untracked). Shuffle join on the key; both sides keep their unmatched
+    rows, so neither side can broadcast — the one join type where SMJ on
+    co-partitioned inputs IS the 100 TB plan."""
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select("c_custkey", "c_name")
+    )
+    oagg = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    j = cust.join(oagg, cust.c_custkey == oagg.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_custkey").isNotNull().alias("in_customers"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+
+
+@register(
+    "s19_orc_roundtrip",
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
+    """,
+)
+def s19_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan round-trip: the filtered orders partition is
+    written as ORC (columnar, predicate-pushdown-capable like parquet)
+    and read back for the aggregate; the oracle runs on the original
+    table, proving the format round-trip is lossless. Exercises the
+    second columnar format a lake engine must speak."""
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    out = os.path.join(tempfile.mkdtemp(prefix="orc_rt_"), "orders_f")
+    orders.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        _dsum(F.col("o_totalprice")).alias("total"),
+    )
+
+
+@register(
+    "a8_corr",
+    f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             {_dsum_sql('l_quantity')} AS sx,
+             {_dsum_sql('l_extendedprice')} AS sy,
+             {_dsum_sql('l_quantity * l_quantity')} AS sxx,
+             {_dsum_sql('l_extendedprice * l_extendedprice')} AS syy,
+             {_dsum_sql('l_quantity * l_extendedprice')} AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           floor(((n * sxy - sx * sy) /
+                  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+                 * 1e6 + 0.5) / 1e6 AS corr_qty_price
+    FROM s
+    """,
+)
+def a8_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group — computed from DECIMAL power sums
+    (one scan, map-side partials) instead of the built-in corr(), whose
+    streaming (Welford) update order differs between engines and isn't
+    bit-reproducible. Power sums are order-independent and exact; the
+    final scalar formula is identical IEEE math on both sides. The
+    2-pass-free single-scan shape is the 100 TB statistics pattern."""
+    li = table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        _dsum(x).alias("sx"),
+        _dsum(y).alias("sy"),
+        _dsum(x * x).alias("sxx"),
+        _dsum(y * y).alias("syy"),
+        _dsum(x * y).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = n * F.col("sxy") - sx * sy
+    den = F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
+    return s.select(
+        "l_returnflag",
+        (F.floor((num / den) * 1e6 + F.lit(0.5)) / 1e6).alias("corr_qty_price"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
