@@ -4275,6 +4275,79 @@ def a8_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "set_intersect_all",
+    """
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection (INTERSECT ALL): each priority appears
+    min(count_F, count_O) times — bag semantics the DISTINCT-based set
+    ops can't express. Spark plans this as a counted hash aggregate +
+    generate, one shuffle on the value."""
+    orders = table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    return f.intersectAll(o)
+
+
+@register(
+    "set_except_all",
+    """
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (EXCEPT ALL): count_F - count_O surviving
+    copies per value — the bag complement of `set_except`."""
+    orders = table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    return f.exceptAll(o)
+
+
+@register(
+    "a9_mode",
+    """
+    SELECT c_mktsegment, modal_priority, n FROM (
+      SELECT c.c_mktsegment, o.o_orderpriority AS modal_priority,
+             count(*) AS n,
+             row_number() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY count(*) DESC, o.o_orderpriority)
+               AS rn
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, o.o_orderpriority)
+    WHERE rn = 1
+    """,
+)
+def a9_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: the most frequent order priority per market
+    segment, ties broken by value order — built as count + row_number
+    (the built-in mode()'s tie behavior is engine-specific, so the
+    explicit argmax shape is the reproducible form). Two shuffles:
+    grouped count, then a window over the (few) per-segment rows."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    counts = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", F.col("o_orderpriority").alias("modal_priority"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("n").desc(), "modal_priority"
+    )
+    return (
+        counts.select("c_mktsegment", "modal_priority", "n", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("c_mktsegment", "modal_priority", "n")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
