@@ -4348,6 +4348,91 @@ def a9_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "funnel_conversion",
+    """
+    WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                FROM events),
+    v AS (SELECT user_id, min(ts) AS tv FROM ev
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS tc
+          FROM ev e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS tp
+          FROM ev e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_view_click,
+           (SELECT count(*) FROM p) AS n_view_click_purchase
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked AFTER their first
+    view, then purchased AFTER that first qualifying click. Each stage
+    is a grouped min-timestamp + a semi-structured join back to the
+    event stream — no window over the global timeline, so each stage is
+    one shuffle by user_id and the stage tables shrink monotonically.
+    The oracle µs-truncates timestamps so both engines compare the same
+    time domain (the events file is nanosecond-precision parquet)."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_view_click_purchase")))
+    )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP)::DATE AS d FROM events),
+    first AS (SELECT user_id, min(d) AS d0 FROM ev GROUP BY user_id)
+    SELECT strftime(f.d0, '%Y-%m-%d') AS cohort_day,
+           date_diff('day', f.d0, e.d) AS day_offset,
+           count(DISTINCT e.user_id) AS n_users
+    FROM ev e JOIN first f USING (user_id)
+    GROUP BY f.d0, day_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    distinct on each day-offset they return. Two shuffles (first-touch
+    agg by user, then the cohort×offset count-distinct); the first-touch
+    table is user-granular and joins back user-partitioned — at scale
+    this is the shape that avoids any global timeline window."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            F.date_format("d0", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "d0").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
