@@ -4433,6 +4433,68 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_topk",
+    """
+    WITH agg AS (
+      SELECT (epoch(time_bucket(INTERVAL '60 minutes', ts)))::BIGINT
+               AS window_start_epoch,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT window_start_epoch, event_type, n FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY window_start_epoch
+               ORDER BY n DESC, event_type) AS rn
+      FROM agg)
+    WHERE rn <= 2
+    """,
+)
+def streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-k over a stream: hourly tumbling counts per event
+    type maintained by a Structured Streaming query (complete-mode
+    memory sink), then the top-2 types per hour ranked from the
+    streaming state — the live-dashboard "what's trending now" shape.
+    The streaming side holds only (window × type) state; the rank runs
+    over that tiny aggregate, never the event stream."""
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stream_dir = tempfile.mkdtemp(prefix="events_topk_stream_")
+    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    stream = spark.readStream.format("parquet").schema(raw_schema).load(stream_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    agg = (
+        stream.groupBy(F.window("ts", "60 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n",
+        )
+    )
+    name = f"stream_topk_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("window_start_epoch").orderBy(
+        F.col("n").desc(), "event_type"
+    )
+    return (
+        spark.table(name)
+        .select("window_start_epoch", "event_type", "n", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 2)
+        .select("window_start_epoch", "event_type", "n")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
