@@ -4495,6 +4495,110 @@ def streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "geo_bbox_agg",
+    f"""
+    SELECT id_predio,
+           min(x) AS xmin, max(x) AS xmax, min(y) AS ymin, max(y) AS ymax
+    FROM {GF.vertices_values_sql()}
+    GROUP BY id_predio
+    """,
+)
+def geo_bbox_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-parcel bounding box: flatten every ring of every (multi)
+    polygon and min/max the coordinates — the spatial-index build step
+    (bboxes feed the grid prefilter and file-skipping zone maps). Pure
+    explode + grouped min/max, map-side combinable."""
+    polys = GF.spark_polys(spark)
+    pts = polys.select(
+        "id_predio", F.explode(F.flatten("rings")).alias("p")
+    )
+    return pts.groupBy("id_predio").agg(
+        F.min("p.x").alias("xmin"),
+        F.max("p.x").alias("xmax"),
+        F.min("p.y").alias("ymin"),
+        F.max("p.y").alias("ymax"),
+    )
+
+
+@register(
+    "emb_centroid",
+    """
+    WITH q AS (
+      SELECT label,
+             unnest(generate_series(0, len(embedding) - 1)) AS pos,
+             CAST(floor(unnest(embedding)::DOUBLE * 1e6 + 0.5) AS BIGINT)
+               AS qv
+      FROM embeddings)
+    SELECT label, pos,
+           floor((sum(qv)::DOUBLE / (count(*) * 1e6)) * 1e6 + 0.5) / 1e6
+             AS centroid
+    FROM q GROUP BY label, pos
+    """,
+)
+def emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid under int quantization: each float
+    component is quantized to a 1e-6-grid BIGINT (the int8-quantization
+    pattern, coarser grid), summed EXACTLY, and averaged — integer sums
+    make the reduction order-independent, so the distributed average is
+    bit-reproducible (the raw-float sum would depend on partition
+    order). This is the k-means update step / class-prototype
+    computation for the IVF codebook, one shuffle on (label, pos)."""
+    emb = table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("v").cast("double") * 1e6 + F.lit(0.5))
+        .cast("bigint")
+        .alias("qv"),
+    )
+    return comp.groupBy("label", "pos").agg(
+        (
+            F.floor(
+                (F.sum("qv").cast("double") / (F.count("*") * 1e6)) * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("centroid")
+    )
+
+
+@register(
+    "ts_mom_growth",
+    """
+    WITH m AS (
+      SELECT year(o_orderdate)*100 + month(o_orderdate) AS month_key,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1)
+    SELECT month_key, rev,
+           floor(((rev - lag(rev) OVER (ORDER BY month_key))
+                  / lag(rev) OVER (ORDER BY month_key)) * 1e6 + 0.5) / 1e6
+             AS mom_growth
+    FROM m
+    """,
+)
+def ts_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: decimal-sum monthly revenue,
+    then lag + relative delta. The unpartitioned window runs over the
+    POST-aggregate (~#months rows), not the fact table — the correct
+    altitude for period-over-period at any scale."""
+    orders = table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("month_key")
+    ).agg(_dsum(F.col("o_totalprice")).alias("rev"))
+    w = Window.orderBy("month_key")
+    prev = F.lag("rev").over(w)
+    return m.select(
+        "month_key",
+        "rev",
+        (F.floor(((F.col("rev") - prev) / prev) * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "mom_growth"
+        ),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
