@@ -4599,6 +4599,85 @@ def ts_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ts_rolling_distinct",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP)::DATE AS d FROM events),
+    days AS (SELECT DISTINCT d FROM ud),
+    contrib AS (
+      SELECT ud.user_id, days.d
+      FROM ud JOIN days ON days.d >= ud.d
+                       AND days.d < ud.d + INTERVAL 7 DAY)
+    SELECT strftime(d, '%Y-%m-%d') AS day, count(DISTINCT user_id) AS wau7
+    FROM contrib GROUP BY d
+    """,
+)
+def ts_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day (rolling WAU) — windowed
+    COUNT DISTINCT, which window frames cannot express in either engine.
+    Spark-first decomposition: dedup to (user, active-day), EXPLODE each
+    activity into the ≤7 future days it contributes to (sequence +
+    explode, a bounded ×7 fan-out — NOT a range self-join), then one
+    count-distinct per day. At 100 TB the fan-out is linear in activity
+    and shuffles once by day; the active-day dedup collapses the event
+    stream first."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    ud = ev.distinct()
+    days = ev.select("d").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("day"),
+    ).join(F.broadcast(days), F.col("day") == days.d, "left_semi")
+    return (
+        contrib.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau7"))
+    )
+
+
+@register(
+    "a10_mad",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS m
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           round(med.m, 6) AS median_value,
+           round(quantile_cont(abs(e.value - med.m), 0.5), 6) AS mad
+    FROM events e JOIN med USING (event_type)
+    GROUP BY e.event_type, med.m
+    """,
+)
+def a10_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion
+    statistic: exact interpolated median, broadcast back, second exact
+    median of the absolute deviations. Two passes by design (MAD is not
+    an algebraic aggregate); Spark `percentile` and DuckDB
+    `quantile_cont` interpolate identically."""
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("m")
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "m")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("m")), F.lit(0.5)).alias(
+                "mad_raw"
+            )
+        )
+        .select(
+            "event_type",
+            F.round("m", 6).alias("median_value"),
+            F.round("mad_raw", 6).alias("mad"),
+        )
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
