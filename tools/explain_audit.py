@@ -72,6 +72,15 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     "cms_heavy_hitters": (4, ["BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
     # fixed-point pagerank: rank/out-weight joins broadcast every iteration
     "graph_pagerank": (12, ["BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
+    # rolling WAU: bounded explode fan-out + broadcast day semi-join —
+    # never a range self-join of the event stream
+    "ts_rolling_distinct": (4, ["Generate", "BroadcastHashJoin LeftSemi", "!SortMergeJoin", "!CartesianProduct"]),
+    # MAD: medians broadcast back for pass 2, no fact-side re-shuffle join
+    "a10_mad": (3, ["BroadcastHashJoin", "!SortMergeJoin"]),
+    # period-over-period: the only unpartitioned window sits above the agg
+    "ts_mom_growth": (2, ["Window", "HashAggregate"]),
+    # quantized centroid: explode + one grouped agg, no join at all
+    "emb_centroid": (1, ["Generate", "HashAggregate", "!BroadcastHashJoin", "!SortMergeJoin"]),
 }
 
 
