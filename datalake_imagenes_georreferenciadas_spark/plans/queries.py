@@ -4678,6 +4678,41 @@ def a10_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ts_streaks",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP)::DATE AS d FROM events),
+    isl AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS island
+      FROM ud),
+    runs AS (
+      SELECT user_id, count(*) AS len FROM isl GROUP BY user_id, island)
+    SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak
+    FROM runs GROUP BY user_id
+    """,
+)
+def ts_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — gaps-and-islands:
+    date minus per-user row_number is constant within a consecutive run,
+    so the island id is a pure expression and the whole computation is
+    one user-partitioned window + two grouped aggs (no self-join, no
+    iteration). Engagement/retention staple."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    ud = ev.distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = ud.select(
+        "user_id",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("island"),
+    )
+    runs = isl.groupBy("user_id", "island").agg(F.count("*").alias("len"))
+    return runs.groupBy("user_id").agg(F.max("len").alias("longest_streak"))
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
