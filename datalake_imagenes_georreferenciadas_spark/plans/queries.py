@@ -4713,6 +4713,37 @@ def ts_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runs.groupBy("user_id").agg(F.max("len").alias("longest_streak"))
 
 
+@register(
+    "s20_jsonl_roundtrip",
+    """
+    SELECT c_mktsegment, count(*) AS n,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+    FROM customer WHERE c_acctbal > 0 GROUP BY c_mktsegment
+    """,
+)
+def s20_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + scan round-trip: the filtered customer slice is
+    written as newline-delimited JSON (the interchange format for
+    event feeds and labeling tools) and read back WITH AN EXPLICIT
+    SCHEMA — never schema inference, which at 100 TB means a second full
+    scan before the real one. Oracle runs on the original table: the
+    text round-trip is lossless for the projected columns."""
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="jsonl_rt_"), "customers")
+    cust.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "c_custkey bigint, c_mktsegment string, c_acctbal double"
+    ).json(out)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        _dsum(F.col("c_acctbal")).alias("total_bal"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
