@@ -4744,6 +4744,36 @@ def s20_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "s21_targeted_delete",
+    """
+    SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+    FROM events WHERE user_id % 13 <> 0
+    GROUP BY event_type
+    """,
+)
+def s21_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten delete: a deletion list (users with
+    user_id % 13 = 0 here; in production the DSAR table) is anti-joined
+    against the fact table and the survivors are REWRITTEN to storage —
+    the copy-on-write DELETE a plain-parquet lake performs, same shape
+    as the catalog's versioned-snapshot MERGE. The re-read aggregate
+    matches the oracle's filtered view, proving the rewrite dropped
+    exactly the targeted rows. At 100 TB the anti-join build side is the
+    (tiny, broadcast) deletion list, and partition pruning limits the
+    rewrite to affected files."""
+    ev = table(spark, sf_dir, "events")
+    dels = ev.select("user_id").distinct().filter(F.col("user_id") % 13 == 0)
+    survivors = ev.join(F.broadcast(dels), "user_id", "left_anti")
+    out = os.path.join(tempfile.mkdtemp(prefix="gdpr_del_"), "events_v2")
+    survivors.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
