@@ -4774,6 +4774,65 @@ def s21_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scd2_build",
+    """
+    SELECT o_custkey AS custkey, o_orderstatus AS status,
+           floor(epoch(o_orderdate))::BIGINT AS valid_from,
+           floor(epoch(lead(o_orderdate) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)))::BIGINT
+             AS valid_to
+    FROM orders WHERE o_custkey < 100
+    """,
+)
+def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build: turn a change log into
+    effective-dated rows — valid_from = the change timestamp, valid_to =
+    the NEXT change per key (null = current). One partitioned window
+    (lead), the standard warehouse dimension-history constructor; the
+    result feeds the as-of/range joins (`j_asof_join`, `j_range_join`)
+    for temporal lookups."""
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.unix_timestamp("o_orderdate").alias("valid_from"),
+        F.unix_timestamp(F.lead("o_orderdate").over(w)).alias("valid_to"),
+    )
+
+
+@register(
+    "j1_null_safe_join",
+    """
+    WITH a AS (SELECT nullif(c_nationkey % 5, 0) AS k, count(*) AS n_cust
+               FROM customer GROUP BY 1),
+    b AS (SELECT nullif(s_nationkey % 5, 0) AS k, count(*) AS n_supp
+          FROM supplier GROUP BY 1)
+    SELECT a.k, a.n_cust, b.n_supp
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def j1_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): null keys
+    MATCH each other instead of vanishing — the semantics for joining on
+    optional attributes (unknown region, missing device id) without an
+    explicit coalesce-sentinel rewrite. Still hash-partitionable: null
+    is one more key value, so the plan is a plain shuffled/broadcast
+    hash join, not a theta join."""
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    a = cust.groupBy(
+        F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("k")
+    ).agg(F.count("*").alias("n_cust"))
+    b = supp.groupBy(
+        F.nullif(F.col("s_nationkey") % 5, F.lit(0)).alias("kb")
+    ).agg(F.count("*").alias("n_supp"))
+    return a.join(F.broadcast(b), a.k.eqNullSafe(b.kb)).select(
+        "k", "n_cust", "n_supp"
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
