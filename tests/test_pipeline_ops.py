@@ -107,6 +107,31 @@ def test_training_order_dense_positions(spark):
         assert sorted(ps) == list(range(1, len(ps) + 1))
 
 
+def test_range_layout_files_are_disjoint(spark, tmp_path):
+    """repartitionByRange + sortWithinPartitions produces files whose
+    [min,max] key ranges don't overlap — the layout that lets parquet
+    row-group stats skip files for range predicates (the z-order/Morton
+    companion for 1-D keys)."""
+    orders = table(spark, SF, "orders")
+    out = str(tmp_path / "orders_ranged")
+    (
+        orders.repartitionByRange(4, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    per_file = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi"))
+        .collect()
+    )
+    ranges = sorted((r["lo"], r["hi"]) for r in per_file)
+    assert len(ranges) == 4
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev < lo_next  # disjoint → range predicates skip files
+
+
 def test_contamination_bounds(spark):
     """Overlap is a subset count: 0 <= n_overlap <= n_shingles; eval-slice
     docs are excluded from the training side."""
