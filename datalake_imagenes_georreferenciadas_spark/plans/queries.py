@@ -4833,6 +4833,105 @@ def j1_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _range_digest_sql(src: str) -> str:
+    # value is quantized to a 1e-6-grid BIGINT before hashing: double→
+    # string formatting is not cross-engine stable, integers are. XOR is
+    # the order-independent, overflow-free set digest.
+    qv = "CAST(floor(value * 1e6 + 0.5) AS BIGINT)"
+    return f"""
+      SELECT user_id // 100 AS rng,
+             bit_xor({H.hash64_sql(f"event_id::VARCHAR || '|' || {qv}::VARCHAR", 5)})
+               AS digest
+      FROM {src} GROUP BY 1"""
+
+
+@register(
+    "table_checksum_diff",
+    f"""
+    WITH v2 AS (
+      SELECT event_id, user_id,
+             CASE WHEN user_id % 97 = 0 THEN value + 1.0 ELSE value END AS value
+      FROM events),
+    d1 AS ({_range_digest_sql('events')}),
+    d2 AS ({_range_digest_sql('v2')})
+    SELECT d1.rng, count(*) OVER () AS n_dirty_ranges
+    FROM d1 JOIN d2 USING (rng)
+    WHERE d1.digest <> d2.digest
+    """,
+)
+def table_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style table reconciliation: both table versions are reduced
+    to per-range digests (sum of seeded md5 row hashes — integer sums,
+    so order- and partition-independent), and only ranges whose digests
+    differ are reported. At 100 TB this finds the changed key ranges
+    with two scans and a join of ~#ranges rows — no row-level compare
+    until you descend into a dirty range. The mutated 'v2' here bumps
+    value for user_id % 97 = 0, so exactly the ranges containing such
+    users report dirty."""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    v2 = ev.withColumn(
+        "value",
+        F.when(F.col("user_id") % 97 == 0, F.col("value") + 1.0).otherwise(
+            F.col("value")
+        ),
+    )
+
+    def digest(df: DataFrame) -> DataFrame:
+        qv = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint")
+        row_h = H.hash64(
+            F.concat(
+                F.col("event_id").cast("string"),
+                F.lit("|"),
+                qv.cast("string"),
+            ),
+            seed=5,
+        )
+        return df.groupBy(F.expr("user_id div 100").alias("rng")).agg(
+            F.bit_xor(row_h).alias("digest")
+        )
+
+    d1, d2 = digest(ev), digest(v2)
+    dirty = (
+        d1.join(d2.withColumnRenamed("digest", "digest2"), "rng")
+        .filter(F.col("digest") != F.col("digest2"))
+        .select("rng")
+    )
+    return dirty.select(
+        "rng", F.count("*").over(Window.partitionBy()).alias("n_dirty_ranges")
+    )
+
+
+@register(
+    "theta_avoid_prefix",
+    """
+    WITH deciles AS (
+      SELECT DISTINCT CAST(floor(o_totalprice / 50000) AS BIGINT) AS band
+      FROM orders)
+    SELECT d.band,
+           (SELECT count(*) FROM orders o
+            WHERE o.o_totalprice < d.band * 50000) AS n_cheaper
+    FROM deciles d
+    """,
+)
+def theta_avoid_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inequality-join avoidance: "orders cheaper than each band
+    threshold" is a theta join (O(bands × rows)) written naively — the
+    oracle runs exactly that correlated form. The Spark plan instead
+    aggregates once per band and takes a RUNNING SUM over the ~#bands
+    ordered rows: same result, one scan + one tiny window. The standard
+    rewrite that turns a 100 TB×k theta join into a prefix sum."""
+    orders = table(spark, sf_dir, "orders")
+    bands = orders.select(
+        F.floor(F.col("o_totalprice") / 50000).alias("band")
+    )
+    per_band = bands.groupBy("band").agg(F.count("*").alias("n"))
+    w = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    return per_band.select(
+        "band",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("n_cheaper"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
