@@ -4932,6 +4932,64 @@ def theta_avoid_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "g2_cogroup_merge",
+    """
+    SELECT c.c_custkey, c.c_acctbal,
+           CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders,
+           CAST(coalesce(o.total, 0.0) AS DOUBLE) AS total_spend
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, count(*) AS n,
+                      CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                        AS total
+               FROM orders GROUP BY o_custkey) o
+      ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey < 200
+    """,
+)
+def g2_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped Arrow kernel (`groupBy().cogroup().applyInPandas`): both
+    tables are hash-partitioned by key and each key's two pandas frames
+    arrive together — the escape hatch for per-entity merge logic SQL
+    can't express (custom matching, model scoring over an entity's full
+    history). The kernel here computes a per-customer order rollup so a
+    plain SQL twin can verify the plumbing: batch shapes, empty-side
+    behavior (customers with no orders), and exact decimal totals
+    (summed via integer cents in pandas to stay order-independent)."""
+    import pandas as pd
+
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 200)
+        .select("c_custkey", "c_acctbal")
+    )
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+
+    def merge(c: pd.DataFrame, o: pd.DataFrame) -> pd.DataFrame:
+        if c.empty:  # orders for a customer outside the filtered slice
+            return pd.DataFrame(
+                columns=["c_custkey", "c_acctbal", "n_orders", "total_spend"]
+            )
+        cents = (o["o_totalprice"] * 10000).round().astype("int64")
+        return pd.DataFrame(
+            {
+                "c_custkey": c["c_custkey"].iloc[:1],
+                "c_acctbal": c["c_acctbal"].iloc[:1],
+                "n_orders": [len(o)],
+                "total_spend": [cents.sum() / 10000.0],
+            }
+        )
+
+    return (
+        cust.groupBy("c_custkey")
+        .cogroup(orders.groupBy("o_custkey"))
+        .applyInPandas(
+            merge,
+            "c_custkey bigint, c_acctbal double, n_orders bigint, total_spend double",
+        )
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
