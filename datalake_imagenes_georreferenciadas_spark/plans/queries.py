@@ -4990,6 +4990,84 @@ def g2_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_upsert_compact",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           round(value, 6) AS last_value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id
+        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def cdc_upsert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert-log compaction: keep the LATEST record per key (ts then
+    event_id as the deterministic version tiebreak) — how a CDC/upsert
+    stream collapses to current-state, and the read-side 'merge-on-read'
+    a lakehouse performs. One partitioned window; at scale this is the
+    compaction job that bounds read amplification."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.round("value", 6).alias("last_value"),
+        )
+    )
+
+
+@register(
+    "seq_transitions",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM events),
+    pairs AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM s)
+    SELECT src, dst, count(*) AS n
+    FROM pairs WHERE dst IS NOT NULL
+    GROUP BY src, dst
+    """,
+)
+def seq_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition matrix (behavioral Markov chain): consecutive
+    event-type pairs within each user timeline via lead(), counted
+    corpus-wide — the page-path / next-action analysis. One partitioned
+    window + one grouped count; the µs-truncated oracle keeps both
+    engines ordering the same timeline."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    return (
+        pairs.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
