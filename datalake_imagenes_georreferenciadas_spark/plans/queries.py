@@ -5068,6 +5068,90 @@ def seq_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a11_winsorized_mean",
+    """
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           CAST(sum(CAST(least(greatest(e.value, q.lo), q.hi)
+                         AS DECIMAL(18,4))) AS DOUBLE)
+             / count(*) AS wmean_raw_div,
+           count(*) AS n
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def a11_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per group — outlier-robust averaging: exact p05/
+    p95 computed first, broadcast back, values CLAMPED to the band, then
+    a decimal-partial mean. Two passes like MAD; the clamp is pure
+    column min/max so the second pass stays one scan."""
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clamped = ev.join(F.broadcast(q), "event_type").select(
+        "event_type",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias("cv"),
+    )
+    return clamped.groupBy("event_type").agg(
+        (_dsum(F.col("cv")) / F.count("*")).alias("wmean_raw_div"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "a12_gini",
+    """
+    WITH pos AS (
+      SELECT c_mktsegment, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) AS r
+      FROM customer WHERE c_acctbal > 0),
+    s AS (
+      SELECT c_mktsegment, count(*) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sw,
+             CAST(sum(CAST(r * c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS srw
+      FROM pos GROUP BY c_mktsegment)
+    SELECT c_mktsegment,
+           floor((2.0 * srw / (n * sw) - (n + 1.0) / n) * 1e6 + 0.5) / 1e6
+             AS gini
+    FROM s
+    """,
+)
+def a12_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient per segment (how unevenly balances
+    are distributed) from the rank-weighted sum identity — one
+    partitioned sort-rank window plus decimal power sums; ties
+    contribute a rank-block sum that is order-invariant, so the
+    statistic is exactly reproducible. No logs, no trig — the
+    inequality measure that stays cross-engine exact."""
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    pos = cust.select(
+        "c_mktsegment", "c_acctbal", F.row_number().over(w).alias("r")
+    )
+    s = pos.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sw"),
+        F.sum((F.col("r") * F.col("c_acctbal")).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("srw"),
+    )
+    n, sw, srw = F.col("n"), F.col("sw"), F.col("srw")
+    gini = 2.0 * srw / (n * sw) - (n + 1.0) / n
+    return s.select(
+        "c_mktsegment",
+        (F.floor(gini * 1e6 + F.lit(0.5)) / 1e6).alias("gini"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
