@@ -5152,6 +5152,31 @@ def a12_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "f15_explode_outer",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {H.shingles_sql('text', 12)} AS sh FROM documents
+      WHERE doc_id < 40)
+    SELECT b.doc_id, u.s AS shingle
+    FROM base b LEFT JOIN (
+      SELECT doc_id, unnest(sh) AS s FROM base) u USING (doc_id)
+    """,
+)
+def f15_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving fan-out (`explode_outer`): documents too short to
+    produce any 12-token shingle keep ONE row with a null shingle
+    instead of vanishing — the generator variant that doesn't silently
+    drop entities, required when the exploded side feeds a per-entity
+    aggregate that must cover every input row (DuckDB twin: LEFT JOIN
+    against the unnest)."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    base = docs.select("doc_id", H.shingles(F.col("text"), 12).alias("sh"))
+    return base.select(
+        "doc_id", F.explode_outer("sh").alias("shingle")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
