@@ -2360,21 +2360,25 @@ def f_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w6_distribution_funcs",
     """
     SELECT c_custkey, c_nationkey,
-           round(percent_rank() OVER w, 6) AS pr,
-           round(cume_dist() OVER w, 6) AS cd
+           floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pr,
+           floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cd
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
     """,
 )
 def w6_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution window functions: percent_rank, cume_dist."""
+    """Distribution window functions: percent_rank, cume_dist. Explicit
+    half-up rounding on both sides — (rank-1)/(n-1) lands on exact
+    decimal halves (e.g. 41/640 = .0640625), where Spark's HALF_UP
+    round() and DuckDB's half-even diverge."""
     c = table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    half_up = lambda col: F.floor(col * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
     return c.select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        half_up(F.percent_rank().over(w)).alias("pr"),
+        half_up(F.cume_dist().over(w)).alias("cd"),
     )
 
 
