@@ -5181,6 +5181,52 @@ def f15_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ts_missing_days",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP)::DATE AS d FROM events),
+    span AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM ud GROUP BY user_id),
+    cal AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+      FROM span)
+    SELECT c.user_id,
+           count(*) AS n_span_days,
+           count(*) FILTER (WHERE ud.d IS NULL) AS n_missing
+    FROM cal c LEFT JOIN ud ON ud.user_id = c.user_id AND ud.d = c.d
+    GROUP BY c.user_id
+    """,
+)
+def ts_missing_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: per user, generate the full day span
+    between first and last activity (sequence + explode — the calendar
+    is derived per key, never a global dimension scan) and anti-match
+    observed days to count coverage gaps — the dual of forward-fill
+    (`w7_gap_fill`) and the prerequisite for any per-day model feature.
+    Fan-out is bounded by the span, and the join is co-partitioned on
+    user_id."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    ud = ev.distinct()
+    span = ud.groupBy("user_id").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    cal = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1")).alias("d"),
+    )
+    j = cal.join(
+        ud.withColumnRenamed("d", "seen"),
+        (cal.user_id == ud.user_id) & (cal.d == F.col("seen")),
+        "left",
+    ).select(cal.user_id.alias("user_id"), "d", "seen")
+    return j.groupBy("user_id").agg(
+        F.count("*").alias("n_span_days"),
+        F.count_if(F.col("seen").isNull()).alias("n_missing"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
