@@ -5227,6 +5227,52 @@ def ts_missing_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a13_equifreq_bins",
+    """
+    WITH b AS (
+      SELECT ["""
+    + ", ".join(f"quantile_cont(o_totalprice, 0.{x})" for x in range(1, 10))
+    + """] AS bounds
+      FROM orders)
+    SELECT len(list_filter(b.bounds, v -> v <= o.o_totalprice)) AS bin,
+           count(*) AS n,
+           round(min(o.o_totalprice), 2) AS lo,
+           round(max(o.o_totalprice), 2) AS hi
+    FROM orders o, b
+    GROUP BY bin
+    """,
+)
+def a13_equifreq_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency discretization WITHOUT a global sort: the naive
+    ntile(10) needs a single-partition window over the fact table; the
+    scale plan computes the 9 exact decile BOUNDARIES in one aggregate,
+    broadcasts the tiny array, and assigns bins by counting boundaries
+    ≤ value (a higher-order filter, pure map work). Per-bin stats
+    verify the assignment. This is the feature-binning step of every
+    tabular ML pipeline, in its 100 TB shape."""
+    orders = table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.array(
+            *[
+                F.percentile("o_totalprice", F.lit(x / 10.0))
+                for x in range(1, 10)
+            ]
+        ).alias("bounds")
+    )
+    binned = orders.join(F.broadcast(bounds)).select(
+        F.size(
+            F.filter(F.col("bounds"), lambda v: v <= F.col("o_totalprice"))
+        ).alias("bin"),
+        "o_totalprice",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
