@@ -5273,6 +5273,53 @@ def a13_equifreq_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ts_twap",
+    """
+    WITH s AS (
+      SELECT user_id, value, CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM events WHERE user_id < 100),
+    seg AS (
+      SELECT user_id, value,
+             date_diff('second', ts,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               AS dur_s
+      FROM s)
+    SELECT user_id,
+           CAST(sum(CAST(value * dur_s AS DECIMAL(28,4))) AS DOUBLE)
+             / CAST(sum(dur_s) AS DOUBLE) AS twap_raw_div,
+           CAST(sum(dur_s) AS BIGINT) AS total_s
+    FROM seg WHERE dur_s IS NOT NULL AND dur_s > 0
+    GROUP BY user_id
+    """,
+)
+def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each observation is weighted by how
+    long it was the current value (lead-timestamp delta), the
+    sensor/pricing average that a plain mean gets wrong under irregular
+    sampling. Integer second durations × decimal partial sums keep the
+    weighted reduction order-independent; one partitioned window + one
+    grouped agg."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        "value",
+        (
+            F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")
+        ).alias("dur_s"),
+    )
+    seg = seg.filter(F.col("dur_s").isNotNull() & (F.col("dur_s") > 0))
+    return seg.groupBy("user_id").agg(
+        (
+            F.sum((F.col("value") * F.col("dur_s")).cast("decimal(28,4)"))
+            .cast("double")
+            / F.sum("dur_s").cast("double")
+        ).alias("twap_raw_div"),
+        F.sum("dur_s").alias("total_s"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
