@@ -5320,6 +5320,78 @@ def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ts_interval_coverage",
+    """
+    WITH iv AS (
+      SELECT user_id,
+             floor(epoch(CAST(ts AS TIMESTAMP)))::BIGINT AS s,
+             floor(epoch(CAST(ts AS TIMESTAMP)))::BIGINT + 300 AS e
+      FROM events WHERE user_id < 100),
+    marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -9223372036854775808)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv),
+    isl AS (
+      SELECT user_id, s, e,
+             sum(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM marked),
+    runs AS (
+      SELECT user_id, island, min(s) AS lo, max(e) AS hi
+      FROM isl GROUP BY user_id, island)
+    SELECT user_id, CAST(sum(hi - lo) AS BIGINT) AS covered_s,
+           count(*) AS n_islands
+    FROM runs GROUP BY user_id
+    """,
+)
+def ts_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union length per user (sweep line): each event opens a
+    5-minute activity interval; overlaps must not double-count. A new
+    island starts when an interval's start exceeds the running max end
+    of everything before it; islands reduce to [min start, max end] and
+    their lengths sum. All integer-second arithmetic over partitioned
+    windows — the active-time / uptime metric without a self-join."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    iv = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + 300).alias("e"),
+    )
+    wp = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(wp.rowsBetween(Window.unboundedPreceding, -1))
+    marked = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.col("s") > F.coalesce(prev_max_e, F.lit(-(2**63))), 1
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    isl = marked.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_island")
+        .over(wp.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    runs = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("lo"), F.max("e").alias("hi")
+    )
+    return runs.groupBy("user_id").agg(
+        F.sum(F.col("hi") - F.col("lo")).alias("covered_s"),
+        F.count("*").alias("n_islands"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
