@@ -5392,6 +5392,39 @@ def ts_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "p9_weighted_sample",
+    f"""
+    WITH w AS (
+      SELECT doc_id, lang, n_chars,
+             {H.hash64_sql('doc_id::VARCHAR', 11)} % 1000000 AS u
+      FROM documents)
+    SELECT lang, count(*) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+    FROM w
+    WHERE u < n_chars * 400
+    GROUP BY lang
+    """,
+)
+def p9_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling with inclusion probability ∝ document length:
+    a seeded md5 uniform in [0, 1e6) is compared against the scaled
+    weight, so longer documents are proportionally more likely to be
+    kept — the curriculum/mixture sampling primitive, deterministic and
+    reproducible (re-runs select the SAME sample; integer comparison, no
+    float RNG). Pure scan+filter, no shuffle before the final stats."""
+    docs = table(spark, sf_dir, "documents")
+    u = H.hash64(F.col("doc_id"), seed=11) % 1000000
+    return (
+        docs.filter(u < F.col("n_chars") * 400)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
