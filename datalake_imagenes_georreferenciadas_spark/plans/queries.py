@@ -5425,6 +5425,45 @@ def p9_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a14_minmax_scale",
+    """
+    WITH st AS (
+      SELECT event_type, min(value) AS lo, max(value) AS hi
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           floor(CASE WHEN st.hi = st.lo THEN 0.0
+                      ELSE (e.value - st.lo) / (st.hi - st.lo) END
+                 * 1e6 + 0.5) / 1e6 AS scaled
+    FROM events e JOIN st USING (event_type)
+    WHERE e.user_id < 50
+    """,
+)
+def a14_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max feature scaling: group extrema in one aggregate,
+    broadcast back, normalize as pure map work (degenerate groups pin to
+    0). The fit/transform split of a feature scaler in its distributed
+    form — the fitted stats are O(groups), the transform never
+    shuffles. Explicit half-up rounding (division ratios hit exact
+    halves at scale)."""
+    ev = table(spark, sf_dir, "events")
+    st = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    scaled = F.when(F.col("hi") == F.col("lo"), F.lit(0.0)).otherwise(
+        (F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+    )
+    return (
+        ev.filter(F.col("user_id") < 50)
+        .join(F.broadcast(st), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            (F.floor(scaled * 1e6 + F.lit(0.5)) / 1e6).alias("scaled"),
+        )
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
