@@ -5464,6 +5464,37 @@ def a14_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "p10_train_val_test",
+    f"""
+    WITH s AS (
+      SELECT lang,
+             {H.hash64_sql('doc_id::VARCHAR', 13)} % 1000000 AS u
+      FROM documents)
+    SELECT lang,
+           CASE WHEN u < 800000 THEN 'train'
+                WHEN u < 900000 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n
+    FROM s GROUP BY 1, 2
+    """,
+)
+def p10_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split: one seeded md5
+    uniform per doc mapped to hash ranges — membership is a pure
+    function of doc_id, so the split is stable across runs, machines,
+    and engines (no RNG state, no global sort), and a doc can never leak
+    between splits when the corpus is re-processed. Scan + map + one
+    grouped count."""
+    docs = table(spark, sf_dir, "documents")
+    u = H.hash64(F.col("doc_id"), seed=13) % 1000000
+    split = (
+        F.when(u < 800000, "train").when(u < 900000, "val").otherwise("test")
+    )
+    return docs.groupBy("lang", split.alias("split")).agg(
+        F.count("*").alias("n")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
