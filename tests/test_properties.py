@@ -272,3 +272,64 @@ class TestResampleProperties:
         for (u, _), v in out.items():
             vals = [r[3] for r in rows if r[1] == u]
             assert min(vals) <= v <= max(vals)
+
+
+# ---- interval-union sweep line vs brute-force coverage ----------------
+
+
+def _brute_coverage(intervals: list[tuple[int, int]]) -> int:
+    covered: set[int] = set()
+    for s, e in intervals:
+        covered.update(range(s, e))
+    return len(covered)
+
+
+def _sweep_coverage(intervals: list[tuple[int, int]]) -> int:
+    """Mirror of the ts_interval_coverage island reduction in pure
+    Python: new island when start exceeds the running max end."""
+    total = 0
+    lo = hi = None
+    for s, e in sorted(intervals):
+        if lo is None or s > hi:
+            if lo is not None:
+                total += hi - lo
+            lo, hi = s, e
+        else:
+            hi = max(hi, e)
+    if lo is not None:
+        total += hi - lo
+    return total
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 500), st.integers(1, 40)).map(
+            lambda p: (p[0], p[0] + p[1])
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_sweep_line_equals_brute_force(intervals):
+    assert _sweep_coverage(intervals) == _brute_coverage(intervals)
+
+
+# ---- prefix-sum rewrite vs naive theta join ---------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(0, 9), min_size=1, max_size=200))
+def test_prefix_sum_equals_theta_join(bands):
+    """count(rows with band' < b) per present band b: running sum over
+    ordered band counts == the naive quadratic definition."""
+    from collections import Counter
+
+    counts = Counter(bands)
+    ordered = sorted(counts)
+    prefix, acc = {}, 0
+    for b in ordered:
+        prefix[b] = acc
+        acc += counts[b]
+    naive = {b: sum(1 for x in bands if x < b) for b in ordered}
+    assert prefix == naive
