@@ -5495,6 +5495,58 @@ def p10_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "p11_dense_ids",
+    f"""
+    WITH s AS (
+      SELECT doc_id, {H.hash64_sql('doc_id::VARCHAR', 17)} % 32 AS shard,
+             {H.hash64_sql('doc_id::VARCHAR', 18)} AS ord
+      FROM documents),
+    sized AS (SELECT shard, count(*) AS n FROM s GROUP BY shard),
+    offs AS (
+      SELECT shard,
+             coalesce(sum(n) OVER (ORDER BY shard
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM sized),
+    ranked AS (
+      SELECT doc_id, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1
+               AS r
+      FROM s)
+    SELECT ranked.doc_id,
+           CAST(offs.off + ranked.r AS BIGINT) AS dense_id
+    FROM ranked JOIN offs USING (shard)
+    """,
+)
+def p11_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense contiguous 0..N-1 id assignment WITHOUT a global sort — the
+    declarative zipWithIndex: rows hash into 32 shards, shard SIZES (a
+    tiny aggregate) get running-sum offsets, and each row's id is its
+    shard offset plus its within-shard rank. The only unpartitioned
+    window runs over 32 rows; the catalog's id allocator
+    (catalog/store.py) uses the same pattern imperatively. Deterministic
+    because shard and order come from seeded md5, not partition
+    placement."""
+    docs = table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id",
+        (H.hash64(F.col("doc_id"), seed=17) % 32).alias("shard"),
+        H.hash64(F.col("doc_id"), seed=18).alias("ord"),
+    )
+    sized = s.groupBy("shard").agg(F.count("*").alias("n"))
+    w_off = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offs = sized.select(
+        "shard", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off")
+    )
+    w_rank = Window.partitionBy("shard").orderBy("ord", "doc_id")
+    ranked = s.select(
+        "doc_id", "shard", (F.row_number().over(w_rank) - 1).alias("r")
+    )
+    return ranked.join(F.broadcast(offs), "shard").select(
+        "doc_id", (F.col("off") + F.col("r")).cast("bigint").alias("dense_id")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
