@@ -3573,7 +3573,13 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "text"
     )
     exact = D.exact_dedup(q).select("doc_id")
-    kept = q.join(exact, "doc_id")
+    # Stage boundary: the survivor set feeds THREE consumers (pair
+    # generation inside dedup_components, the component join, and the
+    # canonical filter). localCheckpoint materializes it once instead of
+    # re-running the quality filter + digest dedup per consumer — the
+    # same staging a production pipeline does between phases (~30%
+    # faster at sf0.1).
+    kept = q.join(exact, "doc_id").localCheckpoint(eager=True)
     comp = D.dedup_components(
         kept, k=3, num_hashes=16, bands=4, jaccard_threshold=0.2
     )
