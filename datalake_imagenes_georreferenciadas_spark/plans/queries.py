@@ -5553,6 +5553,93 @@ def p11_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ======================================================================
+# NORTH STAR — the reference's own workflow end to end (SURVEY M1-M3)
+# ======================================================================
+
+_GEO_PIPELINE_SQL = f"""
+WITH pts AS (
+  SELECT doc_id AS img_id,
+         (round(-72.0 + 2.0 * (('0x' || substring(md5(text), 9, 8))::BIGINT
+                / 4294967296.0), 6) + 72.0) * 7.0 AS lon,
+         (round(-35.0 + 2.0 * (('0x' || substring(md5(text), 1, 8))::BIGINT
+                / 4294967296.0), 6) + 35.0) * 7.0 AS lat
+  FROM documents WHERE doc_id % 2 = 0),
+e AS (SELECT * FROM {{edges}}),
+v AS (SELECT * FROM {{vertices}}),
+cr AS (
+  SELECT p.img_id, e.id_predio, e.nombre,
+         {{crossings}} AS crossings
+  FROM pts p CROSS JOIN e
+  GROUP BY p.img_id, e.id_predio, e.nombre),
+inside AS (
+  SELECT img_id, id_predio, nombre FROM (
+    SELECT img_id, id_predio, nombre,
+           row_number() OVER (PARTITION BY img_id ORDER BY id_predio, nombre) AS rn
+    FROM cr WHERE crossings % 2 = 1) WHERE rn = 1),
+near AS (
+  SELECT img_id, id_predio, nombre FROM (
+    SELECT d.img_id, d.id_predio, d.nombre,
+           row_number() OVER (PARTITION BY d.img_id
+                              ORDER BY d.dist2, d.id_predio, d.nombre, d.vx, d.vy) AS rn
+    FROM (
+      SELECT p.img_id, v.id_predio, v.nombre, v.x AS vx, v.y AS vy,
+             (p.lon - v.x) * (p.lon - v.x) + (p.lat - v.y) * (p.lat - v.y) AS dist2
+      FROM pts p CROSS JOIN v
+      WHERE p.img_id NOT IN (SELECT img_id FROM inside)) d) WHERE rn = 1),
+classified AS (
+  SELECT id_predio, nombre, 'contains' AS method FROM inside
+  UNION ALL SELECT id_predio, nombre, 'nearest' FROM near)
+SELECT id_predio, nombre, method, count(*) AS n_images
+FROM classified GROUP BY id_predio, nombre, method
+"""
+
+
+@register("pipeline_geo_ingest", None)
+def pipeline_geo_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's OWN job as one composed plan (download_list_images
+    → script_geo main): write image blobs → binaryFile scan → Arrow
+    mapInPandas EXIF extraction (digest stub) → affine rescale of the
+    GPS fix into the cadastral plane → containment-first /
+    nearest-fallback classification against the multi-ring parcels →
+    per-parcel image counts, ready for the catalog insert. Every stage
+    is individually oracle-verified (multimodal_meta, geo_classify);
+    this entry verifies the COMPOSITION: the mapInPandas kernel feeds
+    the broadcast spatial join without materializing, and the whole
+    flow is one lazy DataFrame."""
+    from ..sources.binary import extract_image_meta, read_binary_dir
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    dest = tempfile.mkdtemp(prefix="geo_ingest_")
+
+    def write_files(rows):
+        for r in rows:
+            ext = "jpg" if r["doc_id"] % 2 == 0 else "tif"
+            with open(os.path.join(dest, f"{r['doc_id']}.{ext}"), "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+
+    docs.foreachPartition(write_files)
+    meta = extract_image_meta(read_binary_dir(spark, dest))
+    pts = meta.filter(F.col("clase") == "BR").select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.jpg$", 1)
+        .cast("long")
+        .alias("img_id"),
+        ((F.round(F.col("lon"), 6) + 72.0) * 7.0).alias("lon"),
+        ((F.round(F.col("lat"), 6) + 35.0) * 7.0).alias("lat"),
+    )
+    classified = classify_points(pts, GF.spark_polys(spark))
+    return classified.groupBy("id_predio", "nombre", "method").agg(
+        F.count("*").alias("n_images")
+    )
+
+
+ORACLES["pipeline_geo_ingest"] = _GEO_PIPELINE_SQL.format(
+    edges=GF.edges_values_sql(),
+    vertices=GF.vertices_values_sql(),
+    crossings=GF.crossings_sql(),
+)
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
