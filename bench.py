@@ -75,6 +75,9 @@ BENCH_QUERIES = [
     "graph_pagerank",
     "cms_heavy_hitters",
     "pipeline_corpus_prep",
+    "pipeline_geo_ingest",
+    "ts_rolling_distinct",
+    "table_checksum_diff",
 ]
 
 
