@@ -5640,6 +5640,49 @@ ORACLES["pipeline_geo_ingest"] = _GEO_PIPELINE_SQL.format(
 )
 
 
+@register(
+    "w8_leave_one_out",
+    """
+    WITH m AS (
+      SELECT o_orderkey,
+             year(o_orderdate)*100 + month(o_orderdate) AS month_key,
+             o_totalprice,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS s,
+             count(*) OVER w AS n
+      FROM orders WHERE o_custkey < 200
+      WINDOW w AS (PARTITION BY year(o_orderdate)*100 + month(o_orderdate)))
+    SELECT o_orderkey, month_key,
+           CASE WHEN n > 1
+                THEN floor((o_totalprice - (s - o_totalprice) / (n - 1))
+                           * 1e2 + 0.5) / 1e2 END AS delta_vs_peers
+    FROM m
+    """,
+)
+def w8_leave_one_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out peer comparison: each order against the average of
+    the OTHER orders in its month — SQL's EXCLUDE CURRENT ROW frame,
+    which Spark lacks, emulated algebraically as (S - x)/(n - 1) from
+    plain partition aggregates (decimal window sums keep S exact). The
+    anomaly-scoring shape: one window, no self-join, single-row
+    months yield null."""
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    month_key = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias(
+        "month_key"
+    )
+    m = orders.select("o_orderkey", month_key, "o_totalprice")
+    w = Window.partitionBy("month_key")
+    s = F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double")
+    n = F.count("*").over(w)
+    loo = (F.col("o_totalprice") - (s - F.col("o_totalprice")) / (n - 1))
+    return m.select(
+        "o_orderkey",
+        "month_key",
+        F.when(n > 1, F.floor(loo * 1e2 + F.lit(0.5)) / 1e2).alias(
+            "delta_vs_peers"
+        ),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
