@@ -5683,6 +5683,87 @@ def w8_leave_one_out(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PII_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+@register(
+    "text_pii_scrub",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 10 = 0
+                          THEN ' contact: user' || doc_id || '@example.com'
+                          ELSE '' END AS t
+      FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{_PII_RE}')) AS n_redacted,
+           length(regexp_replace(t, '{_PII_RE}', '[EMAIL]', 'g')) AS scrubbed_len
+    FROM aug
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (the corpus text is synthetic/digit-free, so a
+    deterministic email is injected into every 10th doc to give the
+    scrubber real work): regex match-count plus the scrubbed length
+    after placeholder substitution — pure column regexes that run in
+    both engines' RE dialects (no lookaround/backrefs), embarrassingly
+    parallel at any scale. Production swaps in the full PII pattern
+    battery; the plan shape is identical."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.lit(" contact: user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(""),
+    )
+    aug = docs.select("doc_id", t.alias("t"))
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_RE), 0)).alias(
+            "n_redacted"
+        ),
+        F.length(F.regexp_replace("t", _PII_RE, "[EMAIL]")).alias(
+            "scrubbed_len"
+        ),
+    )
+
+
+@register(
+    "w9_trailing_array",
+    """
+    SELECT event_id, user_id,
+           [round(x, 6) FOR x IN list(value) OVER (
+             PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)] AS last3
+    FROM events WHERE user_id < 50
+    """,
+)
+def w9_trailing_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window ARRAY materialization: each event carries the
+    ordered array of its last ≤3 values — the feature-vector shape
+    sequence models consume (sliding context windows), built by
+    collect_list over a bounded row frame (state is O(frame), not
+    O(history))."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.transform(
+            F.collect_list("value").over(w), lambda x: F.round(x, 6)
+        ).alias("last3"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
