@@ -5764,6 +5764,42 @@ def w9_trailing_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dq_k_anonymity",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS n
+      FROM customer GROUP BY 1, 2)
+    SELECT count(*) AS n_groups,
+           count(*) FILTER (WHERE n < 5) AS n_risky_groups,
+           CAST(coalesce(sum(n) FILTER (WHERE n < 5), 0) AS BIGINT)
+             AS n_risky_rows,
+           CAST(min(n) AS BIGINT) AS min_group_size
+    FROM g
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (nation,
+    segment): groups smaller than k=5 re-identify their members, so the
+    release gate needs the risky-group and affected-row counts plus the
+    worst group size. One grouped count + one tiny aggregate — the
+    privacy twin of `dq_constraints`, and the pre-check before
+    generalization/suppression."""
+    cust = table(spark, sf_dir, "customer")
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("n")
+    )
+    risky = F.col("n") < 5
+    return g.agg(
+        F.count("*").alias("n_groups"),
+        F.count_if(risky).alias("n_risky_groups"),
+        F.coalesce(F.sum(F.when(risky, F.col("n"))), F.lit(0)).alias(
+            "n_risky_rows"
+        ),
+        F.min("n").alias("min_group_size"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
