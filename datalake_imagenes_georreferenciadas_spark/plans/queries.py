@@ -5800,6 +5800,62 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ml_negative_pairs",
+    f"""
+    WITH n AS (SELECT count(*) AS n FROM documents),
+    anchors AS (SELECT doc_id, lang FROM documents WHERE doc_id % 7 = 0),
+    negs AS (
+      SELECT a.doc_id, j,
+             (a.doc_id + 1 +
+              ({H.hash64_sql("a.doc_id::VARCHAR || ':' || j::VARCHAR", 23)}
+               % (n.n - 1))) % n.n AS neg_id
+      FROM anchors a CROSS JOIN n
+      CROSS JOIN (SELECT unnest([1, 2, 3]) AS j))
+    SELECT negs.doc_id, negs.j, negs.neg_id, d.lang AS neg_lang
+    FROM negs JOIN documents d ON d.doc_id = negs.neg_id
+    """,
+)
+def ml_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive negative sampling: each anchor document draws 3
+    deterministic negatives via seeded-hash modular offsets in
+    [1, N-1] — never itself, reproducible across runs/engines (no RNG),
+    uniform over the corpus. The join back to the corpus attaches the
+    negative's features (here its language) — at scale that join
+    shuffles on doc_id like any fact join, and the offset trick needs
+    only the corpus COUNT broadcast, not an id table."""
+    docs = table(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").alias("n"))
+    anchors = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    js = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j")
+    negs = (
+        anchors.crossJoin(F.broadcast(n))
+        .select("doc_id", "n", js)
+        .select(
+            "doc_id",
+            "j",
+            (
+                (
+                    F.col("doc_id")
+                    + 1
+                    + H.hash64(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            F.col("j").cast("string"),
+                        ),
+                        seed=23,
+                    )
+                    % (F.col("n") - 1)
+                )
+                % F.col("n")
+            ).alias("neg_id"),
+        )
+    )
+    d = docs.select(F.col("doc_id").alias("neg_id"), F.col("lang").alias("neg_lang"))
+    return negs.join(d, "neg_id").select("doc_id", "j", "neg_id", "neg_lang")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
