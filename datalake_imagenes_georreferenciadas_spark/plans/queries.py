@@ -5856,6 +5856,59 @@ def ml_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negs.join(d, "neg_id").select("doc_id", "j", "neg_id", "neg_lang")
 
 
+@register(
+    "ts_hypertable_rollup",
+    """
+    WITH ev AS (
+      SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    b AS (
+      SELECT floor(epoch(date_trunc('day', ts)))::BIGINT AS day_epoch,
+             floor(epoch(date_trunc('hour', ts)))::BIGINT AS hour_epoch,
+             value
+      FROM ev)
+    SELECT CASE WHEN grouping(hour_epoch) = 1 THEN 'day' ELSE 'hour' END
+             AS granularity,
+           day_epoch,
+           CASE WHEN grouping(hour_epoch) = 1 THEN NULL ELSE hour_epoch END
+             AS hour_epoch,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM b
+    GROUP BY GROUPING SETS ((day_epoch), (day_epoch, hour_epoch))
+    """,
+)
+def ts_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: hour AND day continuous
+    aggregates materialized in ONE pass via GROUPING SETS (no
+    re-reading the raw hypertable per granularity; map-side partials
+    feed both set levels). The labels disambiguate levels; at 100 TB
+    coarser granularities come almost free once the finest is paid for,
+    and each level is independently mergeable for incremental refresh
+    (the `incremental_agg_merge` pattern)."""
+    import uuid
+
+    ev = table(spark, sf_dir, "events").select(
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_epoch"),
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+        "value",
+    )
+    name = f"__htr_{uuid.uuid4().hex[:8]}"
+    ev.createOrReplaceTempView(name)
+    return spark.sql(
+        f"""
+        SELECT CASE WHEN grouping(hour_epoch) = 1 THEN 'day' ELSE 'hour' END
+                 AS granularity,
+               day_epoch,
+               CASE WHEN grouping(hour_epoch) = 1 THEN NULL ELSE hour_epoch END
+                 AS hour_epoch,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM {name}
+        GROUP BY GROUPING SETS ((day_epoch), (day_epoch, hour_epoch))
+        """
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
