@@ -5909,6 +5909,49 @@ def ts_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a5_kmv_distinct",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT {H.hash64_sql('tok', 29)} AS hv
+      FROM (SELECT unnest({_TOKS_SQL}) AS tok FROM documents)),
+    mins AS (SELECT hv FROM h ORDER BY hv LIMIT 16),
+    kth AS (SELECT max(hv) AS hk, count(*) AS k FROM mins)
+    SELECT k, hk,
+           CAST(floor((k - 1) * 1152921504606846976.0 / hk) AS BIGINT)
+             AS kmv_estimate,
+           (SELECT count(*) FROM h) AS exact_distinct
+    FROM kth
+    """,
+)
+def a5_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch: keep the k=16
+    smallest 60-bit hashes of the value set; the k-th smallest estimates
+    cardinality as (k-1)·2^60 / h_k. Unlike HLL (engine-specific,
+    rows-only `a5_approx_distinct`), the md5 hash family makes this
+    sketch BIT-IDENTICAL cross-engine — the estimate itself is
+    oracle-verified next to the exact count. Mergeable at scale: union
+    the per-partition min-k sets and re-take k smallest (a
+    TakeOrdered, no full shuffle of the distinct set)."""
+    docs = table(spark, sf_dir, "documents")
+    h = (
+        docs.select(F.explode(H.tokens(F.col("text"))).alias("tok"))
+        .select(H.hash64(F.col("tok"), seed=29).alias("hv"))
+        .distinct()
+    )
+    mins = h.orderBy("hv").limit(16)
+    kth = mins.agg(F.max("hv").alias("hk"), F.count("*").alias("k"))
+    exact = h.agg(F.count("*").alias("exact_distinct"))
+    return kth.crossJoin(F.broadcast(exact)).select(
+        "k",
+        "hk",
+        F.floor((F.col("k") - 1) * 1152921504606846976.0 / F.col("hk"))
+        .cast("bigint")
+        .alias("kmv_estimate"),
+        "exact_distinct",
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
