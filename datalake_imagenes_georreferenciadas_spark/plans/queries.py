@@ -5990,6 +5990,50 @@ def graph_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "s22_orphan_files",
+    """
+    SELECT count(*) FILTER (WHERE doc_id % 5 = 0) AS n_orphans,
+           count(*) FILTER (WHERE doc_id % 5 <> 0) AS n_tracked
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def s22_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake janitor: files present in storage but absent from the
+    catalog (orphans from failed writes / manual drops). Storage is
+    listed with the binaryFile source, the catalog side is the tracked
+    subset (here every doc_id % 5 != 0), and a broadcast ANTI-join
+    splits orphans from tracked — the reconciliation sweep that
+    precedes a vacuum. At 100 TB the listing is the expensive side;
+    the catalog path column broadcasts."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    dest = tempfile.mkdtemp(prefix="orphan_scan_")
+
+    def write_files(rows):
+        for r in rows:
+            with open(os.path.join(dest, f"{r['doc_id']}.bin"), "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+
+    docs.foreachPartition(write_files)
+    from ..sources.binary import read_binary_dir
+
+    listed = read_binary_dir(spark, dest).select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id")
+    )
+    catalog = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id")
+    orphans = listed.join(F.broadcast(catalog), "doc_id", "left_anti")
+    tracked = listed.join(F.broadcast(catalog), "doc_id", "left_semi")
+    return orphans.agg(F.count("*").alias("n_orphans")).crossJoin(
+        tracked.agg(F.count("*").alias("n_tracked"))
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
