@@ -6095,6 +6095,63 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("q_id", "vec_id", "cos", "rank")
 
 
+_RECALL_SQL = f"""
+WITH b AS (SELECT vec_id, {SIM.hyperplane_signature_sql('embedding', 6)} AS bucket,
+                  embedding FROM embeddings),
+q AS (SELECT vec_id AS q_id, bucket, embedding AS qe FROM b WHERE vec_id IN (0, 1, 2)),
+ann AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY round({V.cosine_sql('e.embedding', 'q.qe')}, 6) DESC,
+                      e.vec_id) AS rank
+    FROM b e JOIN q ON e.bucket = q.bucket) WHERE rank <= 5),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY round({V.cosine_sql('e.embedding', 'q.qe')}, 6) DESC,
+                      e.vec_id) AS rank
+    FROM embeddings e, q) WHERE rank <= 5)
+SELECT exact.q_id,
+       count(ann.vec_id) AS n_hit,
+       floor(count(ann.vec_id) / 5.0 * 1e6 + 0.5) / 1e6 AS recall_at_5
+FROM exact LEFT JOIN ann USING (q_id, vec_id)
+GROUP BY exact.q_id
+"""
+
+
+@register("ann_recall_eval", _RECALL_SQL)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation IN the engine: single-probe LSH top-5
+    joined against the exact brute-force top-5 ground truth → recall@5
+    per query. The standard index-tuning loop (raise planes/probes
+    until recall clears the bar) as one query — at scale ground truth
+    runs on a sampled query set while the index serves the rest."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    ann = SIM.lsh_ann_topk(emb, queries, k=5, num_planes=6).select(
+        "q_id", "vec_id"
+    )
+    exact = SIM.brute_force_topk(emb, queries, k=5).select("q_id", "vec_id")
+    hit = exact.join(ann, ["q_id", "vec_id"], "left_semi")
+    n_hit = hit.groupBy("q_id").agg(F.count("*").alias("n_hit"))
+    base = exact.select("q_id").distinct()
+    return (
+        base.join(n_hit, "q_id", "left")
+        .select("q_id", F.coalesce("n_hit", F.lit(0)).alias("n_hit"))
+        .select(
+            "q_id",
+            "n_hit",
+            (F.floor(F.col("n_hit") / 5.0 * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "recall_at_5"
+            ),
+        )
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
