@@ -6152,6 +6152,60 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH fa AS ({_simhash_sql(32)}), fb AS ({_simhash_sql(32)})
+    SELECT fa.doc_id AS a_id, fb.doc_id AS b_id,
+           bit_count(xor(fa.fp, fb.fp)) AS hamming
+    FROM fa JOIN fb ON fa.doc_id < fb.doc_id
+    WHERE bit_count(xor(fa.fp, fb.fp)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS with hamming-band blocking: the 32-bit
+    fingerprint splits into 4 bytes; by pigeonhole, any pair within
+    hamming distance 3 shares at least one whole byte, so the band
+    equi-join provably finds EVERY qualifying pair (the oracle checks
+    against the brute-force all-pairs definition) while candidates stay
+    bucket-bounded — the simhash completion of the MinHash band-join
+    story, no cross join anywhere."""
+    fps = D.simhash_table(table(spark, sf_dir, "documents"), num_bits=32)
+    bands = fps.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftright("fp", 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .alias("k"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "fp", F.col("bk.b").alias("b"), F.col("bk.k").alias("k"))
+    a = bands.select(
+        F.col("b"), F.col("k"), F.col("doc_id").alias("a_id"), F.col("fp").alias("fa")
+    )
+    b_ = bands.select(
+        F.col("b"), F.col("k"), F.col("doc_id").alias("b_id"), F.col("fp").alias("fb")
+    )
+    cand = (
+        a.join(b_, ["b", "k"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "fa", "fb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return cand.filter(hamming <= 3).select(
+        "a_id", "b_id", hamming.alias("hamming")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
