@@ -6206,6 +6206,117 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ts_rank_shift",
+    """
+    WITH halves AS (
+      SELECT event_type,
+             CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15 THEN 'h1' ELSE 'h2' END
+               AS half,
+             count(*) AS n
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT event_type, half, n,
+             row_number() OVER (PARTITION BY half ORDER BY n DESC, event_type)
+               AS r
+      FROM halves)
+    SELECT a.event_type, a.r AS rank_h1, b.r AS rank_h2,
+           a.r - b.r AS rank_gain
+    FROM ranked a JOIN ranked b USING (event_type)
+    WHERE a.half = 'h1' AND b.half = 'h2'
+    """,
+)
+def ts_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-shift trending report: event types ranked by volume in the
+    first vs second half of the month, with the rank delta (positive =
+    climbing). Ranks run over the tiny post-aggregate; the period
+    comparison is a self-join on the ranked table — the "movers and
+    shakers" report shape."""
+    ev = table(spark, sf_dir, "events")
+    halves = ev.groupBy(
+        "event_type",
+        F.when(F.dayofmonth("ts") <= 15, "h1").otherwise("h2").alias("half"),
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("half").orderBy(F.col("n").desc(), "event_type")
+    ranked = halves.select("event_type", "half", F.row_number().over(w).alias("r"))
+    a = ranked.filter(F.col("half") == "h1").select(
+        "event_type", F.col("r").alias("rank_h1")
+    )
+    b = ranked.filter(F.col("half") == "h2").select(
+        "event_type", F.col("r").alias("rank_h2")
+    )
+    return a.join(b, "event_type").select(
+        "event_type",
+        "rank_h1",
+        "rank_h2",
+        (F.col("rank_h1") - F.col("rank_h2")).alias("rank_gain"),
+    )
+
+
+@register(
+    "a15_abc_classify",
+    """
+    WITH p AS (
+      SELECT l.l_partkey, pt.p_brand,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS rev
+      FROM lineitem l JOIN part pt ON l.l_partkey = pt.p_partkey
+      GROUP BY 1, 2),
+    c AS (
+      SELECT p_brand, l_partkey, rev,
+             CAST(sum(CAST(rev AS DECIMAL(18,4))) OVER (
+               PARTITION BY p_brand ORDER BY rev DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS cum,
+             CAST(sum(CAST(rev AS DECIMAL(18,4))) OVER (PARTITION BY p_brand)
+               AS DOUBLE) AS tot
+      FROM p)
+    SELECT p_brand,
+           CASE WHEN cum / tot <= 0.8 THEN 'A'
+                WHEN cum / tot <= 0.95 THEN 'B' ELSE 'C' END AS abc,
+           count(*) AS n_parts,
+           CAST(sum(CAST(rev AS DECIMAL(18,4))) AS DOUBLE) AS class_rev
+    FROM c GROUP BY 1, 2
+    """,
+)
+def a15_abc_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: parts bucketed by cumulative revenue
+    share within their brand (A = first 80%, B = to 95%, C = tail). The
+    running share is a BRAND-partitioned window over the part-level
+    aggregate — post-agg altitude, decimal window sums for exact
+    cumulative totals, the inventory-analysis staple."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    p = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "p_brand")
+        .agg(_dsum(F.col("l_extendedprice")).alias("rev"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("rev").desc(), "l_partkey")
+    cum = (
+        F.sum(F.col("rev").cast("decimal(18,4)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+    )
+    tot = (
+        F.sum(F.col("rev").cast("decimal(18,4)"))
+        .over(Window.partitionBy("p_brand"))
+        .cast("double")
+    )
+    c = p.select(
+        "p_brand",
+        "rev",
+        F.when(cum / tot <= 0.8, "A")
+        .when(cum / tot <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return c.groupBy("p_brand", "abc").agg(
+        F.count("*").alias("n_parts"),
+        _dsum(F.col("rev")).alias("class_rev"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
