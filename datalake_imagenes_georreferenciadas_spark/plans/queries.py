@@ -6317,6 +6317,91 @@ def a15_abc_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a16_share_of_parent",
+    """
+    WITH n AS (
+      SELECT r.r_name, na.n_name,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation na ON c.c_nationkey = na.n_nationkey
+      JOIN region r ON na.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2),
+    rt AS (SELECT r_name, CAST(sum(CAST(rev AS DECIMAL(18,4))) AS DOUBLE)
+                    AS region_rev
+           FROM n GROUP BY r_name)
+    SELECT n.r_name, n.n_name, n.rev,
+           floor(n.rev / rt.region_rev * 1e6 + 0.5) / 1e6 AS share_of_region
+    FROM n JOIN rt USING (r_name)
+    """,
+)
+def a16_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent in the region→nation hierarchy: nation revenue as
+    a fraction of its region's — child aggregate once, parent totals
+    re-aggregated FROM THE CHILD level (never rescanning facts) and
+    broadcast back. The drill-down percent-of-total OLAP staple with
+    decimal-exact totals at both levels."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    n = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(_dsum(F.col("o_totalprice")).alias("rev"))
+    )
+    rt = n.groupBy("r_name").agg(
+        F.sum(F.col("rev").cast("decimal(18,4)")).cast("double").alias("region_rev")
+    )
+    return n.join(F.broadcast(rt), "r_name").select(
+        "r_name",
+        "n_name",
+        "rev",
+        (
+            F.floor(F.col("rev") / F.col("region_rev") * 1e6 + F.lit(0.5)) / 1e6
+        ).alias("share_of_region"),
+    )
+
+
+@register(
+    "seq_first_last_flow",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM events),
+    fl AS (
+      SELECT user_id,
+             min({'ts': ts, 'event_id': event_id, 'event_type': event_type})
+               AS first_r,
+             max({'ts': ts, 'event_id': event_id, 'event_type': event_type})
+               AS last_r
+      FROM s GROUP BY user_id)
+    SELECT first_r.event_type AS first_type,
+           last_r.event_type AS last_type,
+           count(*) AS n_users
+    FROM fl GROUP BY 1, 2
+    """,
+)
+def seq_first_last_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry→exit flow (Sankey endpoints): each user's FIRST and LAST
+    event types via min/max over a (ts, event_id, payload) struct — the
+    deterministic argmin/argmax idiom (ties broken by event_id inside
+    the struct ordering, no window needed), then flow-pair counts. One
+    grouped agg + one tiny count."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    r = F.struct("ts", "event_id", "event_type")
+    fl = ev.groupBy("user_id").agg(
+        F.min(r).alias("first_r"), F.max(r).alias("last_r")
+    )
+    return fl.groupBy(
+        F.col("first_r.event_type").alias("first_type"),
+        F.col("last_r.event_type").alias("last_type"),
+    ).agg(F.count("*").alias("n_users"))
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
