@@ -6402,6 +6402,38 @@ def seq_first_last_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n_users"))
 
 
+@register(
+    "p12_per_source_cap",
+    f"""
+    WITH r AS (
+      SELECT source, lang,
+             row_number() OVER (PARTITION BY source
+               ORDER BY {H.hash64_sql('doc_id::VARCHAR', 31)}, doc_id) AS rn
+      FROM documents)
+    SELECT source,
+           count(*) FILTER (WHERE rn <= 15) AS n_kept,
+           count(*) FILTER (WHERE rn > 15) AS n_capped
+    FROM r GROUP BY source
+    """,
+)
+def p12_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (anti-domination): at most K=15 docs per
+    source survive, chosen by seeded-hash order so the kept subset is
+    reproducible — the guard against one crawl domain flooding the
+    training mix. One source-partitioned window; at 100 TB the
+    two-phase per-partition pre-cap (keep K per partition, then K of
+    those) bounds window state."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        H.hash64(F.col("doc_id"), seed=31), "doc_id"
+    )
+    r = docs.select("source", F.row_number().over(w).alias("rn"))
+    return r.groupBy("source").agg(
+        F.count_if(F.col("rn") <= 15).alias("n_kept"),
+        F.count_if(F.col("rn") > 15).alias("n_capped"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
