@@ -6434,6 +6434,115 @@ def p12_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a17_hist_median",
+    """
+    WITH h AS (
+      SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) AS b, count(*) AS n
+      FROM orders GROUP BY 1),
+    c AS (
+      SELECT b, n,
+             sum(n) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS below,
+             sum(n) OVER () AS total
+      FROM h),
+    med AS (
+      SELECT b, n, coalesce(below, 0) AS below, total FROM c
+      WHERE coalesce(below, 0) < (total + 1) / 2.0
+        AND (total + 1) / 2.0 <= coalesce(below, 0) + n)
+    SELECT floor((b * 20000
+                  + ((total + 1) / 2.0 - below) / n * 20000) * 1e4 + 0.5) / 1e4
+             AS hist_median_est,
+           round((SELECT quantile_cont(o_totalprice, 0.5) FROM orders), 4)
+             AS exact_median
+    FROM med
+    """,
+)
+def a17_hist_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based median ESTIMATE with its accuracy on display: the
+    fixed-width histogram (one mergeable grouped count — the streaming-
+    friendly path) locates the median bucket and interpolates within
+    it; the exact interpolated median sits beside it in the same row.
+    Like the KMV sketch, every arithmetic step is deterministic, so the
+    oracle verifies the approximation itself — at 100 TB the histogram
+    needs one map-side-combined pass while exact quantiles need a
+    sort/percentile machinery."""
+    orders = table(spark, sf_dir, "orders")
+    h = orders.groupBy(
+        F.floor(F.col("o_totalprice") / 20000).cast("bigint").alias("b")
+    ).agg(F.count("*").alias("n"))
+    wo = Window.orderBy("b")
+    c = h.select(
+        "b",
+        "n",
+        F.coalesce(
+            F.sum("n").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("below"),
+        F.sum("n").over(Window.partitionBy()).alias("total"),
+    )
+    half = (F.col("total") + 1) / 2.0
+    med = c.filter((F.col("below") < half) & (half <= F.col("below") + F.col("n")))
+    est = (
+        F.col("b") * 20000
+        + (half - F.col("below")) / F.col("n") * 20000
+    )
+    exact = orders.agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("exact_median")
+    )
+    return med.select(
+        (F.floor(est * 1e4 + F.lit(0.5)) / 1e4).alias("hist_median_est")
+    ).crossJoin(F.broadcast(exact))
+
+
+@register(
+    "a18_outlier_zscore",
+    """
+    WITH st AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+             CAST(sum(CAST(value * value AS DECIMAL(28,4))) AS DOUBLE) AS ss
+      FROM events GROUP BY event_type),
+    m AS (
+      SELECT event_type, s / n AS mu,
+             sqrt(greatest(ss / n - (s / n) * (s / n), 0.0)) AS sigma
+      FROM st)
+    SELECT e.event_type,
+           count(*) FILTER (WHERE abs(e.value - m.mu) > 3 * m.sigma)
+             AS n_outliers,
+           count(*) AS n
+    FROM events e JOIN m USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def a18_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma outlier counting per group: mean and stddev from DECIMAL
+    power sums (one scan, order-independent — the same reason as
+    `a8_corr`), broadcast back, deviations counted in a second map-only
+    pass. sqrt and IEEE ±*/ are deterministic cross-engine, unlike
+    built-in stddev's streaming update order."""
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    v = F.col("value")
+    st = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        _dsum(v).alias("s"),
+        F.sum((v * v).cast("decimal(28,4)")).cast("double").alias("ss"),
+    )
+    mu = F.col("s") / F.col("n")
+    sigma = F.sqrt(F.greatest(F.col("ss") / F.col("n") - mu * mu, F.lit(0.0)))
+    m = st.select("event_type", mu.alias("mu"), sigma.alias("sigma"))
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count_if(
+                F.abs(v - F.col("mu")) > 3 * F.col("sigma")
+            ).alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
