@@ -6543,6 +6543,47 @@ def a18_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dq_shard_balance",
+    f"""
+    WITH s AS (
+      SELECT {H.hash64_sql('doc_id::VARCHAR', 99)} % 32 AS shard, count(*) AS n
+      FROM documents GROUP BY 1)
+    SELECT count(*) AS n_shards,
+           CAST(min(n) AS BIGINT) AS min_rows,
+           CAST(max(n) AS BIGINT) AS max_rows,
+           floor(max(n) / (sum(n) / count(*)) * 1e4 + 0.5) / 1e4
+             AS skew_factor
+    FROM s
+    """,
+)
+def dq_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-balance diagnostic for the hash partitioning the engine's
+    training-order/packing ops rely on: rows per shard, extremes, and
+    the skew factor (max/mean — 1.0 is perfect). The ops report that
+    decides whether a salting or re-sharding pass is needed BEFORE a
+    skewed key ruins a 1000-executor stage; cost is one grouped count."""
+    docs = table(spark, sf_dir, "documents")
+    s = docs.groupBy(
+        (H.hash64(F.col("doc_id"), seed=99) % 32).alias("shard")
+    ).agg(F.count("*").alias("n"))
+    skew = F.col("max_rows") / (F.col("total") / F.col("n_shards"))
+    return (
+        s.agg(
+            F.count("*").alias("n_shards"),
+            F.min("n").alias("min_rows"),
+            F.max("n").alias("max_rows"),
+            F.sum("n").alias("total"),
+        )
+        .select(
+            "n_shards",
+            "min_rows",
+            "max_rows",
+            (F.floor(skew * 1e4 + F.lit(0.5)) / 1e4).alias("skew_factor"),
+        )
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
