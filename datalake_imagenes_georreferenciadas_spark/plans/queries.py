@@ -6584,6 +6584,34 @@ def dq_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_cluster_sizes",
+    "WITH comp AS ("
+    + _COMPONENTS_SQL
+    + """)
+    SELECT cluster_size, count(*) AS n_clusters FROM (
+      SELECT component, count(*) AS cluster_size
+      FROM comp GROUP BY component)
+    GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution: how many singleton / pair /
+    larger duplicate groups the corpus contains — the dedup IMPACT
+    report (docs removed = Σ(size-1)·clusters) that decides whether
+    near-dedup is worth its cost on a new corpus; two tiny aggregates
+    over the component assignment."""
+    comp = D.dedup_components(
+        table(spark, sf_dir, "documents"),
+        k=3,
+        num_hashes=16,
+        bands=4,
+        jaccard_threshold=0.1,
+    )
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(F.count("*").alias("n_clusters"))
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
