@@ -6652,6 +6652,80 @@ def j_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "f_binary_codecs",
+    """
+    SELECT doc_id,
+           upper(md5(text)) AS content_hex,
+           to_base64(unhex(md5(text))) AS content_b64,
+           octet_length(unhex(md5(text))) AS n_bytes
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def f_binary_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary codec surface: hex ⇄ bytes ⇄ base64 round-trips over the
+    content digest — the encodings object keys, manifests, and wire
+    formats speak. Pure column functions with identical RFC semantics
+    in both engines."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    b = F.unhex(F.md5("text"))
+    return docs.select(
+        "doc_id",
+        F.upper(F.md5("text")).alias("content_hex"),
+        F.base64(b).alias("content_b64"),
+        F.length(b).alias("n_bytes"),
+    )
+
+
+@register(
+    "s23_analyze_stats",
+    """
+    SELECT 'orders' AS tbl, count(*) AS n_rows,
+           count(DISTINCT o_custkey) AS n_distinct_key,
+           floor(count(*) FILTER (WHERE o_totalprice IS NULL)::DOUBLE
+                 / count(*) * 1e6 + 0.5) / 1e6 AS null_frac
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem', count(*), count(DISTINCT l_orderkey),
+           floor(count(*) FILTER (WHERE l_quantity IS NULL)::DOUBLE
+                 / count(*) * 1e6 + 0.5) / 1e6
+    FROM lineitem
+    UNION ALL
+    SELECT 'customer', count(*), count(DISTINCT c_nationkey),
+           floor(count(*) FILTER (WHERE c_acctbal IS NULL)::DOUBLE
+                 / count(*) * 1e6 + 0.5) / 1e6
+    FROM customer
+    UNION ALL
+    SELECT 'documents', count(*), count(DISTINCT lang),
+           floor(count(*) FILTER (WHERE text IS NULL)::DOUBLE
+                 / count(*) * 1e6 + 0.5) / 1e6
+    FROM documents
+    """,
+)
+def s23_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style statistics collection: per-table row counts, key
+    cardinalities, and null fractions in one union of single-scan
+    aggregates — the stats a cost-based optimizer (and a data-quality
+    dashboard) feeds on; each branch is map-side combinable and the
+    union is plan-parallel."""
+
+    def one(tbl: str, key: str, nullable: str) -> DataFrame:
+        df = table(spark, sf_dir, tbl)
+        nf = F.count_if(F.col(nullable).isNull()).cast("double") / F.count("*")
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct(key).alias("n_distinct_key"),
+            (F.floor(nf * 1e6 + F.lit(0.5)) / 1e6).alias("null_frac"),
+        ).select(F.lit(tbl).alias("tbl"), "n_rows", "n_distinct_key", "null_frac")
+
+    return (
+        one("orders", "o_custkey", "o_totalprice")
+        .unionByName(one("lineitem", "l_orderkey", "l_quantity"))
+        .unionByName(one("customer", "c_nationkey", "c_acctbal"))
+        .unionByName(one("documents", "lang", "text"))
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
