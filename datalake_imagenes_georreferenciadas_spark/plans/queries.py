@@ -6726,6 +6726,58 @@ def s23_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "f14_json_hetero",
+    """
+    WITH j AS (
+      SELECT doc_id,
+             CASE doc_id % 3
+               WHEN 0 THEN '{"kind":"a","len":' || n_chars || '}'
+               WHEN 1 THEN '{"kind":"b","lang":"' || lang || '"}'
+               ELSE '{"kind":"c"}'
+             END AS payload
+      FROM documents WHERE doc_id < 300)
+    SELECT json_extract_string(payload, '$.kind') AS kind,
+           count(*) AS n,
+           CAST(coalesce(sum(CAST(json_extract_string(payload, '$.len')
+                                  AS BIGINT)), 0) AS BIGINT) AS total_len,
+           count(json_extract_string(payload, '$.lang')) AS n_with_lang
+    FROM j GROUP BY 1
+    """,
+)
+def f14_json_hetero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous JSON payloads (the landing-zone reality: one column,
+    several shapes): extract shared and shape-specific fields with
+    null-safe defaults, aggregate per shape — get_json_object returns
+    null for absent paths rather than erroring, so one pass handles
+    every variant without pre-splitting the stream."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    payload = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('{"kind":"a","len":'),
+                F.col("n_chars").cast("string"),
+                F.lit("}"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit('{"kind":"b","lang":"'), F.col("lang"), F.lit('"}')),
+        )
+        .otherwise('{"kind":"c"}')
+    )
+    j = docs.select("doc_id", payload.alias("payload"))
+    kind = F.get_json_object("payload", "$.kind")
+    jlen = F.get_json_object("payload", "$.len").cast("bigint")
+    jlang = F.get_json_object("payload", "$.lang")
+    return j.groupBy(kind.alias("kind")).agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(jlen), F.lit(0)).alias("total_len"),
+        F.count(jlang).alias("n_with_lang"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
