@@ -6778,6 +6778,74 @@ def f14_json_hetero(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "seq_since_marker",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, event_type,
+             CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE user_id < 60),
+    seg AS (
+      SELECT user_id, event_id, event_type,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS n_purchases,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM s),
+    marked AS (
+      SELECT user_id, event_id, event_type, n_purchases, rn,
+             max(CASE WHEN event_type = 'purchase' THEN rn END)
+               OVER (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_purchase_rn
+      FROM seg)
+    SELECT user_id, event_id,
+           CAST(rn - coalesce(last_purchase_rn, 0) AS BIGINT)
+             AS events_since_purchase
+    FROM marked WHERE event_type <> 'purchase'
+    """,
+)
+def seq_since_marker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resettable running counter: for every event, how many events since
+    the user's most recent purchase (0-start users count from their
+    first event). The reset is the running MAX of the marker's row
+    number — no island self-join, one partitioned window pass; the
+    recency feature ("actions since last conversion") every behavioral
+    model wants."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 60)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cur = w.rowsBetween(Window.unboundedPreceding, 0)
+    seg = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    marked = seg.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "rn",
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.col("rn"))
+        )
+        .over(wr)
+        .alias("last_purchase_rn"),
+    )
+    return marked.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        "event_id",
+        (F.col("rn") - F.coalesce("last_purchase_rn", F.lit(0)))
+        .cast("bigint")
+        .alias("events_since_purchase"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
