@@ -6935,6 +6935,46 @@ def geo_nearest_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "s24_blob_chunking",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             unnest(generate_series(0,
+               CAST(ceil(length(text) / 64.0) AS BIGINT) - 1)) AS chunk_idx
+      FROM documents WHERE doc_id < 100)
+    SELECT c.doc_id, c.chunk_idx,
+           md5(substring(d.text, CAST(c.chunk_idx * 64 + 1 AS INTEGER), 64))
+             AS chunk_md5
+    FROM c JOIN documents d USING (doc_id)
+    """,
+)
+def s24_blob_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size content chunking for a content-addressed store: each
+    blob splits into 64-byte chunks, each chunk keyed by its digest —
+    identical chunks dedupe across blobs and rsync-style delta sync
+    ships only changed chunks. sequence+explode fan-out is linear in
+    content size; chunk hashing is pure map work (production adds
+    content-defined boundaries — the winnowing rolling hash already in
+    `text_winnowing_fp` — same plan shape)."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    n_chunks = F.ceil(F.length("text") / 64.0).cast("bigint")
+    c = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    return c.select(
+        "doc_id",
+        "chunk_idx",
+        F.md5(
+            F.col("text").substr(
+                (F.col("chunk_idx") * 64 + 1).cast("int"), F.lit(64)
+            )
+        ).alias("chunk_md5"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
