@@ -6975,6 +6975,41 @@ def s24_blob_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a20_growth_curve",
+    """
+    WITH fs AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)::DATE) AS first_day
+      FROM events GROUP BY user_id),
+    daily AS (
+      SELECT first_day AS day, count(*) AS new_users FROM fs GROUP BY 1)
+    SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumulative_users
+    FROM daily
+    """,
+)
+def a20_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-distinct growth curve: running COUNT DISTINCT over
+    time, which no window frame computes directly — rewritten as
+    first-seen attribution (min date per user, one shuffle) + daily new
+    counts + a running sum over the ~#days post-aggregate. The
+    user-growth chart every dashboard opens with, in its scale-correct
+    decomposition."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    fs = ev.groupBy("user_id").agg(F.min("d").alias("first_day"))
+    daily = fs.groupBy("first_day").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("first_day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("first_day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
