@@ -7010,6 +7010,36 @@ def a20_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sub_all_rewrite",
+    """
+    SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+    FROM customer c
+    WHERE c.c_acctbal > ALL (SELECT s.s_acctbal FROM supplier s
+                             WHERE s.s_nationkey = c.c_nationkey)
+    """,
+)
+def sub_all_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified ALL comparison (x > ALL correlated subquery) — syntax
+    Spark SQL does not accept — rewritten as the aggregate it means:
+    greater than the per-nation MAX (vacuously true for nations with no
+    suppliers, per SQL ALL-over-empty semantics, hence the left join +
+    null-true coalesce). The oracle runs the genuine > ALL form,
+    proving the rewrite's edge cases match."""
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    supp = table(spark, sf_dir, "supplier")
+    mx = supp.groupBy(F.col("s_nationkey").alias("c_nationkey")).agg(
+        F.max("s_acctbal").alias("max_s")
+    )
+    return (
+        cust.join(F.broadcast(mx), "c_nationkey", "left")
+        .filter(F.col("max_s").isNull() | (F.col("c_acctbal") > F.col("max_s")))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
