@@ -7040,6 +7040,35 @@ def sub_all_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "w10_moving_median",
+    """
+    SELECT event_id, user_id,
+           round(quantile_cont(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med5
+    FROM events WHERE user_id < 40
+    """,
+)
+def w10_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving median over a trailing 5-row frame — robust signal
+    smoothing that a moving AVERAGE can't give (one spike drags a mean,
+    not a median). Exact interpolated percentile as a window aggregate,
+    frame-bounded state; Spark `percentile` and DuckDB `quantile_cont`
+    interpolate identically."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.percentile("value", F.lit(0.5)).over(w), 6).alias("med5"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
