@@ -7069,6 +7069,60 @@ def w10_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a21_cohort_ltv",
+    """
+    WITH ev AS (
+      SELECT user_id, value, CAST(ts AS TIMESTAMP)::DATE AS d FROM events),
+    first AS (SELECT user_id, min(d) AS d0 FROM ev GROUP BY user_id),
+    daily AS (
+      SELECT strftime(f.d0, '%Y-%m-%d') AS cohort_day,
+             date_diff('day', f.d0, e.d) AS day_offset,
+             CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS rev
+      FROM ev e JOIN first f USING (user_id)
+      GROUP BY 1, 2)
+    SELECT cohort_day, day_offset, rev,
+           CAST(sum(CAST(rev AS DECIMAL(18,4))) OVER (
+             PARTITION BY cohort_day ORDER BY day_offset
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS cumulative_rev
+    FROM daily
+    """,
+)
+def a21_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: revenue per (cohort, day-offset)
+    with the running cumulative per cohort — the LTV chart behind
+    payback-period decisions. Same first-touch decomposition as
+    `cohort_retention`, plus a cohort-partitioned running decimal sum
+    over the ~#offsets post-aggregate."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "value", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    daily = (
+        ev.join(first, "user_id")
+        .groupBy(
+            F.date_format("d0", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "d0").alias("day_offset"),
+        )
+        .agg(_dsum(F.col("value")).alias("rev"))
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "cohort_day",
+        "day_offset",
+        "rev",
+        F.sum(F.col("rev").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("cumulative_rev"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
