@@ -7123,6 +7123,42 @@ def a21_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "geo_grid_density",
+    f"""
+    WITH pts AS ({_BULK_PTS_SQL}),
+    cells AS (
+      SELECT CAST(floor(lon) AS BIGINT) AS cx,
+             CAST(floor(lat) AS BIGINT) AS cy, count(*) AS n
+      FROM pts GROUP BY 1, 2)
+    SELECT cx, cy, n FROM (
+      SELECT cx, cy, n,
+             row_number() OVER (ORDER BY n DESC, cx, cy) AS rn
+      FROM cells) WHERE rn <= 10
+    """,
+)
+def geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial density heatmap: the 20k bulk points bucketed into unit
+    grid cells, top-10 densest cells — the hotspot/coverage report and
+    the stats that size the grid-join prefilter (`geo_contains_grid`
+    cell width) and choose salting for skewed tiles. One grouped count
+    + a TakeOrdered over the tiny cell table."""
+    pts = spark.range(_BULK_N).select(
+        ((F.col("id") * 73 % 997) / 997.0 * 16.0 - 2.0).alias("lon"),
+        ((F.col("id") * 131 % 983) / 983.0 * 14.0 - 2.0).alias("lat"),
+    )
+    cells = pts.groupBy(
+        F.floor("lon").cast("bigint").alias("cx"),
+        F.floor("lat").cast("bigint").alias("cy"),
+    ).agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "cx", "cy")
+    return (
+        cells.select("cx", "cy", "n", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+        .select("cx", "cy", "n")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
