@@ -7159,6 +7159,49 @@ def geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "emb_quantile_clip",
+    """
+    WITH comp AS (
+      SELECT unnest(generate_series(0, len(embedding) - 1)) AS pos,
+             unnest(embedding)::DOUBLE AS v
+      FROM embeddings),
+    q AS (
+      SELECT pos, quantile_cont(v, 0.01) AS lo, quantile_cont(v, 0.99) AS hi
+      FROM comp GROUP BY pos)
+    SELECT c.pos,
+           count(*) FILTER (WHERE c.v < q.lo) AS n_clip_lo,
+           count(*) FILTER (WHERE c.v > q.hi) AS n_clip_hi,
+           count(*) AS n
+    FROM comp c JOIN q USING (pos)
+    GROUP BY c.pos
+    """,
+)
+def emb_quantile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding outlier audit: exact p01/p99 per
+    coordinate, then counts of components outside the band — the
+    preprocessing stats behind quantile clipping / int8 calibration of
+    an embedding table. Posexplode + per-position percentile (64
+    groups), broadcast back, one counting pass."""
+    emb = table(spark, sf_dir, "embeddings")
+    comp = emb.select(F.posexplode("embedding").alias("pos", "v")).select(
+        "pos", F.col("v").cast("double").alias("v")
+    )
+    q = comp.groupBy("pos").agg(
+        F.percentile("v", F.lit(0.01)).alias("lo"),
+        F.percentile("v", F.lit(0.99)).alias("hi"),
+    )
+    return (
+        comp.join(F.broadcast(q), "pos")
+        .groupBy("pos")
+        .agg(
+            F.count_if(F.col("v") < F.col("lo")).alias("n_clip_lo"),
+            F.count_if(F.col("v") > F.col("hi")).alias("n_clip_hi"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
