@@ -7202,6 +7202,56 @@ def emb_quantile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ts_anomaly_vs_baseline",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP)::DATE AS d, count(*) AS n
+      FROM events GROUP BY 1, 2),
+    base AS (
+      SELECT event_type, d, n,
+             quantile_cont(n, 0.5) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS baseline
+      FROM daily)
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n,
+           floor(n / baseline * 1e4 + 0.5) / 1e4 AS ratio,
+           n > 1.5 * baseline AS is_spike
+    FROM base WHERE baseline IS NOT NULL
+    """,
+)
+def ts_anomaly_vs_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly monitor: each day's event count against the MEDIAN
+    of its trailing week (robust to one bad day in the baseline,
+    unlike a mean), with the spike flag the alerting rule fires on.
+    Daily aggregate first, so the percentile window runs over ~#days
+    rows per type — the ops-monitoring staple at post-agg altitude."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-7, -1)
+    )
+    base = daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.percentile("n", F.lit(0.5)).over(w).alias("baseline"),
+    )
+    return base.filter(F.col("baseline").isNotNull()).select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n",
+        (
+            F.floor(F.col("n") / F.col("baseline") * 1e4 + F.lit(0.5)) / 1e4
+        ).alias("ratio"),
+        (F.col("n") > 1.5 * F.col("baseline")).alias("is_spike"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
