@@ -7252,6 +7252,60 @@ def ts_anomaly_vs_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEDUP_REPORT_SQL = (
+    _near_pairs_cte(0.1)
+    + """,
+exd AS (
+  SELECT count(*) AS n_docs,
+         count(*) - count(DISTINCT sha256(text)) AS n_exact_dupes
+  FROM documents),
+npx AS (SELECT count(*) AS n_near_pairs FROM pairs)
+SELECT exd.n_docs, exd.n_exact_dupes, npx.n_near_pairs,
+       floor(exd.n_exact_dupes::DOUBLE / exd.n_docs * 1e6 + 0.5) / 1e6
+         AS exact_dup_rate
+FROM exd, npx
+"""
+).replace("WITH base AS", "WITH RECURSIVE base AS", 1)
+
+
+@register("corpus_dedup_report", _DEDUP_REPORT_SQL)
+def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DASHBOARD row: corpus size, exact-duplicate count and
+    rate (digest groups), and verified near-duplicate pair count — the
+    one-line health summary a corpus pipeline publishes after every
+    snapshot, composed from the same machinery the per-family queries
+    verify. All three inputs are tiny aggregates over already-verified
+    plans."""
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    exact = docs.agg(
+        (F.count("*") - F.countDistinct(F.sha2("text", 256))).alias(
+            "n_exact_dupes"
+        )
+    )
+    pairs = D.minhash_lsh_pairs(
+        docs, k=3, num_hashes=16, bands=4, jaccard_threshold=0.1
+    )
+    np_ = pairs.agg(F.count("*").alias("n_near_pairs"))
+    return (
+        exact.crossJoin(np_)
+        .select(
+            F.lit(n_docs).alias("n_docs"),
+            "n_exact_dupes",
+            "n_near_pairs",
+            (
+                F.floor(
+                    F.col("n_exact_dupes").cast("double")
+                    / F.lit(n_docs)
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("exact_dup_rate"),
+        )
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
