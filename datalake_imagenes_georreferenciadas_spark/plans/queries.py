@@ -7306,6 +7306,34 @@ def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a6_string_agg",
+    """
+    SELECT lang,
+           string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_list,
+           count(*) AS n
+    FROM documents WHERE doc_id < 60 GROUP BY lang
+    """,
+)
+def a6_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg): per-group
+    comma-joined id lists — the manifest/report formatting aggregate.
+    Built as sort_array(collect_list(...)) + concat_ws so the
+    concatenation order is DETERMINISTIC regardless of partition
+    arrival order (raw listagg without ORDER BY is nondeterministic on
+    any parallel engine)."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return docs.groupBy("lang").agg(
+        F.concat_ws(
+            ",",
+            F.sort_array(F.collect_list(F.col("doc_id"))).cast(
+                "array<string>"
+            ),
+        ).alias("doc_list"),
+        F.count("*").alias("n"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
