@@ -7334,6 +7334,42 @@ def a6_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "p13_path_rollup",
+    """
+    WITH f AS (
+      SELECT source || '/' || lang AS dir2, source AS dir1, n_chars
+      FROM documents),
+    pre AS (
+      SELECT dir1 AS prefix, n_chars FROM f
+      UNION ALL
+      SELECT dir2, n_chars FROM f)
+    SELECT prefix, count(*) AS n_files,
+           CAST(sum(n_chars) AS BIGINT) AS total_bytes
+    FROM pre GROUP BY prefix
+    """,
+)
+def p13_path_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-size rollup (du -s over the lake): every object charges
+    each of its path prefixes, so one exploded pass yields file counts
+    and byte totals at every directory level — the storage-accounting
+    report behind quota and retention decisions. Fan-out is path depth
+    (bounded), one grouped sum."""
+    docs = table(spark, sf_dir, "documents")
+    f = docs.select(
+        F.col("source").alias("dir1"),
+        F.concat_ws("/", "source", "lang").alias("dir2"),
+        "n_chars",
+    )
+    pre = f.select(
+        F.explode(F.array("dir1", "dir2")).alias("prefix"), "n_chars"
+    )
+    return pre.groupBy("prefix").agg(
+        F.count("*").alias("n_files"),
+        F.sum("n_chars").alias("total_bytes"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
