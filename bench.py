@@ -14,7 +14,8 @@ transfer distorting the timing).
 Each query runs twice: a cold pass (first plan + any codegen for this
 shape) and a warm pass. ``queries`` carries the warm times and ``value``
 is their sum — the steady-state number round-over-round comparisons
-should use; ``queries_cold``/``cold_total`` record the first-run times.
+should use; first-run times land in ``BENCH_DETAIL.json`` (the stdout
+JSON line carries exactly the driver-contract keys and nothing else).
 The dedup family runs off a cached shingle materialization (the shared
 explode subtree is cached once; Spark's plan-matching cache substitutes
 it inside every dedup query), mirroring how a real pipeline would stage
@@ -129,6 +130,24 @@ def main() -> None:
 
     total = round(sum(warm.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # cold-pass detail goes to a side file + stderr; the stdout JSON line
+    # carries EXACTLY the driver-contract keys (extra keys broke the
+    # driver's parse in earlier rounds — keep this schema frozen).
+    detail = {
+        "queries_cold": cold,
+        "cold_total": round(sum(cold.values()), 3),
+        "sf": sf_val,
+    }
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            "w",
+        ) as fh:
+            json.dump(detail, fh)
+    except OSError:
+        pass
+    print(f"# cold detail: {json.dumps(detail)}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -136,12 +155,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": warm,
-                "queries_cold": cold,
-                "cold_total": round(sum(cold.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
         )
     )
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

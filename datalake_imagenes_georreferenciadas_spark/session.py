@@ -29,6 +29,10 @@ def get_spark(app_name: str = "datalake_imagenes_georreferenciadas_spark") -> Sp
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # parquet µs timestamps with isAdjustedToUTC=false should read as
+        # session-zone (UTC) TIMESTAMP, not TIMESTAMP_NTZ — keeps numeric
+        # casts legal and matches the DuckDB oracle's naive-UTC read
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")

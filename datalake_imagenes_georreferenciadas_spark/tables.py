@@ -34,18 +34,27 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table as a DataFrame (lazy parquet scan).
 
-    ``events.parquet`` carries TIMESTAMP(NANOS) which the vectorized parquet
-    reader rejects; read nanos as long (legacy conf, runtime-settable) and
-    convert to a microsecond timestamp with integer division (`div`, not
-    float `/` — ns epochs exceed 2^53 so a double round-trip loses bits).
-    DuckDB truncates ns→µs the same way, so oracles agree.
+    ``events.ts`` is normalized to a session-zone (UTC) TIMESTAMP whatever
+    the generator wrote:
+
+    - TIMESTAMP(NANOS): the vectorized reader rejects it; read nanos as
+      long (legacy conf, runtime-settable) and convert with integer
+      division (`div`, not float `/` — ns epochs exceed 2^53 so a double
+      round-trip loses bits). DuckDB truncates ns→µs the same way.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+      TIMESTAMP_NTZ, which refuses numeric casts downstream; cast to the
+      session-zone type (session tz is pinned UTC, so the instant is
+      unchanged and matches DuckDB's naive read).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
