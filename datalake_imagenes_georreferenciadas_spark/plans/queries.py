@@ -5640,7 +5640,14 @@ def pipeline_geo_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.foreachPartition(write_files)
         with open(marker, "w") as f:
             f.write("ok")
-    meta = extract_image_meta(read_binary_dir(spark, dest))
+    # binaryFile sizes partitions by openCostInBytes (4 MB/file default), so
+    # thousands of small blobs explode into near-empty partitions that each
+    # pay an Arrow python-worker round trip; coalesce (no shuffle) back to
+    # core parallelism before the decode kernel.
+    blobs = read_binary_dir(spark, dest).coalesce(
+        spark.sparkContext.defaultParallelism
+    )
+    meta = extract_image_meta(blobs)
     pts = meta.filter(F.col("clase") == "BR").select(
         F.regexp_extract(F.col("path"), r"(\d+)\.jpg$", 1)
         .cast("long")
