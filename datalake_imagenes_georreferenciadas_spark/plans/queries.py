@@ -35,7 +35,7 @@ from ..operators import similarity as SIM
 from ..operators.sessionize import sessionize
 from ..operators.spatial import classify_points, contains_join, contains_join_grid, nearest_vertex_join
 from ..operators.topk import argmin_per_group, topk_per_group
-from ..tables import table
+from ..tables import spread, table
 from . import geo_fixture as GF
 from .flagship import FLAGSHIP_ORACLE_SQL, catalog_filtered_join
 
@@ -902,8 +902,10 @@ FROM documents
 
 @register("text_stats", _TEXT_STATS_SQL)
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + quality scoring + language-ID + fingerprint."""
-    docs = table(spark, sf_dir, "documents")
+    """Token counting + quality scoring + language-ID + fingerprint.
+    The four kernels are embarrassingly parallel; ``spread`` rebalances a
+    single-split scan so they don't serialize into one task."""
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
     return docs.select(
         "doc_id",
         TX.token_count(F.col("text")).alias("n_tokens"),
@@ -2565,21 +2567,22 @@ def text_winnowing_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     per sliding window of {w}, deduped — the rolling-hash document sketch
     guaranteeing a shared fingerprint for any match ≥ w+k-1 tokens.
 
-    Plan shape: the shingle-hash array is materialized through a
-    repartition exchange so the window mins read an ATTRIBUTE (free)
-    rather than re-evaluating the tokenize→shingle→hash subtree per
-    window position (the O(T²) higher-order-function trap); the window
-    sweep itself is O(T·w) array arithmetic, JVM-side, shuffle-free.
+    Plan shape: the raw docs rebalance through one small exchange (text
+    payload, only when the scan under-parallelizes), so the
+    tokenize→shingle→hash kernel runs at full parallelism; the hash
+    array stays a single-reference projection (CollapseProject keeps the
+    boundary for non-trivial multi-referenced aliases, so the window
+    mins do NOT re-evaluate the subtree per position); the window sweep
+    is O(T·w) array arithmetic, JVM-side, shuffle-free.
     """
-    docs = table(spark, sf_dir, "documents")
-    n_part = spark.sparkContext.defaultParallelism
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
     hs = docs.select(
         "doc_id",
         F.transform(
             H.shingles(F.col("text"), _WINNOW_K),
             lambda sh: H.hash64(sh, seed=0),
         ).alias("__hs"),
-    ).repartition(n_part, "doc_id")
+    )
     w = _WINNOW_W
     return hs.filter(F.size("__hs") >= w).select(
         "doc_id",

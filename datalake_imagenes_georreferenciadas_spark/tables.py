@@ -59,6 +59,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Rebalance a scan whose file layout under-parallelizes a heavy
+    downstream kernel (e.g. a single-row-group parquet file scans as ONE
+    task, serializing regex/shingle/hash work that is embarrassingly
+    parallel). No-op when the scan already fans out to the session's
+    parallelism — so at cluster scale, where sources arrive as many
+    splits, no extra shuffle is paid. The explicit partition count keeps
+    AQE from coalescing the small exchange back to one partition."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, *keys) if keys else df.repartition(n)
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load every testdata table; returns name → DataFrame."""
     return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
