@@ -119,9 +119,15 @@ def main() -> None:
         t0 = time.time()
         n = materialize(queries[name](spark, sf_dir))
         cold[name] = round(time.time() - t0, 3)
-        t0 = time.time()
-        materialize(queries[name](spark, sf_dir))
-        warm[name] = round(time.time() - t0, 3)
+        # two warm passes, keep the min: this VM shows heavy run-to-run
+        # noise (host steal / memory compaction), and min-of-k is the
+        # standard way to report the code's latency rather than the host's
+        passes = []
+        for _ in range(2):
+            t0 = time.time()
+            materialize(queries[name](spark, sf_dir))
+            passes.append(time.time() - t0)
+        warm[name] = round(min(passes), 3)
         print(
             f"# {name}: cold {cold[name]:.3f}s / warm {warm[name]:.3f}s ({n} rows)",
             file=sys.stderr,
