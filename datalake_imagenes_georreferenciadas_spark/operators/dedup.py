@@ -172,6 +172,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     jaccard_threshold: float = 0.5,
+    new_from: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding + exact Jaccard verify.
 
@@ -179,12 +180,22 @@ def minhash_lsh_pairs(
     distinct candidate pairs → verify with exact shingle-set Jaccard →
     threshold. The only shuffles are the band join and the distinct — no
     cross join anywhere.
+
+    ``new_from`` makes the join INCREMENTAL: only pairs whose larger id is
+    ≥ the split survive, i.e. new-batch×corpus and new×new — corpus-
+    internal pairs (already emitted by previous runs) are never generated.
+    Since ``a_id < b_id``, the predicate sits entirely on the probe side,
+    so Catalyst pushes it below the band join: the corpus side stays a
+    full index scan while the probe side shrinks to the new batch — the
+    ingest-time dedup gate shape (hash the delta, probe the index).
     """
     sig = with_minhash(
         df, text_col, k, num_hashes, bands, id_col, keep_shingles=False
     ).select(F.col(id_col), F.explode(F.col("__bands")).alias("band"))
     left = sig.select(F.col(id_col).alias("a_id"), "band")
     right = sig.select(F.col(id_col).alias("b_id"), "band")
+    if new_from is not None:
+        right = right.filter(F.col("b_id") >= new_from)
     cand = (
         left.join(right, "band")
         .filter(F.col("a_id") < F.col("b_id"))

@@ -792,15 +792,17 @@ def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.explode("__bands").alias("band"))
 
 
-def _near_pairs_cte(threshold: float = 0.1) -> str:
+def _near_pairs_cte(threshold: float = 0.1, new_from: int | None = None) -> str:
     """CTE prefix ending in ``pairs`` = verified MinHash-LSH near-dup
     pairs above ``threshold`` (shared by the pairs query and the
-    connected-components oracle)."""
+    connected-components oracle). ``new_from`` mirrors the incremental
+    probe-side split of ``minhash_lsh_pairs``."""
+    probe = f" AND b.doc_id >= {new_from}" if new_from is not None else ""
     return _minhash_cte() + f""",
 expl AS (SELECT doc_id, unnest(bands) AS band FROM bandt),
 cand AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-  FROM expl a JOIN expl b ON a.band = b.band AND a.doc_id < b.doc_id),
+  FROM expl a JOIN expl b ON a.band = b.band AND a.doc_id < b.doc_id{probe}),
 verified AS (
   SELECT c.a_id, c.b_id,
          round(len(list_filter(list_distinct(sa.shingles), s -> list_contains(sb.shingles, s)))::DOUBLE
@@ -7401,6 +7403,114 @@ def p13_path_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INCR_SPLIT = 400
+
+_INCR_PAIRS_SQL = (
+    _near_pairs_cte(0.1, _INCR_SPLIT) + "\nSELECT a_id, b_id, jaccard FROM pairs"
+)
+
+
+@register("dedup_incremental_pairs", _INCR_PAIRS_SQL)
+def dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time near-dup gate: a new batch (doc_id ≥ split) probed
+    against the already-deduped corpus via MinHash-LSH — corpus-internal
+    pairs are never generated, only new×corpus and new×new. The probe-side
+    predicate pushes below the band join, so the corpus side is a full
+    index while the probe side is just the delta — hash-the-delta /
+    probe-the-index, the shape an incremental 100 TB ingest needs."""
+    return D.minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"),
+        k=3,
+        num_hashes=16,
+        bands=4,
+        jaccard_threshold=0.1,
+        new_from=_INCR_SPLIT,
+    )
+
+
+_ANN_FILTERED_SQL = f"""
+WITH cand AS (SELECT vec_id, embedding FROM embeddings WHERE label = 3),
+q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT q.q_id, e.vec_id, round({V.cosine_sql('e.embedding', 'q.qe')}, 6) AS cos
+  FROM cand e, q)
+SELECT q_id, vec_id, cos, rank FROM (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
+@register("ann_filtered_topk", _ANN_FILTERED_SQL)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search (PRE-filter semantics): the label
+    predicate prunes the candidate scan BEFORE any vector math — top-k is
+    then exact over survivors. Pre-filter beats post-filter whenever the
+    predicate is selective: post-filtering an ANN result can return < k
+    rows, while the pushed predicate here reaches the parquet scan
+    (PushedFilters) and the per-vector cosine runs only on the filtered
+    partition stream."""
+    emb = table(spark, sf_dir, "embeddings")
+    cand = emb.filter(F.col("label") == 3)
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return SIM.brute_force_topk(cand, queries, k=5)
+
+
+_VOCAB_OOV_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_TOKS_SQL}) AS t FROM documents),
+vocab AS (
+  SELECT t FROM (
+    SELECT t, count(*) AS c,
+           row_number() OVER (ORDER BY count(*) DESC, t) AS rn
+    FROM tok GROUP BY t) WHERE rn <= 100),
+flagged AS (
+  SELECT doc_id, lang,
+         CASE WHEN t IN (SELECT t FROM vocab) THEN 0 ELSE 1 END AS oov
+  FROM tok)
+SELECT lang, count(DISTINCT doc_id) AS n_docs,
+       count(*) AS total_tokens,
+       CAST(sum(oov) AS BIGINT) AS oov_tokens,
+       round(sum(oov)::DOUBLE / count(*), 6) AS oov_rate
+FROM flagged GROUP BY lang
+"""
+
+
+@register("vocab_oov_rate", _VOCAB_OOV_SQL)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-health report: corpus-wide top-100 vocabulary (ties
+    broken lexically for determinism), then per-language out-of-vocabulary
+    token rate. Plan: one token explode feeds BOTH the vocab aggregate
+    (tiny, broadcast back) and the per-language flag/aggregate — the OOV
+    flag is a broadcast left-semi-style join, no shuffle of the token
+    stream beyond its own groupBys; rates are one division per language
+    over exact integer sums (order-independent, cross-engine stable)."""
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
+    tok = docs.select("doc_id", "lang", F.explode(H.tokens(F.col("text"))).alias("t"))
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("t"))
+        .limit(100)  # TakeOrderedAndProject: per-partition top-k, no global sort
+        .select("t")
+    )
+    flagged = tok.join(
+        F.broadcast(vocab.withColumn("__in", F.lit(1))), "t", "left"
+    ).select(
+        "doc_id",
+        "lang",
+        F.when(F.col("__in").isNotNull(), F.lit(0)).otherwise(F.lit(1)).alias("oov"),
+    )
+    return flagged.groupBy("lang").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count("*").alias("total_tokens"),
+        F.sum("oov").cast("bigint").alias("oov_tokens"),
+        F.round(F.sum("oov") / F.count("*"), 6).alias("oov_rate"),
+    )
+
+
 # The verify driver samples the FIRST 50 entries of ``queries()`` each
 # round. Rotate not-yet-driver-verified names to the front so every round
 # adds ~50 fresh driver-verified rows; names already green in a prior
@@ -7558,6 +7668,9 @@ _DRIVER_CHECK_FRONT: list[str] = [
     "corpus_dedup_report",
     "a6_string_agg",
     "p13_path_rollup",
+    "dedup_incremental_pairs",
+    "ann_filtered_topk",
+    "vocab_oov_rate",
 ]
 
 

@@ -81,6 +81,14 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     "ts_mom_growth": (2, ["Window", "HashAggregate"]),
     # quantized centroid: explode + one grouped agg, no join at all
     "emb_centroid": (1, ["Generate", "HashAggregate", "!BroadcastHashJoin", "!SortMergeJoin"]),
+    # incremental dedup gate: the new-batch split must push below the band
+    # join into the probe-side parquet scan (hash the delta, probe the index)
+    "dedup_incremental_pairs": (6, ["GreaterThanOrEqual(doc_id,400)", "BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
+    # filtered vector search: metadata predicate prunes the scan BEFORE any
+    # vector math; queries broadcast
+    "ann_filtered_topk": (1, ["EqualTo(label,3)", "BroadcastNestedLoopJoin", "!SortMergeJoin"]),
+    # vocab/OOV: top-100 via TakeOrdered (no global sort), vocab broadcast
+    "vocab_oov_rate": (4, ["TakeOrderedAndProject", "BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
 }
 
 
