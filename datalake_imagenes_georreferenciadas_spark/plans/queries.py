@@ -7511,6 +7511,161 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HYBRID_TERMS = ("spark", "merge", "table")
+_HYBRID_TERMS_SQL = "('" + "', '".join(_HYBRID_TERMS) + "')"
+
+_HYBRID_FUSED_SQL = f"""
+WITH lex AS (
+  SELECT doc_id, count(DISTINCT t) AS n_hit
+  FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS t FROM documents)
+  WHERE t IN {_HYBRID_TERMS_SQL} GROUP BY doc_id),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+vec AS (
+  SELECT e.vec_id AS doc_id, round({V.cosine_sql('e.embedding', 'q.qe')}, 6) AS cos
+  FROM embeddings e, q),
+fused AS (
+  SELECT v.doc_id,
+         coalesce(l.n_hit, 0) AS n_hit, v.cos,
+         round(0.3 * coalesce(l.n_hit, 0) / {len(_HYBRID_TERMS)}.0 + 0.7 * v.cos, 6) AS score
+  FROM vec v LEFT JOIN lex l ON v.doc_id = l.doc_id)
+SELECT doc_id, n_hit, cos, score, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM fused)
+WHERE rank <= 10
+"""
+
+
+@register("hybrid_fused_topk", _HYBRID_FUSED_SQL)
+def hybrid_fused_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval, weighted-fusion flavor: a lexical signal (count of
+    distinct query terms present) and a vector signal (cosine vs the query
+    embedding) combined as 0.3·lex_norm + 0.7·cos, global top-10. The
+    lexical side filters the token explode to the (tiny, literal) term set
+    BEFORE any aggregation — the inverted-index probe — and joins onto the
+    vector scores at #candidates altitude; the final top-k is
+    TakeOrderedAndProject, never a global sort."""
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    lex = (
+        docs.select("doc_id", F.explode(H.tokens(F.col("text"))).alias("t"))
+        .filter(F.col("t").isin(*_HYBRID_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("t").alias("n_hit"))
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    vec = emb.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(V.cosine(F.col("embedding"), F.col("qe")), 6).alias("cos"),
+    )
+    fused = (
+        vec.join(lex, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            "cos",
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) * (0.3 / len(_HYBRID_TERMS))
+                + 0.7 * F.col("cos"),
+                6,
+            ).alias("score"),
+        )
+    )
+    return (
+        fused.orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+        .select(
+            "doc_id",
+            "n_hit",
+            "cos",
+            "score",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+            .alias("rank"),
+        )
+    )
+
+
+_HYBRID_RRF_SQL = f"""
+WITH lex AS (
+  SELECT doc_id, count(*) AS n_hit
+  FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS t FROM documents)
+  WHERE t IN {_HYBRID_TERMS_SQL} GROUP BY doc_id),
+lex_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY n_hit DESC, doc_id) AS r
+  FROM lex),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+vec_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r FROM (
+    SELECT e.vec_id AS doc_id, round({V.cosine_sql('e.embedding', 'q.qe')}, 6) AS cos
+    FROM embeddings e, q)),
+rrf AS (
+  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         round(coalesce(1.0 / (60 + l.r), 0) + coalesce(1.0 / (60 + v.r), 0), 9) AS rrf_score
+  FROM (SELECT * FROM lex_rank WHERE r <= 100) l
+  FULL OUTER JOIN (SELECT * FROM vec_rank WHERE r <= 100) v ON l.doc_id = v.doc_id)
+SELECT doc_id, rrf_score, rank FROM (
+  SELECT doc_id, rrf_score,
+         row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank FROM rrf)
+WHERE rank <= 10
+"""
+
+
+@register("hybrid_rrf_topk", _HYBRID_RRF_SQL)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval, reciprocal-rank-fusion flavor: top-100 lexical and
+    top-100 vector result lists fused by Σ 1/(60+rank) — score-scale-free,
+    the standard RAG ensemble. Each list's global ranking runs over an
+    ALREADY-REDUCED candidate set (term-filtered hits / per-query top-100),
+    so the unpartitioned windows rank hundreds of rows, not the corpus; at
+    fleet scale the per-query lists arrive pre-truncated from the ANN
+    path (ann_lsh_topk) and fusion stays O(lists × k)."""
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    lex = (
+        docs.select("doc_id", F.explode(H.tokens(F.col("text"))).alias("t"))
+        .filter(F.col("t").isin(*_HYBRID_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    lex_rank = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("n_hit").desc(), F.col("doc_id")))
+        .alias("r"),
+    ).filter(F.col("r") <= 100)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    vec = emb.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(V.cosine(F.col("embedding"), F.col("qe")), 6).alias("cos"),
+    )
+    vec_rank = vec.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cos").desc(), F.col("doc_id")))
+        .alias("r"),
+    ).filter(F.col("r") <= 100)
+    l = lex_rank.select(F.col("doc_id").alias("l_id"), F.col("r").alias("lr"))
+    v = vec_rank.select(F.col("doc_id").alias("v_id"), F.col("r").alias("vr"))
+    rrf = l.join(v, l.l_id == v.v_id, "full_outer").select(
+        F.coalesce(F.col("l_id"), F.col("v_id")).alias("doc_id"),
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("lr")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("vr")), F.lit(0.0)),
+            9,
+        ).alias("rrf_score"),
+    )
+    return (
+        rrf.orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(10)
+        .select(
+            "doc_id",
+            "rrf_score",
+            F.row_number()
+            .over(Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id")))
+            .alias("rank"),
+        )
+    )
+
+
 # The verify driver samples the FIRST 50 entries of ``queries()`` each
 # round. Rotate not-yet-driver-verified names to the front so every round
 # adds ~50 fresh driver-verified rows; names already green in a prior
@@ -7671,6 +7826,8 @@ _DRIVER_CHECK_FRONT: list[str] = [
     "dedup_incremental_pairs",
     "ann_filtered_topk",
     "vocab_oov_rate",
+    "hybrid_fused_topk",
+    "hybrid_rrf_topk",
 ]
 
 
