@@ -7666,173 +7666,39 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The verify driver samples the FIRST 50 entries of ``queries()`` each
-# round. Rotate not-yet-driver-verified names to the front so every round
-# adds ~50 fresh driver-verified rows; names already green in a prior
-# CORRECTNESS_r{N}.json stay registered (and locally oracle-checked via
-# tools/verify_oracle.py) but yield their slot. Update per round.
-_DRIVER_CHECK_FRONT: list[str] = [
-    "j_range_join",
-    "j_asof_join",
-    "w4_rank_funcs",
-    "a4_grouping_sets",
-    "a5_approx_distinct",
-    "dedup_ngram_jaccard",
-    "dedup_cosine_pairs",
-    "s11_csv_roundtrip",
-    "s12_content_key",
-    "streaming_session",
-    "geo_reproject_centroid",
-    "ann_ivf_topk",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "s16_partitioned_publish",
-    "multimodal_frames",
-    "a4_pivot",
-    "a4_unpivot",
-    "sub_scalar",
-    "sub_in",
-    "a4_percentiles",
-    "text_edit_distance",
-    "w5_range_frame",
-    "tpch_q3_shape",
-    "tpch_q5_shape",
-    "f17_cosine_pandas",
-    "f15_map_ops",
-    "geo_classify_bulk",
-    "s6_features_json",
-    "f_date_arith",
-    "f_string_pack2",
-    "f_array_pack2",
-    "f_conditionals",
-    "w6_distribution_funcs",
-    "j1_correlated_exists",
-    "f15_lateral_explode",
-    "s2_archive_extract",
-    "text_quality_filter",
-    "text_winnowing_fp",
-    "streaming_stateful_totals",
-    "j_bucketed_join",
-    "w7_gap_fill",
-    "catalog_snapshot_diff",
-    "text_top_bigrams",
-    "sub_correlated_scalar",
-    "streaming_stream_join",
-    "geo_zorder_key",
-    "a4_histogram",
-    "p8_hash_sample",
-    "g1_trend_fit",
-    "ann_ivf_kmeans",
-    "s17_compaction",
-    "s18_schema_evolution",
-    "ts_resample_interp",
-    "streaming_sliding",
-    "geo_ring_areas",
-    "s6_features_corrupt",
-    "f18_python_udtf",
-    "f15_array_setops",
-    "a4_grouping_id",
-    "sql_recursive_cte",
-    "a6_collect_sorted",
-    "a7_moments",
-    "f15_map_transform",
-    "pipeline_corpus_prep",
-    "pack_sequences",
-    "corpus_mixture",
-    "contamination_ngrams",
-    "text_repetition",
-    "j_bloom_prefilter",
-    "incremental_agg_merge",
-    "training_order",
-    "graph_pagerank",
-    "cms_heavy_hitters",
-    "dq_constraints",
-    "stratified_sample",
-    "streaming_dedup",
-    "j1_full_outer",
-    "s19_orc_roundtrip",
-    "a8_corr",
-    "set_intersect_all",
-    "set_except_all",
-    "a9_mode",
-    "funnel_conversion",
-    "cohort_retention",
-    "streaming_topk",
-    "geo_bbox_agg",
-    "emb_centroid",
-    "ts_mom_growth",
-    "ts_rolling_distinct",
-    "a10_mad",
-    "ts_streaks",
-    "s20_jsonl_roundtrip",
-    "s21_targeted_delete",
-    "scd2_build",
-    "j1_null_safe_join",
-    "table_checksum_diff",
-    "theta_avoid_prefix",
-    "g2_cogroup_merge",
-    "cdc_upsert_compact",
-    "seq_transitions",
-    "a11_winsorized_mean",
-    "a12_gini",
-    "f15_explode_outer",
-    "ts_missing_days",
-    "a13_equifreq_bins",
-    "ts_twap",
-    "ts_interval_coverage",
-    "p9_weighted_sample",
-    "a14_minmax_scale",
-    "p10_train_val_test",
-    "p11_dense_ids",
-    "pipeline_geo_ingest",
-    "w8_leave_one_out",
-    "text_pii_scrub",
-    "w9_trailing_array",
-    "dq_k_anonymity",
-    "ml_negative_pairs",
-    "ts_hypertable_rollup",
-    "a5_kmv_distinct",
-    "graph_copurchase",
-    "s22_orphan_files",
-    "ann_multiprobe_topk",
-    "ann_recall_eval",
-    "dedup_simhash_pairs",
-    "ts_rank_shift",
-    "a15_abc_classify",
-    "a16_share_of_parent",
-    "seq_first_last_flow",
-    "p12_per_source_cap",
-    "a17_hist_median",
-    "a18_outlier_zscore",
-    "dq_shard_balance",
-    "dedup_cluster_sizes",
-    "j_lateral_topn",
-    "f_binary_codecs",
-    "s23_analyze_stats",
-    "f14_json_hetero",
-    "seq_since_marker",
-    "geo_nearest_edge",
-    "s24_blob_chunking",
-    "a20_growth_curve",
-    "sub_all_rewrite",
-    "w10_moving_median",
-    "a21_cohort_ltv",
-    "geo_grid_density",
-    "emb_quantile_clip",
-    "ts_anomaly_vs_baseline",
-    "corpus_dedup_report",
-    "a6_string_agg",
-    "p13_path_rollup",
-    "dedup_incremental_pairs",
-    "ann_filtered_topk",
-    "vocab_oov_rate",
-    "hybrid_fused_topk",
-    "hybrid_rrf_topk",
-]
+# The external verify driver samples the FIRST 50 entries of ``queries()``
+# each round. Rotation is SELF-MAINTAINING: any query that already has a
+# fully-green row (rows+schema+hash) in some CORRECTNESS_r{N}.json yields
+# its slot to not-yet-verified (or previously red) names, so every round's
+# 50-query window adds fresh externally-verified coverage. Within each
+# group, registration order is preserved. All queries stay locally
+# oracle-checked via tools/verify_oracle.py regardless of rotation.
+
+
+def _driver_green_names() -> set:
+    import glob
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    green = set()
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            try:
+                if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
+                    green.add(name)
+            except AttributeError:
+                continue
+    return green
 
 
 def _rotated(reg: dict) -> dict:
-    out = {n: reg[n] for n in _DRIVER_CHECK_FRONT if n in reg}
+    green = _driver_green_names()
+    out = {n: v for n, v in reg.items() if n not in green}
     for n, v in reg.items():
         if n not in out:
             out[n] = v
