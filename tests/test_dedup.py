@@ -182,3 +182,31 @@ def test_dedup_components_paths_agree(spark):
         ).collect()
     }
     assert small == dist == {1: 1, 2: 1, 3: 1, 9: 9}
+
+
+def test_incremental_pairs_skip_corpus_internal(spark):
+    """new_from: corpus-internal pairs (both ids below the split) are never
+    generated; cross-boundary and new-new pairs match the full run."""
+    t1 = "uno dos tres cuatro cinco seis siete ocho"
+    t2 = "alpha beta gamma delta epsilon zeta eta theta"
+    df = _docs(
+        spark,
+        [
+            (1, t1),  # corpus
+            (2, t1),  # corpus dup of 1 — must NOT pair incrementally
+            (10, t1),  # new dup of the corpus — cross pair
+            (11, t2),  # new
+            (12, t2),  # new dup of new — new-new pair
+        ],
+    )
+    full = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_lsh_pairs(df, jaccard_threshold=0.9).collect()
+    }
+    incr = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_lsh_pairs(df, jaccard_threshold=0.9, new_from=10).collect()
+    }
+    assert (1, 2) in full and (1, 2) not in incr  # corpus-internal suppressed
+    assert incr == {p for p in full if p[1] >= 10}  # everything else identical
+    assert {(1, 10), (2, 10), (11, 12)} <= incr
