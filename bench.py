@@ -79,6 +79,9 @@ BENCH_QUERIES = [
     "pipeline_geo_ingest",
     "ts_rolling_distinct",
     "table_checksum_diff",
+    "dedup_incremental_pairs",
+    "hybrid_rrf_topk",
+    "vocab_oov_rate",
 ]
 
 
