@@ -275,3 +275,46 @@ def lsh_ann_topk(
     return topk_per_group(
         scored, [query_id], [F.col("cos").desc(), F.col(data_id)], k, rank_col="rank"
     ).select(query_id, data_id, "cos", "rank")
+
+
+def rerank_crossencoder(
+    cands: DataFrame,
+    docs: DataFrame,
+    query_tag: str = "ce",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Second-stage reranking of a retrieval candidate list — the
+    cross-encoder step of a RAG pipeline, as Arrow ``mapInPandas``
+    plumbing.
+
+    The candidate set (tiny: top-k from RRF/ANN) broadcasts onto the
+    document store to fetch texts, then a Pandas batch kernel scores each
+    (query, text) pair. THE KERNEL IS THE MODEL CALL SITE: a real
+    deployment runs the cross-encoder forward pass on the batch there
+    (exactly the shape model-serving wants — Arrow columnar in, scores
+    out); this container has no model runtime, so the body is a
+    deterministic md5 stub over the same bytes, which keeps the operator
+    oracle-verifiable end-to-end (DuckDB computes the identical digest).
+    Scores are 60-bit-md5 mod 1e6 INTEGERS — exact in Spark, DuckDB and
+    Python, no float-rounding drift across engines.
+    """
+    joined = docs.select(F.col(id_col), F.col(text_col)).join(
+        F.broadcast(cands), id_col
+    )
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in cands.schema.fields
+    ) + ", ce_score long"
+    tag = query_tag
+
+    def score_batches(batches):
+        for pdf in batches:
+            scored = pdf.drop(columns=[text_col])
+            scored["ce_score"] = [
+                int(hashlib.md5(f"{tag}:{t}".encode("utf-8")).hexdigest()[:15], 16)
+                % 1_000_000
+                for t in pdf[text_col]
+            ]
+            yield scored
+
+    return joined.mapInPandas(score_batches, schema=out_schema)

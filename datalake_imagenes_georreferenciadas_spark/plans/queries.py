@@ -7666,6 +7666,46 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HYBRID_RERANK_SQL = f"""
+WITH cand10 AS ({_HYBRID_RRF_SQL}),
+scored AS (
+  SELECT c.doc_id, c.rrf_score, c.rank,
+         (('0x' || substring(md5('ce:' || d.text), 1, 15))::BIGINT % 1000000) AS ce_score
+  FROM cand10 c JOIN documents d USING (doc_id))
+SELECT doc_id, rrf_score, ce_score, ce_rank FROM (
+  SELECT doc_id, rrf_score, ce_score,
+         row_number() OVER (ORDER BY ce_score DESC, doc_id) AS ce_rank
+  FROM scored)
+WHERE ce_rank <= 5
+"""
+
+
+@register("hybrid_rerank_topk", _HYBRID_RERANK_SQL)
+def hybrid_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full two-stage retrieval: RRF-fused top-10 candidates → Arrow
+    mapInPandas cross-encoder rerank → top-5. The rerank kernel is the
+    model call site (see operators.similarity.rerank_crossencoder):
+    candidates broadcast onto the doc store, texts batch through the
+    Pandas kernel, integer digest scores keep it oracle-exact. At fleet
+    scale the expensive model pass touches only k rows per query — the
+    first stage already reduced the corpus."""
+    docs = table(spark, sf_dir, "documents")
+    cands = hybrid_rrf_topk(spark, sf_dir)
+    reranked = SIM.rerank_crossencoder(cands, docs, query_tag="ce")
+    return (
+        reranked.orderBy(F.col("ce_score").desc(), "doc_id")
+        .limit(5)
+        .select(
+            "doc_id",
+            "rrf_score",
+            "ce_score",
+            F.row_number()
+            .over(Window.orderBy(F.col("ce_score").desc(), F.col("doc_id")))
+            .alias("ce_rank"),
+        )
+    )
+
+
 # The external verify driver samples the FIRST 50 entries of ``queries()``
 # each round. Rotation is SELF-MAINTAINING: any query that already has a
 # fully-green row (rows+schema+hash) in some CORRECTNESS_r{N}.json yields
