@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "dedup_incremental_pairs",
     "hybrid_rrf_topk",
     "vocab_oov_rate",
+    "hybrid_rerank_topk",
 ]
 
 

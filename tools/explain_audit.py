@@ -89,6 +89,12 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     "ann_filtered_topk": (1, ["EqualTo(label,3)", "BroadcastNestedLoopJoin", "!SortMergeJoin"]),
     # vocab/OOV: top-100 via TakeOrdered (no global sort), vocab broadcast
     "vocab_oov_rate": (4, ["TakeOrderedAndProject", "BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
+    # two-stage retrieval: tiny candidate list broadcasts onto the doc
+    # store; the Arrow rerank kernel runs above that join, and the final
+    # top-5 is TakeOrdered. (One SortMergeJoin is expected and fine: the
+    # RRF full-outer rank join cannot broadcast — Spark has no broadcast
+    # full-outer — and both its inputs are pre-truncated to ≤100 rows.)
+    "hybrid_rerank_topk": (4, ["MapInPandas", "BroadcastHashJoin", "TakeOrderedAndProject", "!CartesianProduct"]),
 }
 
 
