@@ -3730,7 +3730,8 @@ def contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     tr = (
-        docs.filter(~is_eval)
+        spread(docs, "doc_id")  # shingle kernel parallel even off 1 split
+        .filter(~is_eval)
         .select("doc_id", F.explode(H.shingles(F.col("text"), 2)).alias("sh"))
         .distinct()
     )
