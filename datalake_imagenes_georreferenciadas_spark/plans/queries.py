@@ -7667,6 +7667,87 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+_BM25_SQL = f"""
+WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, t, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS t FROM d)
+  WHERE t IN {_HYBRID_TERMS_SQL} GROUP BY doc_id, t),
+df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+             * tf.tf * ({_BM25_K1} + 1)
+             / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))
+         ) AS score
+  FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6) AS bm25, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scored)
+WHERE rank <= 10
+"""
+
+
+@register("bm25_topk", _BM25_SQL)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical ranking for the query terms — the standard sparse
+    retriever (k1=1.2, b=0.75, the +1 idf variant that stays positive).
+    Plan shape: the token explode filters to the (literal, tiny) term set
+    immediately — the inverted-index probe — so tf/df aggregates run over
+    hits only; doc lengths come from a separate no-explode projection;
+    the corpus stats (N, avgdl) are a one-row aggregate broadcast into
+    the scoring join; final top-10 is TakeOrdered. Nothing in the plan
+    scales with corpus size except the initial scan."""
+    docs = table(spark, sf_dir, "documents")
+    d = spread(docs, "doc_id").select("doc_id", H.tokens(F.col("text")).alias("toks"))
+    dl = d.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("t"))
+        .filter(F.col("t").isin(*_HYBRID_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("t").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+                * F.col("tf") * (_BM25_K1 + 1)
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("score")
+        )
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+        .select(
+            "doc_id",
+            "bm25",
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+            .alias("rank"),
+        )
+    )
+
+
 _HYBRID_RERANK_SQL = f"""
 WITH cand10 AS ({_HYBRID_RRF_SQL}),
 scored AS (
