@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "hybrid_rrf_topk",
     "vocab_oov_rate",
     "hybrid_rerank_topk",
+    "bm25_topk",
 ]
 
 
