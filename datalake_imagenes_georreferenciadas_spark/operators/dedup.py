@@ -332,8 +332,39 @@ def dedup_components(
     pairs = minhash_lsh_pairs(
         df, id_col, text_col, k, num_hashes, bands, jaccard_threshold
     )
-    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")).persist()
+    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    labels = components_from_edges(edges, max_iterations, small_graph_threshold)
+    all_ids = df.select(F.col(id_col).alias("id"))
+    return all_ids.join(labels, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("component", F.col("id").cast("long")).alias("component"),
+    )
+
+
+def components_from_edges(
+    edges: DataFrame,
+    max_iterations: int = 20,
+    small_graph_threshold: int = 1_000_000,
+) -> DataFrame:
+    """(id, component) min-label connected components for every
+    edge-incident node of an (src, dst) edge list — the shared engine
+    behind near-dup clustering and eps-connectivity spatial clustering.
+
+    Hybrid execution, both paths deterministic and result-identical:
+    below ``small_graph_threshold`` edges a driver-side union-find
+    resolves components in one pass (edge lists after candidate pruning
+    are tiny relative to the corpus); above it, iterative min-label
+    propagation over edge-incident nodes only — each round one
+    distributed join + groupBy, converged when the monotonically-
+    decreasing label sum stops falling (rounds = cluster diameter).
+    ``localCheckpoint`` truncates lineage per round; at extreme scale
+    swap for large-star/small-star contraction — same per-round shape.
+    Nodes with no edges are absent from the result — callers left-join
+    and coalesce to self-label.
+    """
+    edges = edges.persist()
     n_edges = edges.count()
+    spark = edges.sparkSession
 
     if n_edges <= small_graph_threshold:
         parent: dict = {}
@@ -355,44 +386,39 @@ def dedup_components(
                 parent[hi] = lo
         comp_rows = [(int(x), int(find(x))) for x in parent]
         edges.unpersist()
-        labels = F.broadcast(
-            df.sparkSession.createDataFrame(
+        return F.broadcast(
+            spark.createDataFrame(
                 comp_rows or [(None, None)], "id long, component long"
             ).filter(F.col("id").isNotNull())
         )
-    else:
-        sym = edges.union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).persist()
+
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id").cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
+    for _ in range(max_iterations):
+        prop = sym.join(labels, sym.src == labels.id).select(
+            F.col("dst").alias("id"), "component"
+        )
         labels = (
-            sym.select(F.col("src").alias("id"))
-            .distinct()
-            .withColumn("component", F.col("id").cast("long"))
+            labels.union(prop)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        prev_sum = None
-        for _ in range(max_iterations):
-            prop = sym.join(labels, sym.src == labels.id).select(
-                F.col("dst").alias("id"), "component"
-            )
-            labels = (
-                labels.union(prop)
-                .groupBy("id")
-                .agg(F.min("component").alias("component"))
-                .localCheckpoint(eager=True)
-            )
-            s = labels.agg(F.sum("component").alias("s")).collect()[0]["s"]
-            if s == prev_sum:
-                break
-            prev_sum = s
-        sym.unpersist()
-        edges.unpersist()
-
-    all_ids = df.select(F.col(id_col).alias("id"))
-    return all_ids.join(labels, "id", "left").select(
-        F.col("id").alias(id_col),
-        F.coalesce("component", F.col("id").cast("long")).alias("component"),
-    )
+        s = labels.agg(F.sum("component").alias("s")).collect()[0]["s"]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    sym.unpersist()
+    edges.unpersist()
+    return labels
 
 
 def simhash_table(

@@ -7667,6 +7667,106 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EPS_CLUSTER = 0.1
+
+# deterministic point cloud in the [0,14]² cadastral plane, md5-derived
+# from the doc id (identical IEEE doubles in both engines: integer hash
+# → exact division/multiply, no transcendentals)
+_EPS_PTS_SQL = f"""
+  SELECT doc_id AS id,
+         ('0x' || substring(md5('px:' || doc_id), 1, 8))::BIGINT / 4294967296.0 * 14 AS x,
+         ('0x' || substring(md5('py:' || doc_id), 1, 8))::BIGINT / 4294967296.0 * 14 AS y
+  FROM documents"""
+
+_EPS_CLUSTER_SQL = f"""
+WITH RECURSIVE pts AS ({_EPS_PTS_SQL}),
+pairs AS (
+  SELECT a.id AS a_id, b.id AS b_id
+  FROM pts a JOIN pts b
+    ON a.id < b.id
+   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       <= {_EPS_CLUSTER} * {_EPS_CLUSTER}),
+edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs),
+reach AS (
+  SELECT id, id AS r FROM pts
+  UNION
+  SELECT e.dst AS id, r.r FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id
+"""
+
+
+@register("geo_cluster_eps", _EPS_CLUSTER_SQL)
+def geo_cluster_eps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based spatial clustering (eps-connectivity / single-linkage
+    DBSCAN core): points within eps of each other share a cluster,
+    clusters are connected components of the eps-neighbor graph.
+
+    Scale shape: NEVER all-pairs — each point lands in a grid cell of
+    side eps; one side explodes to its 3×3 cell neighborhood and
+    equi-joins the other side's home cell, so candidate pairs are
+    shuffle-partitionable by cell and each qualifying pair is found
+    exactly once (the home cell of b is unique). Components run on the
+    shared hybrid engine (operators.dedup.components_from_edges:
+    driver union-find below threshold, iterative min-label propagation
+    above). The oracle computes the identical clustering via O(n²)
+    distance join + recursive closure — affordable at oracle scale,
+    which is exactly why the grid plan exists for the engine."""
+    docs = table(spark, sf_dir, "documents")
+    eps = _EPS_CLUSTER
+    h8 = lambda tag: (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(tag + ":"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+        * 14
+    )
+    pts = docs.select(
+        F.col("doc_id").alias("id"),
+        h8("px").alias("x"),
+        h8("py").alias("y"),
+    ).withColumn("cx", F.floor(F.col("x") / eps)).withColumn(
+        "cy", F.floor(F.col("y") / eps)
+    )
+    probe = pts.select(
+        F.col("id").alias("a_id"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.explode(
+            F.array(*[F.struct(
+                (F.col("cx") + dx).alias("cx"), (F.col("cy") + dy).alias("cy")
+            ) for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+        ).alias("cell"),
+    ).select("a_id", "ax", "ay", F.col("cell.cx").alias("cx"), F.col("cell.cy").alias("cy"))
+    home = pts.select(
+        F.col("id").alias("b_id"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        "cx",
+        "cy",
+    )
+    pairs = (
+        probe.join(home, ["cx", "cy"])
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (
+                (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+                + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+                <= F.lit(eps * eps)
+            )
+        )
+        .select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    )
+    labels = D.components_from_edges(pairs)
+    return pts.select("id").join(labels, "id", "left").select(
+        F.col("id").alias("doc_id"),
+        F.coalesce("component", F.col("id").cast("long")).alias("cluster"),
+    )
+
+
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 _BM25_SQL = f"""

@@ -89,6 +89,10 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     "ann_filtered_topk": (1, ["EqualTo(label,3)", "BroadcastNestedLoopJoin", "!SortMergeJoin"]),
     # vocab/OOV: top-100 via TakeOrdered (no global sort), vocab broadcast
     "vocab_oov_rate": (4, ["TakeOrderedAndProject", "BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
+    # eps-clustering: the neighbor search is a grid-cell equi-join (probe
+    # side exploded to its 3x3 neighborhood), NEVER an all-pairs distance
+    # join — no cartesian, no BNLJ
+    "geo_cluster_eps": (8, ["!CartesianProduct", "!BroadcastNestedLoopJoin"]),
     # two-stage retrieval: tiny candidate list broadcasts onto the doc
     # store; the Arrow rerank kernel runs above that join, and the final
     # top-5 is TakeOrdered. (One SortMergeJoin is expected and fine: the
