@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "vocab_oov_rate",
     "hybrid_rerank_topk",
     "bm25_topk",
+    "geo_cluster_eps",
 ]
 
 
