@@ -210,3 +210,46 @@ def test_incremental_pairs_skip_corpus_internal(spark):
     assert (1, 2) in full and (1, 2) not in incr  # corpus-internal suppressed
     assert incr == {p for p in full if p[1] >= 10}  # everything else identical
     assert {(1, 10), (2, 10), (11, 12)} <= incr
+
+
+def _py_components(edges):
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def test_components_from_edges_random_graphs_both_paths(spark):
+    """components_from_edges: the driver union-find path and the
+    distributed min-label-propagation path must both match a reference
+    union-find on seeded random graphs (chains, cliques, isolates mix)."""
+    import random
+
+    from datalake_imagenes_georreferenciadas_spark.operators.dedup import components_from_edges
+
+    for seed in (7, 23, 101):
+        rng = random.Random(seed)
+        nodes = list(range(60))
+        edges = [tuple(sorted(rng.sample(nodes, 2))) for _ in range(45)]
+        expect = _py_components(edges)
+        edf = spark.createDataFrame(edges, "src long, dst long")
+        for threshold in (10**6, 0):  # driver path, then distributed path
+            got = {
+                r["id"]: r["component"]
+                for r in components_from_edges(
+                    edf, small_graph_threshold=threshold
+                ).collect()
+            }
+            assert got == expect, f"seed={seed} threshold={threshold}"
