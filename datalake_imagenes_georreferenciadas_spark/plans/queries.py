@@ -7667,6 +7667,74 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVL_OVERLAP_SQL = """
+WITH a AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS a_start,
+         CAST(o_orderdate AS DATE) + 7 AS a_end
+  FROM orders WHERE o_custkey < 200),
+b AS (
+  SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS b_start,
+         CAST(l_shipdate AS DATE) + 2 AS b_end
+  FROM lineitem WHERE l_suppkey < 20)
+SELECT a.o_orderkey, count(*) AS n_overlapping
+FROM a JOIN b ON a.a_start < b.b_end AND b.b_start < a.a_end
+GROUP BY a.o_orderkey
+"""
+
+
+@register("j_interval_overlap", _IVL_OVERLAP_SQL)
+def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join — the temporal analogue of the spatial grid
+    join: each interval explodes to the WEEK buckets it covers, the two
+    sides equi-join on the bucket (shuffle-partitionable, never a
+    cartesian inequality join), and the exact overlap predicate verifies.
+    Each qualifying pair is emitted EXACTLY once — not via distinct
+    (which would collapse genuinely duplicate fact rows and lose
+    multiplicity) but structurally: the pair is kept only in the FIRST
+    bucket both intervals cover, ``wk == max(floor(a_start/7),
+    floor(b_start/7))`` (the later start day lies in both intervals, and
+    floor is monotone, so that bucket is always shared). Bucket fan-out
+    is ceil(span/bucket)+1 <= 3 here — bounded, unlike the O(n*m) plan
+    the naive theta join degrades to. The oracle runs the naive
+    inequality join on the same filtered sides."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    a = orders.filter(F.col("o_custkey") < 200).select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("a_start"),
+        F.date_add(F.to_date("o_orderdate"), 7).alias("a_end"),
+    )
+    b = li.filter(F.col("l_suppkey") < 20).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.to_date("l_shipdate").alias("b_start"),
+        F.date_add(F.to_date("l_shipdate"), 2).alias("b_end"),
+    )
+
+    def week_buckets(start, end):
+        # weeks covered by [start, end): epoch-day div 7 over the span
+        s = F.floor(F.unix_date(start) / 7)
+        e = F.floor(F.unix_date(end) / 7)
+        return F.sequence(s, e)
+
+    ax = a.withColumn(
+        "wk0", F.floor(F.unix_date(F.col("a_start")) / 7)
+    ).withColumn("wk", F.explode(week_buckets(F.col("a_start"), F.col("a_end"))))
+    bx = b.withColumn(
+        "wk0", F.floor(F.unix_date(F.col("b_start")) / 7)
+    ).withColumn("wk", F.explode(week_buckets(F.col("b_start"), F.col("b_end"))))
+    pairs = (
+        ax.join(bx.withColumnRenamed("wk0", "bwk0"), "wk")
+        .filter(
+            (F.col("a_start") < F.col("b_end"))
+            & (F.col("b_start") < F.col("a_end"))
+            & (F.col("wk") == F.greatest(F.col("wk0"), F.col("bwk0")))
+        )
+        .select("o_orderkey")
+    )
+    return pairs.groupBy("o_orderkey").agg(F.count("*").alias("n_overlapping"))
+
+
 _EPS_CLUSTER = 0.1
 
 # deterministic point cloud in the [0,14]² cadastral plane, md5-derived

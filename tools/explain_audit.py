@@ -89,6 +89,9 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     "ann_filtered_topk": (1, ["EqualTo(label,3)", "BroadcastNestedLoopJoin", "!SortMergeJoin"]),
     # vocab/OOV: top-100 via TakeOrdered (no global sort), vocab broadcast
     "vocab_oov_rate": (4, ["TakeOrderedAndProject", "BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
+    # interval-overlap: week-bucket equi-join with first-shared-bucket
+    # dedup — never a cartesian/BNLJ theta join of the two interval sets
+    "j_interval_overlap": (4, ["!CartesianProduct", "!BroadcastNestedLoopJoin"]),
     # eps-clustering: the neighbor search is a grid-cell equi-join (probe
     # side exploded to its 3x3 neighborhood), NEVER an all-pairs distance
     # join — no cartesian, no BNLJ
