@@ -7667,6 +7667,89 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRIANGLES_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.v          -- a<b<c chains
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+nodes AS (
+  SELECT a AS part FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+SELECT part, count(*) AS n_triangles FROM nodes GROUP BY part
+"""
+
+
+@register("graph_triangles", _TRIANGLES_SQL)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the co-purchase graph — the classic
+    distributed graph kernel (clustering-coefficient numerator, community
+    density signal).
+
+    Scale shape: edges are oriented by (degree, id) — each triangle then
+    has exactly ONE node with two out-edges, so wedge generation (the
+    self-join on the out-endpoint) counts every triangle once, and
+    orientation bounds out-degree by O(sqrt(E)) so the wedge fan-out
+    never explodes on hub nodes (the standard degree-ordering trick;
+    id-only orientation leaves hubs with huge out-degree). Wedges probe
+    the canonical edge set with one more equi-join. The oracle counts
+    the same triangles via the naive a<b<c chain join — orientation
+    changes the plan's skew profile, never the triangle set."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a_ = li.alias("a")
+    b_ = li.alias("b")
+    edges = (
+        a_.join(
+            b_,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    # orient each edge from the (degree, id)-smaller endpoint
+    ranked = edges.join(du, "u").join(dv, "v").select(
+        F.when(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+            F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+        )
+        .otherwise(F.struct(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .alias("e")
+    ).select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+    w1 = ranked.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    w2 = ranked.select(F.col("src").alias("x"), F.col("dst").alias("z"))
+    wedges = w1.join(w2, "x").filter(F.col("y") < F.col("z"))
+    closure = edges.select(
+        F.col("u").alias("cy"), F.col("v").alias("cz")
+    )
+    tri = wedges.join(
+        closure,
+        (F.least(F.col("y"), F.col("z")) == F.col("cy"))
+        & (F.greatest(F.col("y"), F.col("z")) == F.col("cz")),
+    ).select("x", "y", "z")
+    nodes = tri.select(F.explode(F.array("x", "y", "z")).alias("part"))
+    return nodes.groupBy("part").agg(F.count("*").alias("n_triangles"))
+
+
 _IVL_OVERLAP_SQL = """
 WITH a AS (
   SELECT o_orderkey, CAST(o_orderdate AS DATE) AS a_start,
