@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "hybrid_rerank_topk",
     "bm25_topk",
     "geo_cluster_eps",
+    "j_interval_overlap",
+    "graph_triangles",
 ]
 
 
