@@ -333,3 +333,79 @@ def test_prefix_sum_equals_theta_join(bands):
         acc += counts[b]
     naive = {b: sum(1 for x in bands if x < b) for b in ordered}
     assert prefix == naive
+
+
+# ---- interval-overlap bucketing: completeness + exactly-once ----------
+
+
+@st.composite
+def interval_pairs(draw):
+    n = draw(st.integers(1, 15))
+    a = [(s, s + draw(st.integers(1, 10))) for s in (draw(st.integers(0, 60)) for _ in range(n))]
+    m = draw(st.integers(1, 15))
+    b = [(s, s + draw(st.integers(1, 10))) for s in (draw(st.integers(0, 60)) for _ in range(m))]
+    return a, b
+
+
+@settings(max_examples=200, deadline=None)
+@given(interval_pairs())
+def test_bucket_join_finds_each_overlap_exactly_once(pairs):
+    """The week-bucket plan of j_interval_overlap: bucket equi-join +
+    exact predicate + first-shared-bucket filter ≡ the naive O(n·m)
+    overlap join, with multiplicity preserved (no distinct)."""
+    W = 7
+    a, b = pairs
+    naive = [
+        (i, j)
+        for i, (as_, ae) in enumerate(a)
+        for j, (bs, be) in enumerate(b)
+        if as_ < be and bs < ae
+    ]
+    bucketed = []
+    for i, (as_, ae) in enumerate(a):
+        for wk in range(as_ // W, ae // W + 1):
+            for j, (bs, be) in enumerate(b):
+                if not (bs // W <= wk <= be // W):
+                    continue
+                if as_ < be and bs < ae and wk == max(as_ // W, bs // W):
+                    bucketed.append((i, j))
+    assert sorted(bucketed) == sorted(naive)
+
+
+# ---- triangle counting: degree-ordered orientation ≡ naive ------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)), max_size=40))
+def test_oriented_wedge_triangles_equal_naive(raw):
+    """graph_triangles' plan: orient by (degree, id), generate out-edge
+    wedges, close against the canonical edge set — must count exactly the
+    naive a<b<c triangles, once each."""
+    edges = sorted({(min(u, v), max(u, v)) for u, v in raw if u != v})
+    es = set(edges)
+    naive = {
+        (x, y, z)
+        for (x, y) in edges
+        for (y2, z) in edges
+        if y2 == y and (x, z) in es
+    }
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    oriented = [
+        (u, v) if (deg[u], u) < (deg[v], v) else (v, u) for u, v in edges
+    ]
+    out = {}
+    for s, d in oriented:
+        out.setdefault(s, []).append(d)
+    found = []
+    for x, outs in out.items():
+        outs = sorted(outs)
+        for i in range(len(outs)):
+            for j in range(i + 1, len(outs)):
+                y, z = outs[i], outs[j]
+                if (min(y, z), max(y, z)) in es:
+                    found.append(tuple(sorted((x, y, z))))
+    assert sorted(found) == sorted(tuple(sorted(t)) for t in naive)
+    assert len(found) == len(set(found))  # exactly once
