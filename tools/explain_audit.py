@@ -89,6 +89,35 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     "ann_filtered_topk": (1, ["EqualTo(label,3)", "BroadcastNestedLoopJoin", "!SortMergeJoin"]),
     # vocab/OOV: top-100 via TakeOrdered (no global sort), vocab broadcast
     "vocab_oov_rate": (4, ["TakeOrderedAndProject", "BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
+    # as-of join: union+window merge — two exchanges (union repartition +
+    # window), keyed windows, no join operator at all
+    "j_asof_join": (2, ["Window", "!CartesianProduct", "!BroadcastNestedLoopJoin", "!SortMergeJoin"]),
+    # banded hyperplane LSH near-pairs: bucket equi-join broadcasts, the
+    # verify never cross-joins
+    "dedup_cosine_pairs": (1, ["BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
+    # multi-probe ANN: neighbor-bucket explode (Generate) + bucket join
+    "ann_multiprobe_topk": (1, ["BroadcastHashJoin", "Generate", "!CartesianProduct", "!SortMergeJoin"]),
+    # hour+day continuous aggregate: ONE exchange for the grouping-sets pass
+    "ts_hypertable_rollup": (1, ["HashAggregate", "!SortMergeJoin", "!Exchange hashpartitioning(1)"]),
+    # SCD2 effective-dating: one keyed window, never a global sort
+    "scd2_build": (1, ["Window", "!SinglePartition", "!SortMergeJoin"]),
+    # stratified holdout: per-stratum window, never a global sort
+    "stratified_sample": (1, ["Window", "!SinglePartition", "!SortMergeJoin"]),
+    # stage-wise funnel mins: broadcast joins only; the SinglePartition
+    # exchanges feed one-row funnel totals (scalar altitude)
+    "funnel_conversion": (8, ["BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
+    # declarative zipWithIndex: keyed data windows; the only global window
+    # ranks the ~#shards offset rows (documented tiny)
+    "p11_dense_ids": (3, ["Window", "!SortMergeJoin", "!CartesianProduct"]),
+    # equal-frequency binning: decile boundaries are a broadcast one-row
+    # nested loop (scalar altitude), the fact side never shuffles for it
+    "a13_equifreq_bins": (2, ["!SortMergeJoin", "!CartesianProduct"]),
+    # hybrid weighted fusion: term-filtered probe + broadcast join, final
+    # top-k is TakeOrdered
+    "hybrid_fused_topk": (2, ["TakeOrderedAndProject", "BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
+    # BM25: inverted-index probe aggregates + broadcast df/stats joins,
+    # TakeOrdered final — corpus-size work is the scan + tf/df aggs only
+    "bm25_topk": (6, ["TakeOrderedAndProject", "BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
     # interval-overlap: week-bucket equi-join with first-shared-bucket
     # dedup — never a cartesian/BNLJ theta join of the two interval sets
     "j_interval_overlap": (4, ["!CartesianProduct", "!BroadcastNestedLoopJoin"]),
