@@ -87,6 +87,27 @@ BENCH_QUERIES = [
     "geo_cluster_eps",
     "j_interval_overlap",
     "graph_triangles",
+    # r05 breadth: the families externally verified in round 4 join the
+    # bench so regressions in them are visible round-over-round
+    "sub_scalar",
+    "sub_in",
+    "sub_correlated_scalar",
+    "j1_correlated_exists",
+    "a4_pivot",
+    "a4_unpivot",
+    "a4_percentiles",
+    "a4_grouping_sets",
+    "a4_histogram",
+    "w4_rank_funcs",
+    "w5_range_frame",
+    "w6_distribution_funcs",
+    "w7_gap_fill",
+    "streaming_session",
+    "streaming_stream_join",
+    "text_quality_filter",
+    "text_edit_distance",
+    "geo_reproject_centroid",
+    "f17_cosine_pandas",
 ]
 
 

@@ -194,34 +194,40 @@ class CatalogStore:
     def _with_ids(self, rows: DataFrame, base: int) -> DataFrame:
         """Dense deterministic ids = ``base`` + global row_number over
         ``(indice, ruta_resultado)`` — allocated WITHOUT funnelling the
-        batch through one task (no unpartitioned window), via the
-        zipWithIndex pattern:
+        batch through one task (no unpartitioned window over the batch),
+        via the zipWithIndex pattern, entirely JVM-side:
 
         1. ``row_number`` partitioned BY ``indice`` (hash-distributed),
         2. per-``indice`` group counts — a tiny map-side-combined
-           aggregate, one row per distinct ``indice``, collected to the
-           driver,
-        3. cumulative offsets in ``indice`` order (NULLS FIRST, matching
-           Spark's ASC sort) broadcast-joined back.
+           aggregate, one row per distinct ``indice``,
+        3. exclusive running sum over that AGGREGATE in ``indice`` order
+           (NULLS FIRST = Spark's ASC sort) → per-group offsets. This
+           window is the plan's only SinglePartition exchange and it
+           carries one row per distinct ``indice`` — never the batch —
+           so it stays O(#groups) regardless of batch size, and nothing
+           is collected to the driver,
+        4. offsets broadcast-joined back onto the batch.
 
         Group-major layout + within-group order by ``ruta_resultado``
         equals the global ``(indice, ruta_resultado)`` ordering, so ids
-        match a single global ``row_number`` exactly while every exchange
-        stays hash-partitioned. Skew note: one degenerate hot ``indice``
-        can be subdivided by extending the group key with a
-        ``ruta_resultado`` prefix — order-preserving because the
-        within-group sort key extends the group key.
+        match a single global ``row_number`` exactly while every
+        batch-side exchange stays hash-partitioned. Skew note: one
+        degenerate hot ``indice`` can be subdivided by extending the
+        group key with a ``ruta_resultado`` prefix — order-preserving
+        because the within-group sort key extends the group key.
         """
         w_local = Window.partitionBy("indice").orderBy("ruta_resultado")
-        counts = sorted(
-            rows.groupBy("indice").agg(F.count(F.lit(1)).alias("cnt")).collect(),
-            key=lambda r: (r["indice"] is not None, r["indice"] or ""),
+        w_off = Window.orderBy(F.col("indice").asc_nulls_first()).rowsBetween(
+            Window.unboundedPreceding, -1
         )
-        offsets, acc = [], 0
-        for r in counts:
-            offsets.append((r["indice"], acc))
-            acc += r["cnt"]
-        off = self.spark.createDataFrame(offsets, "__gk string, __off long")
+        off = (
+            rows.groupBy("indice")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .select(
+                F.col("indice").alias("__gk"),
+                F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+            )
+        )
         return (
             rows.withColumn("__rn", F.row_number().over(w_local))
             .join(F.broadcast(off), F.col("indice").eqNullSafe(F.col("__gk")))

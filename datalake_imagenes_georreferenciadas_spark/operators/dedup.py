@@ -306,7 +306,7 @@ def dedup_components(
     bands: int = 4,
     jaccard_threshold: float = 0.5,
     max_iterations: int = 20,
-    small_graph_threshold: int = 1_000_000,
+    small_graph_threshold: int = 250_000,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the verified
     MinHash-LSH pair graph — the step that turns pairwise near-dups into
@@ -344,7 +344,7 @@ def dedup_components(
 def components_from_edges(
     edges: DataFrame,
     max_iterations: int = 20,
-    small_graph_threshold: int = 1_000_000,
+    small_graph_threshold: int = 250_000,
 ) -> DataFrame:
     """(id, component) min-label connected components for every
     edge-incident node of an (src, dst) edge list — the shared engine
@@ -353,7 +353,9 @@ def components_from_edges(
     Hybrid execution, both paths deterministic and result-identical:
     below ``small_graph_threshold`` edges a driver-side union-find
     resolves components in one pass (edge lists after candidate pruning
-    are tiny relative to the corpus); above it, iterative min-label
+    are tiny relative to the corpus; the 250k default bounds the collect
+    to ~15-25 MB — safe headroom on a shared driver); above it, iterative
+    min-label
     propagation over edge-incident nodes only — each round one
     distributed join + groupBy, converged when the monotonically-
     decreasing label sum stops falling (rounds = cluster diameter).

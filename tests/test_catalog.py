@@ -101,16 +101,26 @@ def test_update_is_versioned_snapshot(spark):
 
 
 def test_insert_id_plan_has_no_single_partition_exchange(spark):
-    """VERDICT r1 #3: id allocation must not funnel the batch through one
-    task. The _with_ids plan may only shuffle hash-partitioned on the
-    group key; the offsets side arrives via BroadcastExchange."""
+    """VERDICT r1 #3 + r4 #3: id allocation must not funnel the batch
+    through one task, and (r4) must not collect offsets to the driver.
+    The batch path may only shuffle hash-partitioned on the group key;
+    the one allowed SinglePartition exchange is the offsets running-sum
+    over the per-group AGGREGATE (one row per distinct indice), which
+    arrives back via BroadcastExchange."""
     store = CatalogStore(spark, tempfile.mkdtemp())
     plan = store._with_ids(_rows(spark), 0)._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
-    assert "SinglePartition" not in plan
+    assert plan.count("SinglePartition") == 1  # offsets window only
+    # ...and it sits downstream of the group-count aggregate, never the
+    # raw batch: the exchange's input is the HashAggregate's output cols
     assert "hashpartitioning(indice" in plan
     assert "BroadcastExchange" in plan
+    # formatted mode lists each operator with Input [..]: the single
+    # partition exchange must consume the aggregated group counts
+    # (__cnt), not the full catalog row
+    sp_block = next(b for b in plan.split("\n\n") if "SinglePartition" in b)
+    assert "__cnt" in sp_block
 
 
 def test_insert_ids_match_global_row_number_order(spark):
