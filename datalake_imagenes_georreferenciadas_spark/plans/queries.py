@@ -8056,6 +8056,146 @@ def hybrid_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_corpus_chunks",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(words[(i*4+1):(i*4+4)], ' ') AS chunk
+      FROM w, UNNEST(range(CAST(ceil(len(words)/4.0) AS BIGINT))) AS t(i)
+    ),
+    hot AS (
+      SELECT md5(chunk) AS ck FROM chunks
+      GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+    ),
+    kept AS (
+      SELECT c.doc_id, c.pos, c.chunk FROM chunks c
+      WHERE md5(c.chunk) NOT IN (SELECT ck FROM hot)
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id),
+    cleaned AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(chunk, ' ' ORDER BY pos) AS clean_str
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_chunks,
+           COALESCE(c.n_kept, 0) AS n_kept,
+           md5(COALESCE(c.clean_str, '')) AS clean_md5
+    FROM totals t LEFT JOIN cleaned c ON t.doc_id = c.doc_id
+    """,
+)
+def dedup_corpus_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicate-PASSAGE removal (CCNet/Dolma-style
+    boilerplate stripping): split every document into fixed-width
+    4-token chunks (the stand-in for newline/paragraph splitting — the
+    synthetic corpus has no newlines; the plan shape is identical for
+    real paragraph-delimited text), count each chunk's DOCUMENT
+    frequency corpus-wide, drop chunks appearing in ≥2 documents, and
+    reassemble the cleaned text in original order. Returns per-doc
+    (n_chunks, n_kept, md5 of the cleaned text) so the whole removal +
+    reconstruction is hash-checkable cross-engine.
+
+    Scale shape: one explode → one groupBy on md5(chunk) (bounded key
+    width regardless of passage length) → left_anti equi-join back →
+    per-doc sort_array(collect_list) reassembly, partitioned by doc.
+    No all-pairs comparison anywhere; the hot-chunk table is the only
+    broadcast-sized artifact (boilerplate is rare by definition — and
+    if it isn't, the anti-join stays a shuffled equi-join). Unlike the
+    pair-reporting dedup family (dedup_near_pairs etc.), this op's
+    output IS the cleaned corpus. Reference has no text ops at all
+    (script_geo.py is image/geo only) — this extends SURVEY §2's
+    LLM-pipeline mandate."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = (
+        docs.withColumn("words", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, int(ceil(size(words)/4.0)) - 1),"
+                    " i -> array_join(slice(words, i*4 + 1, 4), ' '))"
+                )
+            ).alias("pos", "chunk"),
+        )
+        .withColumn("pos", F.col("pos").cast("long"))
+        .withColumn("ck", F.md5("chunk"))
+    )
+    hot = (
+        chunks.groupBy("ck")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("ck")
+    )
+    kept = chunks.join(hot, "ck", "left_anti")
+    totals = chunks.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    cleaned = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(pos, chunk))), s -> s.chunk)"),
+            " ",
+        ).alias("clean_str"),
+    )
+    return (
+        totals.join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.md5(F.coalesce("clean_str", F.lit(""))).alias("clean_md5"),
+        )
+    )
+
+
+@register(
+    "text_rarity_score",
+    """
+    WITH tok AS (
+      SELECT doc_id, t.token FROM documents,
+             UNNEST(string_split(text, ' ')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token)
+    SELECT tok.doc_id,
+           count(*) AS n_tokens,
+           floor(CAST(sum(c) AS DOUBLE) * 1e6 / count(*) + 0.5) / 1e6
+             AS mean_token_freq
+    FROM tok JOIN cnt USING (token)
+    GROUP BY tok.doc_id
+    """,
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-frequency quality score: each document's mean corpus-wide
+    token frequency — the integer-exact core of a unigram language-model
+    filter (low mean frequency = rare/noisy vocabulary, high = common
+    boilerplate). Deliberately avoids log-space so the score stays
+    bit-identical cross-engine: sums of BIGINT counts divided once at
+    the end, fixed-point-rounded to 6 decimals.
+
+    Scale shape: one explode, one token-count groupBy (map-side
+    combined; Zipf vocabulary ≪ corpus so the count table broadcasts —
+    the natural-language vocab for 100 TB is still ~10^7 rows), one
+    broadcast join back, one per-doc aggregate."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    cnt = tok.groupBy("token").agg(F.count("*").alias("c"))
+    return (
+        tok.join(F.broadcast(cnt), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (
+                F.floor(F.sum("c").cast("double") * 1e6 / F.count("*") + 0.5)
+                / 1e6
+            ).alias("mean_token_freq"),
+        )
+    )
+
+
 # The external verify driver samples the FIRST 50 entries of ``queries()``
 # each round. Rotation is SELF-MAINTAINING: any query that already has a
 # fully-green row (rows+schema+hash) in some CORRECTNESS_r{N}.json — or a
