@@ -8099,12 +8099,14 @@ def dedup_corpus_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstruction is hash-checkable cross-engine.
 
     Scale shape: one explode → one groupBy on md5(chunk) (bounded key
-    width regardless of passage length) → left_anti equi-join back →
-    per-doc sort_array(collect_list) reassembly, partitioned by doc.
-    No all-pairs comparison anywhere; the hot-chunk table is the only
-    broadcast-sized artifact (boilerplate is rare by definition — and
-    if it isn't, the anti-join stays a shuffled equi-join). Unlike the
-    pair-reporting dedup family (dedup_near_pairs etc.), this op's
+    width regardless of passage length) → ONE equi-join back carrying a
+    hot flag → ONE per-doc aggregate computing totals, kept counts, and
+    the ordered reassembly together (``collect_list`` skips the nulls
+    the CASE leaves on hot chunks, so no second pass over the corpus).
+    No all-pairs comparison anywhere; the hot-chunk table is left
+    unhinted — AQE broadcasts it when boilerplate is rare (the normal
+    case) and falls back to a shuffled equi-join when it is not. Unlike
+    the pair-reporting dedup family (dedup_near_pairs etc.), this op's
     output IS the cleaned corpus. Reference has no text ops at all
     (script_geo.py is image/geo only) — this extends SURVEY §2's
     LLM-pipeline mandate."""
@@ -8127,24 +8129,24 @@ def dedup_corpus_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunks.groupBy("ck")
         .agg(F.countDistinct("doc_id").alias("df"))
         .filter(F.col("df") >= 2)
-        .select("ck")
-    )
-    kept = chunks.join(hot, "ck", "left_anti")
-    totals = chunks.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
-    cleaned = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
-        F.array_join(
-            F.expr("transform(array_sort(collect_list(struct(pos, chunk))), s -> s.chunk)"),
-            " ",
-        ).alias("clean_str"),
+        .select("ck", F.lit(1).alias("__hot"))
     )
     return (
-        totals.join(cleaned, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_chunks",
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            F.md5(F.coalesce("clean_str", F.lit(""))).alias("clean_md5"),
+        chunks.join(hot, "ck", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count(F.when(F.col("__hot").isNull(), 1)).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.expr(
+                        "transform(array_sort(collect_list("
+                        "CASE WHEN __hot IS NULL THEN struct(pos, chunk) END"
+                        ")), s -> s.chunk)"
+                    ),
+                    " ",
+                )
+            ).alias("clean_md5"),
         )
     )
 

@@ -131,6 +131,13 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # RRF full-outer rank join cannot broadcast — Spark has no broadcast
     # full-outer — and both its inputs are pre-truncated to ≤100 rows.)
     "hybrid_rerank_topk": (4, ["MapInPandas", "BroadcastHashJoin", "TakeOrderedAndProject", "!CartesianProduct"]),
+    # passage dedup: ONE corpus pass for totals+kept+reassembly (the hot
+    # flag rides a single equi-join; collect_list drops the CASE nulls);
+    # exchanges = distinct-count pair + the per-doc agg, never a cartesian
+    "dedup_corpus_chunks": (3, ["BroadcastHashJoin", "ObjectHashAggregate", "!CartesianProduct", "!SortMergeJoin"]),
+    # unigram quality score: token counts broadcast back onto the token
+    # stream; two agg exchanges total, no sort-merge anywhere
+    "text_rarity_score": (2, ["BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
 }
 
 
