@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "text_edit_distance",
     "geo_reproject_centroid",
     "f17_cosine_pandas",
+    "dedup_corpus_chunks",
+    "text_rarity_score",
 ]
 
 

@@ -1542,6 +1542,51 @@ def dedup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMANTIC_COMPONENTS_SQL = (
+    _COSINE_PAIRS_SQL.replace("WITH b AS", "WITH RECURSIVE b AS", 1).replace(
+        "SELECT a_id, b_id, cos FROM cand WHERE cos >= 0.25",
+        """, pairs AS (SELECT a_id, b_id FROM cand WHERE cos >= 0.25),
+edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs),
+reach AS (
+  SELECT vec_id AS id, vec_id AS r FROM embeddings
+  UNION
+  SELECT e.dst AS id, r.r FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS vec_id, min(r) AS component FROM reach GROUP BY id""",
+    )
+)
+
+
+@register("dedup_semantic_components", _SEMANTIC_COMPONENTS_SQL)
+def dedup_semantic_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup clusters: embedding-cosine near-dup
+    pairs (banded hyperplane LSH candidates + exact cosine verify, same
+    kernel as dedup_cosine_pairs) fed into connected components — every
+    vector gets a canonical cluster id (min vec_id reachable), isolated
+    vectors label themselves. The keep-one-per-semantic-cluster decision
+    for an embedding-deduped corpus, end to end in one plan.
+
+    Scale shape: candidate generation is the banded bucket equi-join
+    (never all-pairs), components run on the verified pair graph only
+    (edge-incident nodes, ≪ corpus), and the final label assignment is
+    one left join back to the vector table. The oracle replays the same
+    closure as a recursive CTE."""
+    pairs = SIM.cosine_near_pairs(
+        table(spark, sf_dir, "embeddings"),
+        threshold=0.25,
+        num_bands=_COS_BANDS,
+        planes_per_band=_COS_PLANES,
+    )
+    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    labels = D.components_from_edges(edges)
+    vecs = table(spark, sf_dir, "embeddings").select("vec_id")
+    return vecs.join(labels, vecs.vec_id == labels.id, "left").select(
+        "vec_id",
+        F.coalesce("component", F.col("vec_id").cast("long")).alias("component"),
+    )
+
+
 # ======================================================================
 # EXT — sinks: CSV roundtrip (S11), content-addressed key (S12)
 # ======================================================================
