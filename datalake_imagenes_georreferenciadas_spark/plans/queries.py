@@ -733,6 +733,96 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_ann_topk(emb, queries, k=5, num_planes=6)
 
 
+# SQ8 scalar quantization: shared formula text so Spark and DuckDB run
+# BIT-IDENTICAL double arithmetic (same ops, same order). {v}/{mn}/{mx}
+# are the raw element and the per-dimension min/max; codes clamp to 255
+# and reconstruct at bin centers.
+_SQ8_DEQUANT_FMT = (
+    "CASE WHEN {mx} = {mn} THEN {mn} "
+    "ELSE {mn} + (least(floor(({v} - {mn}) * 256 / ({mx} - {mn})), 255) + 0.5) "
+    "* ({mx} - {mn}) / 256 END"
+)
+
+_ANN_SQ8_SQL = f"""
+WITH dims AS (
+  SELECT i AS pos, min(embedding[i+1]::DOUBLE) AS mn, max(embedding[i+1]::DOUBLE) AS mx
+  FROM embeddings, UNNEST(range(len(embedding))) t(i)
+  GROUP BY i),
+stats AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM dims),
+dq AS (
+  SELECT e.vec_id,
+         list_transform(range(len(e.embedding)), i ->
+           {_SQ8_DEQUANT_FMT.format(v='e.embedding[i+1]::DOUBLE', mn='mns[i+1]', mx='mxs[i+1]')}
+         ) AS sq
+  FROM embeddings e, stats),
+q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT q.q_id, d.vec_id, round({V.cosine_sql('d.sq', 'q.qe')}, 6) AS cos_q
+  FROM dq d, q)
+SELECT q_id, vec_id, cos_q, rank FROM (
+  SELECT q_id, vec_id, cos_q,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_q DESC, vec_id) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
+@register("ann_sq8_topk", _ANN_SQ8_SQL)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-aware ANN: 8-bit SCALAR-QUANTIZED vector search.
+    Per-dimension min/max train a uniform 256-level codebook; the corpus
+    scan scores raw queries against the DEQUANTIZED codes (asymmetric
+    distance, the standard SQ8 search) and takes top-5 per query. At
+    fleet scale the uint8 codes cut vector-scan bytes 4× vs float32 —
+    the memory/IO lever that makes brute-force rerank affordable inside
+    IVF/LSH cells — while this plan keeps the whole thing oracle-exact:
+    codebook training is integer-free double math with a shared formula
+    string, so Spark and DuckDB produce bit-identical codes.
+
+    Scale shape: codebook = one posexplode groupBy(pos) over dims (64
+    rows) collected into ONE broadcast row; scoring = broadcast
+    queries × corpus scan (no shuffle of the corpus); top-k = one
+    window partitioned by query id."""
+    emb = table(spark, sf_dir, "embeddings")
+    dims = emb.select(F.posexplode("embedding").alias("pos", "v")).select(
+        "pos", F.col("v").cast("double").alias("v")
+    )
+    stats = (
+        dims.groupBy("pos")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)").alias("mns"),
+            F.expr("transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)").alias("mxs"),
+        )
+    )
+    dq = (
+        emb.crossJoin(F.broadcast(stats))
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(sequence(0, size(embedding) - 1), i -> "
+                + _SQ8_DEQUANT_FMT.format(
+                    v="CAST(embedding[i] AS DOUBLE)", mn="mns[i]", mx="mxs[i]"
+                )
+                + ")"
+            ).alias("sq"),
+        )
+    )
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    scored = dq.crossJoin(F.broadcast(queries)).select(
+        "q_id",
+        "vec_id",
+        F.round(V.cosine(F.col("sq"), F.col("qe")), 6).alias("cos_q"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_q").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "vec_id", "cos_q", "rank")
+    )
+
+
 # ======================================================================
 # DEDUP — exact + near (SURVEY A3/A5, north star)
 # ======================================================================

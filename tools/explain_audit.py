@@ -138,6 +138,11 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # unigram quality score: token counts broadcast back onto the token
     # stream; two agg exchanges total, no sort-merge anywhere
     "text_rarity_score": (2, ["BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
+    # SQ8 ANN: per-dim codebook collapses to ONE broadcast row (its
+    # SinglePartition agg carries 64 rows, never the corpus); corpus scan
+    # joins codebook+queries via broadcast BNLJ only, top-k is a
+    # WindowGroupLimit — no shuffle of the vector table
+    "ann_sq8_topk": (3, ["BroadcastNestedLoopJoin", "WindowGroupLimit", "!CartesianProduct", "!SortMergeJoin"]),
 }
 
 
