@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "f17_cosine_pandas",
     "dedup_corpus_chunks",
     "text_rarity_score",
+    "dedup_semantic_components",
+    "ann_sq8_topk",
 ]
 
 

@@ -8357,16 +8357,20 @@ _PRIORITY_PREFIXES = (
 )
 
 
-def _driver_check_state() -> tuple:
+def _driver_check_state(repo: str | None = None) -> tuple:
     """(retired, n_rounds): names the front-50 window should skip — fully
     green in some round, or externally checked with ``err ==
     'no_oracle'`` (rows-only by design; they would otherwise pin 2 of
     the 50 slots every round) — plus the count of parsed round files
-    (drives the re-check rotation offset)."""
+    (drives the re-check rotation offset). ``repo`` overrides the
+    CORRECTNESS_r*.json directory (tests)."""
     import glob
     import json
 
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if repo is None:
+        repo = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
     retired = set()
     n_rounds = 0
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
@@ -8393,8 +8397,8 @@ def _driver_check_state() -> tuple:
     return retired, n_rounds
 
 
-def _rotated(reg: dict) -> dict:
-    retired, n_rounds = _driver_check_state()
+def _rotated(reg: dict, repo: str | None = None) -> dict:
+    retired, n_rounds = _driver_check_state(repo)
     fresh = [n for n in reg if n not in retired]
     pri = [n for n in fresh if n.startswith(_PRIORITY_PREFIXES)]
     pri_set = set(pri)

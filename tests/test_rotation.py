@@ -1,0 +1,96 @@
+"""Unit tests for the driver-window rotation (plans.queries._rotated).
+
+The external verifier grades only the FIRST 50 ``queries()`` entries per
+round, so the ordering logic IS round-critical infrastructure: a bug
+here silently wastes external-verification slots. These tests drive it
+with synthetic CORRECTNESS_r*.json files (no Spark needed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from datalake_imagenes_georreferenciadas_spark.plans.queries import (
+    _driver_check_state,
+    _rotated,
+)
+
+
+GREEN = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+RED = {"rows_match": False, "schema_match": True, "hash_match": False, "err": None}
+NO_ORACLE = {
+    "rows_match": None,
+    "schema_match": None,
+    "hash_match": None,
+    "err": "no_oracle",
+}
+
+
+def _repo(rounds):
+    d = tempfile.mkdtemp(prefix="rot_")
+    for i, rows in enumerate(rounds, 1):
+        with open(os.path.join(d, f"CORRECTNESS_r{i:02d}.json"), "w") as fh:
+            json.dump(rows, fh)
+    return d
+
+
+def test_green_and_no_oracle_retire_red_stays_front():
+    repo = _repo([{"a": GREEN, "b": NO_ORACLE, "c": RED}])
+    retired, n = _driver_check_state(repo)
+    assert retired == {"a", "b"}  # no_oracle can never go green — retire it
+    assert n == 1
+    reg = {k: k for k in ("a", "b", "c", "d")}
+    order = list(_rotated(reg, repo))
+    # unchecked + red first (registration order), checked tail after
+    assert order[:2] == ["c", "d"]
+    assert set(order[2:]) == {"a", "b"}
+
+
+def test_priority_prefixes_front_load_pipeline_families():
+    repo = _repo([])
+    reg = {k: k for k in ("zz_plain", "dedup_x", "aa_plain", "streaming_y", "pipeline_z")}
+    order = list(_rotated(reg, repo))
+    # priority names first in registration order, then the rest
+    assert order == ["dedup_x", "streaming_y", "pipeline_z", "zz_plain", "aa_plain"]
+
+
+def test_malformed_round_file_is_skipped_not_fatal():
+    d = _repo([{"a": GREEN}])
+    with open(os.path.join(d, "CORRECTNESS_r99.json"), "w") as fh:
+        fh.write('["not", "a", "dict"]')
+    with open(os.path.join(d, "CORRECTNESS_r98.json"), "w") as fh:
+        fh.write("{not json at all")
+    retired, n = _driver_check_state(d)
+    assert retired == {"a"}
+    assert n == 1  # only the well-formed file counts
+    # non-dict row values are also tolerated
+    d2 = _repo([{"a": GREEN, "weird": "scalar-row"}])
+    retired2, _ = _driver_check_state(d2)
+    assert retired2 == {"a"}
+
+
+def test_checked_tail_rotates_with_round_count():
+    # 120 already-green names, no fresh ones: the tail slice offered to
+    # the driver's 50-entry window must shift by ~50 per parsed round so
+    # re-checks eventually cover everyone
+    names = [f"q{i:03d}" for i in range(120)]
+    reg = {k: k for k in names}
+    r1 = _repo([{k: GREEN for k in names}])
+    r2 = _repo([{k: GREEN for k in names}, {k: GREEN for k in names}])
+    front1 = list(_rotated(reg, r1))[:50]
+    front2 = list(_rotated(reg, r2))[:50]
+    assert front1 != front2
+    # offset stride is 50 names per round
+    assert front2[0] == names[(2 * 50) % 120]
+    assert front1[0] == names[(1 * 50) % 120]
+
+
+def test_union_across_rounds_and_regression_returns_to_front():
+    # green in r1, red in r2: stays retired (some round was fully green)
+    # — re-catching it is the re-check cycle's job, while a name that was
+    # ONLY ever red must sit in the fresh front
+    repo = _repo([{"a": GREEN, "b": RED}, {"a": RED, "b": RED}])
+    retired, _ = _driver_check_state(repo)
+    assert "a" in retired and "b" not in retired
