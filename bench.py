@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "text_rarity_score",
     "dedup_semantic_components",
     "ann_sq8_topk",
+    "multimodal_resize",
 ]
 
 

@@ -1953,6 +1953,44 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RESIZE_SQL = """
+SELECT doc_id, 32 AS width, 32 AS height,
+       length(thumb_hex) // 2 AS thumb_len,
+       md5(thumb_hex) AS thumb_md5
+FROM (
+  SELECT doc_id,
+         substring(repeat(md5(text), 32*32//16 + 1), 1, 2*32*32) AS thumb_hex
+  FROM documents)
+"""
+
+
+@register("multimodal_resize", _RESIZE_SQL)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize kernel contract (SURVEY §2.10 multimodal family):
+    binary column → Arrow-batched mapInPandas thumbnail kernel
+    (sources/binary.py resize_images — REAL ``PIL.resize`` when the
+    wheel exists, deterministic digest-slice stub in this container) →
+    per-image (width, height, byte length, content digest). The oracle
+    replays the stub's digest chain in hex-string space (byte slicing
+    aligns to hex pairs), so schema, batch plumbing, and binary-out
+    length semantics are externally checked end to end, like
+    multimodal_frames."""
+    from ..sources.binary import resize_images
+
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    thumbs = resize_images(docs, width=32, height=32)
+    return thumbs.select(
+        F.col("path").cast("long").alias("doc_id"),
+        "width",
+        "height",
+        F.length("thumb").alias("thumb_len"),
+        F.md5(F.lower(F.hex("thumb"))).alias("thumb_md5"),
+    )
+
+
 # ======================================================================
 # EXT — pivot/unpivot, subqueries, percentiles, edit distance
 # ======================================================================
