@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "dedup_semantic_components",
     "ann_sq8_topk",
     "multimodal_resize",
+    "ann_sq8_recall",
 ]
 
 

@@ -743,7 +743,7 @@ _SQ8_DEQUANT_FMT = (
     "* ({mx} - {mn}) / 256 END"
 )
 
-_ANN_SQ8_SQL = f"""
+_SQ8_CTE = f"""
 WITH dims AS (
   SELECT i AS pos, min(embedding[i+1]::DOUBLE) AS mn, max(embedding[i+1]::DOUBLE) AS mx
   FROM embeddings, UNNEST(range(len(embedding))) t(i)
@@ -758,12 +758,17 @@ dq AS (
 q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)),
 scored AS (
   SELECT q.q_id, d.vec_id, round({V.cosine_sql('d.sq', 'q.qe')}, 6) AS cos_q
-  FROM dq d, q)
+  FROM dq d, q)"""
+
+_ANN_SQ8_SQL = (
+    _SQ8_CTE
+    + """
 SELECT q_id, vec_id, cos_q, rank FROM (
   SELECT q_id, vec_id, cos_q,
          row_number() OVER (PARTITION BY q_id ORDER BY cos_q DESC, vec_id) AS rank
   FROM scored) WHERE rank <= 5
 """
+)
 
 
 @register("ann_sq8_topk", _ANN_SQ8_SQL)
@@ -820,6 +825,60 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .select("q_id", "vec_id", "cos_q", "rank")
+    )
+
+
+_SQ8_RECALL_SQL = (
+    _SQ8_CTE
+    + f""",
+sq8 AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos_q DESC, vec_id) AS rank
+    FROM scored) WHERE rank <= 5),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY round({V.cosine_sql('e.embedding', 'q.qe')}, 6) DESC,
+                      e.vec_id) AS rank
+    FROM embeddings e, q) WHERE rank <= 5)
+SELECT exact.q_id,
+       count(sq8.vec_id) AS n_hit,
+       floor(count(sq8.vec_id) / 5.0 * 1e6 + 0.5) / 1e6 AS recall_at_5
+FROM exact LEFT JOIN sq8 USING (q_id, vec_id)
+GROUP BY exact.q_id
+"""
+)
+
+
+@register("ann_sq8_recall", _SQ8_RECALL_SQL)
+def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-quality evaluation: recall@5 of the SQ8 quantized
+    search against exact brute-force ground truth, per query — the
+    measurement that decides whether 8-bit codes are safe to serve (or
+    whether to rerank with raw vectors). Same eval loop as
+    ann_recall_eval, applied to the compression axis instead of the
+    bucketing axis: 'measure, don't guess' for index quality."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    sq8 = ann_sq8_topk(spark, sf_dir).select("q_id", "vec_id")
+    exact = SIM.brute_force_topk(emb, queries, k=5).select("q_id", "vec_id")
+    hit = exact.join(sq8, ["q_id", "vec_id"], "left_semi")
+    n_hit = hit.groupBy("q_id").agg(F.count("*").alias("n_hit"))
+    return (
+        exact.select("q_id")
+        .distinct()
+        .join(n_hit, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            (F.floor(F.coalesce("n_hit", F.lit(0)) / 5.0 * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "recall_at_5"
+            ),
+        )
     )
 
 
