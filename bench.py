@@ -38,6 +38,13 @@ from datalake_imagenes_georreferenciadas_spark.session import get_spark
 
 # Headline set: one per operator family, the shapes that dominate a real
 # workload (scan-heavy agg, 3-way join, window, dedup, ANN, geo, text).
+# The driver parses the stdout JSON line out of a 2,000-byte stdout TAIL
+# capture — a line longer than that is truncated at the head and becomes
+# unparseable (r02/r03/r05 all failed this way; line LENGTH is the
+# mechanism, not extra keys). So the stdout `queries` dict carries ONLY
+# this bounded headline set (48 names ≈ 1.4 kB, the size r04 parsed
+# fine); everything in EXTENDED_QUERIES is still timed every run but its
+# numbers live in BENCH_DETAIL.json + stderr only.
 BENCH_QUERIES = [
     "catalog_filtered_join",
     "a4_group_agg",
@@ -87,6 +94,12 @@ BENCH_QUERIES = [
     "geo_cluster_eps",
     "j_interval_overlap",
     "graph_triangles",
+]
+
+# Timed every run (regressions stay visible in BENCH_DETAIL.json and the
+# per-query stderr lines) but EXCLUDED from the stdout JSON line so it
+# stays under the driver's 2,000-byte tail capture.
+EXTENDED_QUERIES = [
     # r05 breadth: the families externally verified in round 4 join the
     # bench so regressions in them are visible round-over-round
     "sub_scalar",
@@ -150,7 +163,7 @@ def main() -> None:
 
     warm: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in BENCH_QUERIES + EXTENDED_QUERIES:
         t0 = time.time()
         n = materialize(queries[name](spark, sf_dir))
         cold[name] = round(time.time() - t0, 3)
@@ -169,15 +182,17 @@ def main() -> None:
         )
     shingle_base.unpersist()
 
-    total = round(sum(warm.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    # cold-pass detail goes to a side file + stderr; the stdout JSON line
-    # carries EXACTLY the driver-contract keys (extra keys broke the
-    # driver's parse in earlier rounds — keep this schema frozen).
+    # Full per-query detail (warm + cold, headline + extended) goes to a
+    # side file + stderr; the stdout JSON line carries EXACTLY the
+    # driver-contract keys with the headline subset only.
     detail = {
+        "queries_warm": warm,
         "queries_cold": cold,
+        "warm_total_all": round(sum(warm.values()), 3),
         "cold_total": round(sum(cold.values()), 3),
+        "headline_names": BENCH_QUERIES,
         "sf": sf_val,
     }
     try:
@@ -188,19 +203,34 @@ def main() -> None:
             json.dump(detail, fh)
     except OSError:
         pass
-    print(f"# cold detail: {json.dumps(detail)}", file=sys.stderr)
-    print(
-        json.dumps(
+    print(f"# full detail: {json.dumps(detail)}", file=sys.stderr)
+    print(build_stdout_line(warm, sf_val))
+    sys.stdout.flush()
+
+
+def build_stdout_line(warm: dict, sf_val) -> str:
+    """The driver-contract stdout JSON line, guaranteed to fit inside
+    the driver's 2,000-byte stdout-tail capture. `queries` holds the
+    headline subset and `value` is that subset's warm-time sum (the
+    round-over-round comparable). If the line would ever exceed the
+    budget, trailing headline entries are dropped (deterministically)
+    until it fits — a shorter queries dict is recoverable; an
+    unparseable line is a lost round (r02/r03/r05)."""
+    names = [n for n in BENCH_QUERIES if n in warm]
+    while True:
+        shown = {n: warm[n] for n in names}
+        line = json.dumps(
             {
                 "metric": "total_bench_seconds",
-                "value": total,
+                "value": round(sum(shown.values()), 3),
                 "unit": "sec",
-                "queries": warm,
+                "queries": shown,
                 "sf": sf_val,
             }
         )
-    )
-    sys.stdout.flush()
+        if len(line.encode()) < 1900 or not names:
+            return line
+        names = names[:-1]
 
 
 if __name__ == "__main__":

@@ -3665,7 +3665,8 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a6_collect_sorted",
     """
     SELECT o_orderpriority,
-           (list(o_orderkey ORDER BY o_orderkey))[1:5] AS first_keys,
+           array_to_string((list(o_orderkey ORDER BY o_orderkey))[1:5], ',')
+             AS first_keys,
            count(*) AS n
     FROM orders GROUP BY o_orderpriority
     """,
@@ -3675,12 +3676,20 @@ def a6_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     sliced — collect_list alone is partition-order nondeterministic, the
     sort restores a stable contract. (At 100 TB collect the TOP-k per
     group via a ranking window instead of sorting whole groups; the
-    slice here keeps the output bounded either way.)"""
+    slice here keeps the output bounded either way.) The array is
+    serialized through concat_ws because the external driver
+    canonicalizes results via pandas, which cannot sort/hash list cells
+    — output columns must stay atomic (see tests/test_output_schemas.py)."""
     return (
         table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
-            F.slice(F.sort_array(F.collect_list("o_orderkey")), 1, 5).alias("first_keys"),
+            F.concat_ws(
+                ",",
+                F.slice(F.sort_array(F.collect_list("o_orderkey")), 1, 5).cast(
+                    "array<string>"
+                ),
+            ).alias("first_keys"),
             F.count("*").alias("n"),
         )
     )
@@ -6020,9 +6029,10 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w9_trailing_array",
     """
     SELECT event_id, user_id,
-           [round(x, 6) FOR x IN list(value) OVER (
-             PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)] AS last3
+           array_to_string(
+             [CAST(round(x * 1e6) AS BIGINT) FOR x IN list(value) OVER (
+                PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)], ',') AS last3
     FROM events WHERE user_id < 50
     """,
 )
@@ -6031,7 +6041,11 @@ def w9_trailing_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered array of its last ≤3 values — the feature-vector shape
     sequence models consume (sliding context windows), built by
     collect_list over a bounded row frame (state is O(frame), not
-    O(history))."""
+    O(history)). The array is serialized as comma-joined micro-unit
+    integers: the driver canonicalizes via pandas (list cells are
+    unhashable), and double→string formatting differs between engines,
+    so round(x*1e6)→bigint→string is the stable cross-engine encoding
+    (identical IEEE double in, identical integer out)."""
     ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
     w = (
         Window.partitionBy("user_id")
@@ -6041,8 +6055,12 @@ def w9_trailing_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.transform(
-            F.collect_list("value").over(w), lambda x: F.round(x, 6)
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.collect_list("value").over(w),
+                lambda x: F.round(x * 1e6).cast("long").cast("string"),
+            ),
         ).alias("last3"),
     )
 

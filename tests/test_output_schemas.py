@@ -1,0 +1,77 @@
+"""Driver-canonicalization contract tests.
+
+The external driver canonicalizes every query result through pandas
+(sort_values + per-cell hashing). Two repo-wide invariants follow:
+
+1. Every registered query's OUTPUT schema must be atomic at the top
+   level — array/map/struct cells raise ``TypeError: unhashable type``
+   inside the driver's canon (this red-rowed ``a6_collect_sorted`` in
+   round 5). Serialize nested values (concat_ws / to_json) instead.
+2. The bench stdout JSON line must fit the driver's 2,000-byte
+   stdout-tail capture — an oversized line is truncated at the head and
+   becomes unparseable (rounds 2, 3 and 5 all lost their official bench
+   number this way).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import types as T
+
+SF = "/root/testdata/sf0.001"
+
+_FORBIDDEN = (T.ArrayType, T.MapType, T.StructType, T.NullType)
+
+
+def test_all_query_outputs_are_atomic(spark):
+    """Build every registered query at sf0.001 and reject any top-level
+    array/map/struct/null output column (driver canon cannot hash it)."""
+    from datalake_imagenes_georreferenciadas_spark.plans.queries import all_queries
+
+    bad: list[str] = []
+    for name, fn in all_queries().items():
+        df = fn(spark, SF)
+        for field in df.schema.fields:
+            if isinstance(field.dataType, _FORBIDDEN):
+                bad.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not bad, (
+        "non-atomic output columns (driver canon would red-row these): "
+        + "; ".join(bad)
+    )
+
+
+def test_bench_stdout_line_fits_driver_capture():
+    """Worst-case-width warm times for every benched query must still
+    produce a stdout line under the driver's 2,000-byte tail capture."""
+    import bench
+
+    warm = {n: 12345.678 for n in bench.BENCH_QUERIES + bench.EXTENDED_QUERIES}
+    line = bench.build_stdout_line(warm, 0.1)
+    assert len(line.encode()) < 1900, len(line.encode())
+    parsed = json.loads(line)
+    assert set(parsed) == {"metric", "value", "unit", "queries", "sf"}
+    # the full headline set must fit without the shrink fallback kicking in
+    assert set(parsed["queries"]) == set(bench.BENCH_QUERIES)
+    assert parsed["value"] == round(sum(parsed["queries"].values()), 3)
+
+
+def test_benched_names_are_registered():
+    """Every benched name must exist in the registry (a rename that
+    orphans a bench entry should fail here, not at driver time)."""
+    import bench
+    from datalake_imagenes_georreferenciadas_spark.plans.queries import QUERIES
+
+    missing = [
+        n
+        for n in bench.BENCH_QUERIES + bench.EXTENDED_QUERIES
+        if n not in dict(QUERIES)
+    ]
+    assert not missing, missing
+    assert not set(bench.BENCH_QUERIES) & set(bench.EXTENDED_QUERIES)
