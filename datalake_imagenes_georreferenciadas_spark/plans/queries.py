@@ -1602,17 +1602,38 @@ def a4_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("a5_approx_distinct")  # rows-only: HLL sketches differ across engines
+@register(
+    "a5_approx_distinct",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS n_orders_exact,
+           true AS within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def a5_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct — the 100 TB cardinality path (HLL sketch,
-    map-side mergeable). No oracle: sketch estimates are engine-specific;
-    the exact twin is a4_count_distinct."""
+    map-side mergeable). The sketch estimate itself is engine-specific,
+    so the oracle checks the exact count plus a tolerance BOOLEAN: the
+    engine asserts |approx - exact| <= 10%·exact (5× the configured
+    rsd=0.02 — a sketch that far off is broken, not unlucky) and the
+    oracle expects `true`. The approximation is thereby externally
+    checked without demanding bit-identical HLL registers (same pattern
+    as a5_kmv_distinct)."""
     return (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_orderkey", 0.02).alias("n_orders_approx"),
             F.countDistinct("l_orderkey").alias("n_orders_exact"),
+        )
+        .select(
+            "l_returnflag",
+            "n_orders_exact",
+            (
+                F.abs(F.col("n_orders_approx") - F.col("n_orders_exact"))
+                <= 0.1 * F.col("n_orders_exact")
+            ).alias("within_tol"),
         )
     )
 
@@ -1691,18 +1712,30 @@ def dedup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The LSH candidate join MUST be materialized: an inlined CTE referenced
+# from the recursive member is re-evaluated EVERY recursion round (the
+# banded self-join × cluster diameter blew the un-materialized oracle to
+# ~210 s at sf0.001). Reachability is also seeded from edge-incident
+# nodes only — singletons (the vast majority) never enter the recursion
+# and get their self-label from the final left join.
 _SEMANTIC_COMPONENTS_SQL = (
-    _COSINE_PAIRS_SQL.replace("WITH b AS", "WITH RECURSIVE b AS", 1).replace(
+    _COSINE_PAIRS_SQL.replace("WITH b AS", "WITH RECURSIVE b AS MATERIALIZED", 1)
+    .replace("cand AS (", "cand AS MATERIALIZED (", 1)
+    .replace(
         "SELECT a_id, b_id, cos FROM cand WHERE cos >= 0.25",
-        """, pairs AS (SELECT a_id, b_id FROM cand WHERE cos >= 0.25),
-edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
-          UNION ALL SELECT b_id, a_id FROM pairs),
+        """, pairs AS MATERIALIZED (SELECT a_id, b_id FROM cand WHERE cos >= 0.25),
+edges AS MATERIALIZED (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL SELECT b_id, a_id FROM pairs),
 reach AS (
-  SELECT vec_id AS id, vec_id AS r FROM embeddings
+  SELECT src AS id, src AS r FROM edges
   UNION
   SELECT e.dst AS id, r.r FROM reach r JOIN edges e ON e.src = r.id
-)
-SELECT id AS vec_id, min(r) AS component FROM reach GROUP BY id""",
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT emb.vec_id,
+       CAST(coalesce(comp.component, emb.vec_id) AS BIGINT) AS component
+FROM embeddings emb LEFT JOIN comp ON comp.id = emb.vec_id""",
     )
 )
 
@@ -2837,14 +2870,23 @@ def text_winnowing_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ======================================================================
 
 
-@register("streaming_stateful_totals")  # rows-only: custom state, no SQL twin
+@register(
+    "streaming_stateful_totals",
+    """
+    SELECT event_type, count(*) AS n, true AS matches_batch
+    FROM events GROUP BY event_type
+    """,
+)
 def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-state streaming: per-event-type running totals held in
     GroupState (streaming.stateful.running_totals). One availableNow
     micro-batch over the events file → one updated row per key. The
-    driver records a rows-only check (custom state has no ANSI-SQL twin);
-    the multi-batch accumulation contract is pytest-verified
-    (test_streaming.py)."""
+    exact per-key COUNT is oracle-checked directly, and the custom-state
+    SUM is asserted in-engine against the batch groupBy twin (same
+    input, tolerance 1e-3 for float accumulation order) and exported as
+    the `matches_batch` boolean the oracle expects to be uniformly true
+    — the exactly-once accumulation claim is thereby externally checked,
+    not just pytest-verified (test_streaming.py covers multi-batch)."""
     import uuid
 
     from ..streaming.stateful import running_totals
@@ -2865,7 +2907,23 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    batch = (
+        spark.read.parquet(src)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("b_n"), F.sum("value").alias("b_sum"))
+    )
+    return (
+        spark.table(name)
+        .join(F.broadcast(batch), "event_type", "full_outer")
+        .select(
+            "event_type",
+            F.col("n"),
+            (
+                (F.col("n") == F.col("b_n"))
+                & (F.abs(F.col("sum_value") - F.col("b_sum")) < 1e-3)
+            ).alias("matches_batch"),
+        )
+    )
 
 
 # ======================================================================
@@ -8427,16 +8485,20 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the end, fixed-point-rounded to 6 decimals.
 
     Scale shape: one explode, one token-count groupBy (map-side
-    combined; Zipf vocabulary ≪ corpus so the count table broadcasts —
-    the natural-language vocab for 100 TB is still ~10^7 rows), one
-    broadcast join back, one per-doc aggregate."""
+    combined), one join back, one per-doc aggregate. The count-table
+    join is deliberately UNHINTED: a ~10^7-row natural-language vocab
+    usually fits a broadcast, but a forced hint would OOM the driver on
+    a pathological vocabulary (URLs/ids exploded into tokens) — AQE
+    picks broadcast when the runtime size allows and falls back to a
+    shuffle join when it doesn't (same rationale as
+    dedup_corpus_chunks)."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).filter(F.col("token") != "")
     cnt = tok.groupBy("token").agg(F.count("*").alias("c"))
     return (
-        tok.join(F.broadcast(cnt), "token")
+        tok.join(cnt, "token")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
@@ -8477,8 +8539,11 @@ def _driver_check_state(repo: str | None = None) -> tuple:
     green in some round, or externally checked with ``err ==
     'no_oracle'`` (rows-only by design; they would otherwise pin 2 of
     the 50 slots every round) — plus the count of parsed round files
-    (drives the re-check rotation offset). ``repo`` overrides the
-    CORRECTNESS_r*.json directory (tests)."""
+    (drives the re-check rotation offset). A rows-only name that has
+    since GAINED an oracle_sql entry is un-retired so the driver
+    re-checks it at full strength (round-6: a5_approx_distinct and
+    streaming_stateful_totals were converted to oracle-checkable form).
+    ``repo`` overrides the CORRECTNESS_r*.json directory (tests)."""
     import glob
     import json
 
@@ -8486,7 +8551,8 @@ def _driver_check_state(repo: str | None = None) -> tuple:
         repo = os.path.dirname(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         )
-    retired = set()
+    green_ever = set()
+    rows_only = set()
     n_rounds = 0
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         try:
@@ -8507,8 +8573,11 @@ def _driver_check_state(repo: str | None = None) -> tuple:
                 and row.get("schema_match")
                 and row.get("hash_match")
             )
-            if green or row.get("err") == "no_oracle":
-                retired.add(name)
+            if green:
+                green_ever.add(name)
+            elif row.get("err") == "no_oracle":
+                rows_only.add(name)
+    retired = green_ever | {n for n in rows_only if n not in ORACLES}
     return retired, n_rounds
 
 

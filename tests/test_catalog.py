@@ -111,16 +111,18 @@ def test_insert_id_plan_has_no_single_partition_exchange(spark):
     plan = store._with_ids(_rows(spark), 0)._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
-    assert plan.count("SinglePartition") == 1  # offsets window only
-    # ...and it sits downstream of the group-count aggregate, never the
-    # raw batch: the exchange's input is the HashAggregate's output cols
+    # the invariant is STRUCTURAL, not a fixed operator count (a Spark
+    # version bump may add a harmless SinglePartition elsewhere): every
+    # SinglePartition block must consume aggregate columns (__cnt),
+    # never a raw batch column — i.e. nothing funnels the full batch
+    # through one task
+    sp_blocks = [b for b in plan.split("\n\n") if "SinglePartition" in b]
+    assert sp_blocks, "expected the offsets running-sum SinglePartition"
+    for b in sp_blocks:
+        assert "__cnt" in b, f"SinglePartition over non-aggregate input:\n{b}"
+        assert "ruta_resultado" not in b, f"raw batch column in:\n{b}"
     assert "hashpartitioning(indice" in plan
     assert "BroadcastExchange" in plan
-    # formatted mode lists each operator with Input [..]: the single
-    # partition exchange must consume the aggregated group counts
-    # (__cnt), not the full catalog row
-    sp_block = next(b for b in plan.split("\n\n") if "SinglePartition" in b)
-    assert "__cnt" in sp_block
 
 
 def test_insert_ids_match_global_row_number_order(spark):

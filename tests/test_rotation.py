@@ -87,6 +87,36 @@ def test_checked_tail_rotates_with_round_count():
     assert front1[0] == names[(1 * 50) % 120]
 
 
+def test_near_empty_backlog_window_mixes_fresh_then_rotated_tail():
+    # 10 fresh + 100 green: the driver's 50-entry window must carry ALL
+    # fresh names first, then fill the remaining 40 slots from the
+    # rotated green tail with no gaps or duplicates
+    fresh = [f"f{i:02d}" for i in range(10)]
+    green = [f"g{i:03d}" for i in range(100)]
+    reg = {k: k for k in fresh + green}
+    repo = _repo([{k: GREEN for k in green}])
+    order = list(_rotated(reg, repo))
+    assert order[:10] == fresh
+    assert len(order) == 110 and len(set(order)) == 110
+    # tail starts at offset (1 round * 50) % 100 = 50 into the green list
+    assert order[10] == green[50]
+    assert order[10:] == green[50:] + green[:50]
+
+
+def test_rows_only_unretires_once_an_oracle_exists():
+    # err == no_oracle retires a name ONLY while it still has no
+    # oracle_sql entry; converting it to oracle-checkable form must put
+    # it back in the fresh front so the driver re-checks at full
+    # strength (round-6: a5_approx_distinct, streaming_stateful_totals)
+    from datalake_imagenes_georreferenciadas_spark.plans.queries import ORACLES
+
+    repo = _repo([{"orphan_rows_only": NO_ORACLE, "a5_approx_distinct": NO_ORACLE}])
+    assert "a5_approx_distinct" in ORACLES  # converted this round
+    retired, _ = _driver_check_state(repo)
+    assert "orphan_rows_only" in retired  # still oracle-less → stays retired
+    assert "a5_approx_distinct" not in retired
+
+
 def test_union_across_rounds_and_regression_returns_to_front():
     # green in r1, red in r2: stays retired (some round was fully green)
     # — re-catching it is the re-check cycle's job, while a name that was
