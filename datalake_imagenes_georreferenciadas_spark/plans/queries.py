@@ -1476,6 +1476,111 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EXIF_GPS_SQL = """
+SELECT i AS img_id,
+       round(-((17 + i % 17) + ((i * 7) % 60) / 60.0
+               + (((i * 131) % 6000) / 100.0) / 3600.0), 6) AS lat,
+       round(-((60 + i % 12) + ((i * 11) % 60) / 60.0
+               + (((i * 173) % 6000) / 100.0) / 3600.0), 6) AS lon
+FROM generate_series(0, 59) t(i)
+"""
+
+
+@register("s7_exif_gps_scan", _EXIF_GPS_SQL)
+def s7_exif_gps_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 executed for REAL, no PIL required: the fixture writes 60
+    spec-shaped JPEGs whose APP1 segment carries an actual EXIF TIFF
+    stream (GPS sub-IFD, DMS RATIONAL triples, S/W hemisphere refs —
+    functions/tiff.py), binaryFile-scanned and parsed back byte-level by
+    the pure-stdlib EXIF walker inside the Arrow mapInPandas kernel
+    (sources/binary.py:_decode_image middle tier; the reference's
+    gpsphoto.getGPSData, script_geo.py:170-171). The oracle recomputes
+    the same deg + min/60 + sec/3600 closed form from the generating
+    integers, so the byte roundtrip is value-checked end to end —
+    unlike `multimodal_meta`, whose blobs are text and exercise the
+    digest-stub tier."""
+    from ..sources.binary import extract_image_meta, read_binary_dir
+    from ..functions import tiff as _tiff
+
+    dest = tempfile.mkdtemp(prefix="exif_fix_")
+
+    def write_files(rows):
+        for r in rows:
+            i = r["id"]
+            blob = _tiff.write_jpeg_exif_gps(
+                (17 + i % 17, (i * 7) % 60, (i * 131) % 6000, 100),
+                (60 + i % 12, (i * 11) % 60, (i * 173) % 6000, 100),
+                south=True,
+                west=True,
+            )
+            with open(os.path.join(dest, f"{i}.jpg"), "wb") as f:
+                f.write(blob)
+
+    spark.range(60).foreachPartition(write_files)
+    meta = extract_image_meta(read_binary_dir(spark, dest))
+    return meta.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.jpg$", 1)
+        .cast("long")
+        .alias("img_id"),
+        F.round(F.col("lat"), 6).alias("lat"),
+        F.round(F.col("lon"), 6).alias("lon"),
+    )
+
+
+_GEOTIFF_META_SQL = """
+SELECT i AS img_id,
+       512 + i % 256 AS cols, 256 + i % 128 AS rows,
+       200000.0::DOUBLE + i * 250.25::DOUBLE AS x0,
+       0.25::DOUBLE + (i % 8) / 16.0 AS px,
+       6000000.0::DOUBLE - i * 125.5::DOUBLE AS y0,
+       -(0.25::DOUBLE + (i % 4) / 8.0) AS neg_py
+FROM generate_series(0, 47) t(i)
+"""
+
+
+@register("s8_geotiff_meta_scan", _GEOTIFF_META_SQL)
+def s8_geotiff_meta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 executed for REAL, no GDAL required: 48 minimal GeoTIFFs
+    (ModelPixelScale + ModelTiepoint DOUBLE tags, sorted IFD —
+    functions/tiff.py) are written, binaryFile-scanned, and parsed back
+    by the pure-stdlib TIFF walker (the reference's GetGeoTransform,
+    script_geo.py:176-179) into the affine geotransform + dimensions.
+    All fixture values are dyadic rationals, so engine and oracle agree
+    bit-exactly with no rounding at all."""
+    from ..sources.binary import extract_image_meta, read_binary_dir
+    from ..functions import tiff as _tiff
+
+    dest = tempfile.mkdtemp(prefix="geotiff_fix_")
+
+    def write_files(rows):
+        for r in rows:
+            i = r["id"]
+            blob = _tiff.write_geotiff(
+                512 + i % 256,
+                256 + i % 128,
+                200000.0 + i * 250.25,
+                6000000.0 - i * 125.5,
+                0.25 + (i % 8) / 16.0,
+                0.25 + (i % 4) / 8.0,
+            )
+            with open(os.path.join(dest, f"{i}.tif"), "wb") as f:
+                f.write(blob)
+
+    spark.range(48).foreachPartition(write_files)
+    meta = extract_image_meta(read_binary_dir(spark, dest))
+    return meta.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.tif$", 1)
+        .cast("long")
+        .alias("img_id"),
+        F.col("cols").cast("long").alias("cols"),
+        F.col("rows").cast("long").alias("rows"),
+        F.element_at("gt", 1).alias("x0"),
+        F.element_at("gt", 2).alias("px"),
+        F.element_at("gt", 4).alias("y0"),
+        F.element_at("gt", 6).alias("neg_py"),
+    )
+
+
 # ======================================================================
 # EXT — as-of / range joins, rank windows, grouping sets (SURVEY §2.3/§2.5)
 # ======================================================================
@@ -3326,14 +3431,28 @@ def g1_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(fit, "user_id long, n long, slope double")
 
 
-@register("ann_ivf_kmeans")  # rows-only: the learned codebook has no SQL twin
+@register(
+    "ann_ivf_kmeans",
+    """
+    SELECT vec_id AS q_id, 10 AS n_results, true AS recall_ok
+    FROM embeddings WHERE vec_id < 3
+    """,
+)
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a REAL learned codebook: pyspark.ml KMeans (seeded)
     fits coarse centroids over the embeddings, then the same
     centroid-equi-join probe plan as `ann_ivf_topk` runs against them.
-    The driver records rows-only (k-means centers are float-order
-    dependent, no cross-engine twin); the fixed-codebook twin
-    `ann_ivf_topk` is the oracle-checked path."""
+
+    The codebook itself has no cross-engine twin (k-means centers are
+    float-order dependent), so the oracle checks the index's CONTRACT
+    instead of its internals: per query, the probe must return a full
+    k=10 results and recall@10 against the in-engine exact top-10
+    (brute_force_topk — itself oracle-checked via f17_cosine_topk) must
+    clear 0.5. Measured recall at nprobe=4 is 0.7-1.0 across
+    sf0.001/0.01/0.1, so the boolean has ≥0.2 absolute margin over
+    codebook jitter; a degenerate codebook or broken probe join drives
+    it false and red-rows the round (same pattern as a5_approx_distinct
+    and ann_recall_eval)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -3349,7 +3468,26 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    return SIM.ivf_topk(emb, queries_df, centroids, k=10, nprobe=2)
+    ivf = SIM.ivf_topk(emb, queries_df, centroids, k=10, nprobe=4).select(
+        "q_id", "vec_id"
+    )
+    exact = SIM.brute_force_topk(emb, queries_df, k=10).select("q_id", "vec_id")
+    n_hit = (
+        exact.join(ivf, ["q_id", "vec_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    n_res = ivf.groupBy("q_id").agg(F.count("*").alias("n_results"))
+    return (
+        queries_df.select("q_id")
+        .join(n_res, "q_id", "left")
+        .join(n_hit, "q_id", "left")
+        .select(
+            F.col("q_id"),
+            F.coalesce("n_results", F.lit(0)).cast("int").alias("n_results"),
+            (F.coalesce("n_hit", F.lit(0)) >= 5).alias("recall_ok"),
+        )
+    )
 
 
 # ======================================================================
@@ -3539,6 +3677,75 @@ def geo_ring_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_predio", F.posexplode("rings").alias("ring_idx", "__r")
     ).select(
         "id_predio", "ring_idx", F.round(F.abs(shoelace) / 2, 6).alias("area")
+    )
+
+
+# One embedded-Derby database per (session, sf_dir): the JDBC load is a
+# STANDING source — pay the single-connection write once, every
+# subsequent read is the partitioned parallel scan (mirrors
+# _BUCKETED_LAYOUTS).
+_DERBY_DBS: dict[str, str] = {}
+
+
+@register(
+    "s9_jdbc_roundtrip",
+    f"""
+    SELECT c_nationkey, count(*) AS n, {_dsum_sql('c_acctbal')} AS total_bal
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    GROUP BY c_nationkey
+    """,
+)
+def s9_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 executed for real — no external DB required: the customer
+    table is loaded into an EMBEDDED Apache Derby database (the JDBC
+    engine Spark already ships for its metastore), then read back
+    through ``spark.read.format("jdbc")`` as a PARTITIONED parallel scan
+    (4 range partitions on c_custkey — each executor opens its own
+    connection, the 100 TB-era ingest shape for relational sources,
+    vs the reference's single cursor in mysql_process.py:13-25) with the
+    segment predicate and column pruning PUSHED into the external
+    engine's SQL ("External engine query" in the formatted plan). String
+    columns are pinned to VARCHAR at create time — Derby maps Spark
+    strings to CLOB by default, and CLOB predicates don't push."""
+    import uuid
+
+    db = _DERBY_DBS.get(sf_dir)
+    if db is None:
+        db = os.path.join(
+            tempfile.mkdtemp(prefix="derby_"), f"db_{uuid.uuid4().hex[:8]}"
+        )
+        cust = table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
+        )
+        (
+            cust.write.format("jdbc")
+            .option("url", f"jdbc:derby:{db};create=true")
+            .option("dbtable", "CUSTOMER")
+            .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+            .option("createTableColumnTypes", "c_mktsegment VARCHAR(10)")
+            .save()
+        )
+        _DERBY_DBS[sf_dir] = db
+    hi = (
+        table(spark, sf_dir, "customer")
+        .agg(F.max("c_custkey"))
+        .collect()[0][0]
+    )
+    back = (
+        spark.read.format("jdbc")
+        .option("url", f"jdbc:derby:{db}")
+        .option("dbtable", "CUSTOMER")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .option("partitionColumn", "c_custkey")
+        .option("lowerBound", "1")
+        .option("upperBound", str(int(hi) + 1))
+        .option("numPartitions", "4")
+        .load()
+    )
+    return (
+        back.filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n"), _dsum(F.col("c_acctbal")).alias("total_bal"))
     )
 
 

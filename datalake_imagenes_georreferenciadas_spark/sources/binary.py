@@ -147,27 +147,33 @@ def _decode_image_stub(content: bytes, path: str) -> dict:
 
 
 def _decode_image(content: bytes, path: str) -> dict:
-    """Per-row decode dispatch: REAL kernel when the library is importable
-    AND the bytes decode; deterministic stub otherwise. Mirrors the
-    reference's try/except dispatch (script_geo.py:167-175) so a corrupt
-    blob degrades instead of failing the task — and keeps the digest-twin
-    oracle valid on synthetic (non-image) fixtures even with PIL/GDAL
-    installed."""
+    """Per-row decode dispatch, three tiers: library kernel (PIL/GDAL)
+    when importable AND the bytes decode → pure-stdlib TIFF/EXIF parser
+    (functions.tiff — ALWAYS available, the real byte-level metadata
+    extraction) → deterministic digest stub. Mirrors the reference's
+    try/except dispatch (script_geo.py:167-175) so a corrupt blob
+    degrades instead of failing the task — and keeps the digest-twin
+    oracle valid on synthetic (non-image) fixtures."""
+    from ..functions import tiff as _tiff
+
     content = bytes(content)
     if path.lower().endswith((".jpg", ".jpeg")):
-        if _PILImage is not None:
-            gps = _exif_gps_real(content)
-            if gps is not None:
-                return {
-                    "clase": "BR",
-                    "lat": gps[0],
-                    "lon": gps[1],
-                    "gt": None,
-                    "cols": None,
-                    "rows": None,
-                }
-    elif _gdal is not None:
-        meta = _raster_meta_real(content)
+        gps = _exif_gps_real(content) if _PILImage is not None else None
+        if gps is None:
+            gps = _tiff.parse_exif_gps(content)
+        if gps is not None:
+            return {
+                "clase": "BR",
+                "lat": gps[0],
+                "lon": gps[1],
+                "gt": None,
+                "cols": None,
+                "rows": None,
+            }
+    else:
+        meta = _raster_meta_real(content) if _gdal is not None else None
+        if meta is None:
+            meta = _tiff.parse_tiff_meta(content)
         if meta is not None:
             return {
                 "clase": "TIF",
