@@ -211,3 +211,95 @@ def grid_cell(x: Column, y: Column, eps: float) -> Column:
         F.floor(x / F.lit(eps)).cast("long").alias("cx"),
         F.floor(y / F.lit(eps)).cast("long").alias("cy"),
     )
+
+
+# ---- F9 exact: inverse Transverse Mercator (UTM -> WGS84), no pyproj ----
+#
+# The reference reprojects with pyproj (convertirCoordenadas,
+# script_geo.py:33-61); that wheel isn't installable here, but UTM is a
+# CLOSED-FORM projection: the standard inverse series (Snyder, "Map
+# Projections — A Working Manual", USGS PP 1395, eqs. 3-26, 8-17..8-25)
+# is accurate to well under 1 mm inside a zone. The series is generated
+# ONCE as SQL text and evaluated by BOTH engines (Spark via F.expr, the
+# DuckDB oracle via nested selects), so the formulas cannot drift apart;
+# pytest validates absolute accuracy against published ground truth and
+# a forward-projection round trip (tests/test_spatial.py).
+
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+_E2 = _WGS84_F * (2.0 - _WGS84_F)
+_EP2 = _E2 / (1.0 - _E2)
+_K0 = 0.9996
+_E1 = (1.0 - (1.0 - _E2) ** 0.5) / (1.0 + (1.0 - _E2) ** 0.5)
+_M_DENOM = _WGS84_A * (1.0 - _E2 / 4.0 - 3.0 * _E2**2 / 64.0 - 5.0 * _E2**3 / 256.0)
+_J1 = 3.0 * _E1 / 2.0 - 27.0 * _E1**3 / 32.0
+_J2 = 21.0 * _E1**2 / 16.0 - 55.0 * _E1**4 / 32.0
+_J3 = 151.0 * _E1**3 / 96.0
+_J4 = 1097.0 * _E1**4 / 512.0
+_DEG = 180.0 / 3.141592653589793
+
+
+def utm_inverse_steps(
+    x_expr: str, y_expr: str, zone: int = 19, south: bool = True
+) -> list[tuple[str, str]]:
+    """The inverse-TM series as ordered (column, SQL-expression) steps;
+    later steps reference earlier column names. One text, two engines."""
+    fn = 10000000.0 if south else 0.0
+    lon0 = float(zone * 6 - 183)
+    return [
+        ("__mu", f"(({y_expr}) - {fn!r}) / {_K0!r} / {_M_DENOM!r}"),
+        (
+            "__phi1",
+            f"__mu + {_J1!r} * sin(2.0 * __mu) + {_J2!r} * sin(4.0 * __mu)"
+            f" + {_J3!r} * sin(6.0 * __mu) + {_J4!r} * sin(8.0 * __mu)",
+        ),
+        ("__sp", "sin(__phi1)"),
+        ("__cp", "cos(__phi1)"),
+        ("__tp", "__sp / __cp"),
+        ("__t1", "__tp * __tp"),
+        ("__c1", f"{_EP2!r} * __cp * __cp"),
+        ("__s15", f"1.0 - {_E2!r} * __sp * __sp"),
+        ("__n1", f"{_WGS84_A!r} / sqrt(__s15)"),
+        ("__r1", f"{_WGS84_A * (1.0 - _E2)!r} / (__s15 * sqrt(__s15))"),
+        ("__d", f"(({x_expr}) - 500000.0) / (__n1 * {_K0!r})"),
+        ("__d2", "__d * __d"),
+        (
+            "lat",
+            "(__phi1 - (__n1 * __tp / __r1) * (__d2 / 2.0"
+            f" - (5.0 + 3.0 * __t1 + 10.0 * __c1 - 4.0 * __c1 * __c1 - 9.0 * {_EP2!r})"
+            " * __d2 * __d2 / 24.0"
+            f" + (61.0 + 90.0 * __t1 + 298.0 * __c1 + 45.0 * __t1 * __t1"
+            f" - 252.0 * {_EP2!r} - 3.0 * __c1 * __c1)"
+            f" * __d2 * __d2 * __d2 / 720.0)) * {_DEG!r}",
+        ),
+        (
+            "lon",
+            f"{lon0!r} + ((__d - (1.0 + 2.0 * __t1 + __c1) * __d * __d2 / 6.0"
+            f" + (5.0 - 2.0 * __c1 + 28.0 * __t1 - 3.0 * __c1 * __c1"
+            f" + 8.0 * {_EP2!r} + 24.0 * __t1 * __t1)"
+            f" * __d * __d2 * __d2 / 120.0) / __cp) * {_DEG!r}",
+        ),
+    ]
+
+
+def reproject_utm_to_wgs84_exact(
+    df, x_col: str, y_col: str, zone: int = 19, south: bool = True
+):
+    """Apply the exact inverse-TM series to a DataFrame: adds ``lon`` /
+    ``lat`` columns (dropping the ``__*`` intermediates). Pure JVM-side
+    column arithmetic — whole-stage-codegen friendly, no UDF."""
+    steps = utm_inverse_steps(x_col, y_col, zone, south)
+    for name, expr in steps:
+        df = df.withColumn(name, F.expr(expr))
+    return df.drop(*[n for n, _ in steps if n.startswith("__")])
+
+
+def utm_inverse_sql(
+    source_sql: str, x_expr: str, y_expr: str, zone: int = 19, south: bool = True
+) -> str:
+    """DuckDB twin: the same steps as nested selects over ``source_sql``
+    (a relation producing ``x_expr``/``y_expr``)."""
+    q = source_sql
+    for name, expr in utm_inverse_steps(x_expr, y_expr, zone, south):
+        q = f"SELECT *, {expr} AS {name} FROM ({q})"
+    return q

@@ -26,6 +26,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import geo as GEO
 from ..functions import hashing as H
 from ..functions import text as TX
 from ..functions import vectors as V
@@ -2012,6 +2013,46 @@ def geo_reproject_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "img_id",
         F.round(F.col("ll.lon"), 6).alias("lon"),
         F.round(F.col("ll.lat"), 6).alias("lat"),
+    )
+
+
+_UTM_INV_SQL = (
+    "SELECT pt_id, round(lat, 6) AS lat, round(lon, 6) AS lon FROM ("
+    + GEO.utm_inverse_sql(
+        "SELECT i AS pt_id, 200000.0 + i * 6100.0 AS x,"
+        " 5600000.0 + i * 7300.0 AS y FROM generate_series(0, 99) t(i)",
+        "x",
+        "y",
+        zone=19,
+        south=True,
+    )
+    + ")"
+)
+
+
+@register("geo_utm_inverse_grid", _UTM_INV_SQL)
+def geo_utm_inverse_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 with the EXACT inverse Transverse Mercator — no pyproj, no
+    approximation: the full Snyder USGS series (functions/geo.py:
+    utm_inverse_steps, mm-accurate; pytest checks published ground truth
+    + a forward round trip) over a 100-point UTM 19S grid spanning the
+    zone. The series is generated once as SQL text and evaluated by both
+    engines, so this externally checks the reprojection the reference
+    does through pyproj (convertirCoordenadas, script_geo.py:33-61).
+    Pure column arithmetic — whole-stage codegen, no UDF, broadcast-free."""
+    pts = (
+        spark.range(100)
+        .select(
+            F.col("id").alias("pt_id"),
+            (200000.0 + F.col("id") * 6100.0).alias("x"),
+            (5600000.0 + F.col("id") * 7300.0).alias("y"),
+        )
+    )
+    out = GEO.reproject_utm_to_wgs84_exact(pts, "x", "y", zone=19, south=True)
+    return out.select(
+        "pt_id",
+        F.round("lat", 6).alias("lat"),
+        F.round("lon", 6).alias("lon"),
     )
 
 

@@ -251,3 +251,91 @@ def test_nearest_vertex_includes_hole_vertices(spark):
     pts = _points(spark, [(1, 2.1, 2.1)])
     got = nearest_vertex_join(pts, _holed_polys(spark)).collect()[0]
     assert (got["vx"], got["vy"]) == (3.0, 3.0) and got["id_predio"] == "P4"
+
+
+# ---- F9 exact inverse Transverse Mercator (functions/geo.py) ----------
+
+
+def _eval_inverse(x: float, y: float, zone: int, south: bool):
+    """Evaluate the shared SQL step chain in pure Python (the same text
+    Spark and DuckDB execute)."""
+    import math
+
+    from datalake_imagenes_georreferenciadas_spark.functions import geo as G
+
+    env = {"sin": math.sin, "cos": math.cos, "sqrt": math.sqrt}
+    vals: dict = {}
+    for name, expr in G.utm_inverse_steps(repr(x), repr(y), zone, south):
+        vals[name] = eval(  # noqa: S307 - test-only, our own generated text
+            expr.replace("__", "XX"),
+            env,
+            {k.replace("__", "XX"): v for k, v in vals.items()},
+        )
+    return vals["lat"], vals["lon"]
+
+
+def test_utm_inverse_matches_published_ground_truth():
+    # CN Tower (the UTM article's worked example): zone 17N,
+    # 630084 m E / 4833438 m N == 43.642567 N, 79.387139 W. The
+    # easting/northing are meter-rounded, so agreement to ~1e-5 deg
+    # (~1 m) is the strongest claim the vector supports.
+    lat, lon = _eval_inverse(630084.0, 4833438.0, 17, False)
+    assert abs(lat - 43.642567) < 2e-5
+    assert abs(lon - (-79.387139)) < 2e-5
+
+
+def test_utm_inverse_forward_roundtrip_under_1cm():
+    # forward TM (Snyder 8-9..8-14, implemented independently here)
+    # then the engine's inverse must return to the input within 1e-7 deg
+    # (~1 cm) across zone 19S
+    import math
+
+    a, f = 6378137.0, 1 / 298.257223563
+    e2 = f * (2 - f)
+    ep2 = e2 / (1 - e2)
+    k0 = 0.9996
+
+    def fwd(lat, lon, zone, south):
+        phi, lam = math.radians(lat), math.radians(lon)
+        lam0 = math.radians(zone * 6 - 183)
+        n = a / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+        t = math.tan(phi) ** 2
+        c = ep2 * math.cos(phi) ** 2
+        aa = (lam - lam0) * math.cos(phi)
+        m = a * (
+            (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256) * phi
+            - (3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024) * math.sin(2 * phi)
+            + (15 * e2**2 / 256 + 45 * e2**3 / 1024) * math.sin(4 * phi)
+            - (35 * e2**3 / 3072) * math.sin(6 * phi)
+        )
+        x = 500000 + k0 * n * (
+            aa
+            + (1 - t + c) * aa**3 / 6
+            + (5 - 18 * t + t**2 + 72 * c - 58 * ep2) * aa**5 / 120
+        )
+        y = (10000000 if south else 0) + k0 * (
+            m
+            + n
+            * math.tan(phi)
+            * (
+                aa**2 / 2
+                + (5 - t + 9 * c + 4 * c**2) * aa**4 / 24
+                + (61 - 58 * t + t**2 + 600 * c - 330 * ep2) * aa**6 / 720
+            )
+        )
+        return x, y
+
+    for lat in (-45.0, -33.45, -18.0):
+        for lon in (-72.0, -70.66, -67.0):
+            x, y = fwd(lat, lon, 19, True)
+            la, lo = _eval_inverse(x, y, 19, True)
+            assert abs(la - lat) < 1e-7 and abs(lo - lon) < 1e-7
+
+
+def test_utm_inverse_spark_matches_python_eval(spark):
+    from datalake_imagenes_georreferenciadas_spark.functions import geo as G
+
+    pts = spark.createDataFrame([(345000.0, 6297000.0)], "x double, y double")
+    row = G.reproject_utm_to_wgs84_exact(pts, "x", "y", zone=19, south=True).collect()[0]
+    la, lo = _eval_inverse(345000.0, 6297000.0, 19, True)
+    assert abs(row["lat"] - la) < 1e-12 and abs(row["lon"] - lo) < 1e-12
