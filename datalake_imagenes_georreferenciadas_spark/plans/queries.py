@@ -8758,6 +8758,159 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_bfs_distance",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    edges AS (SELECT pa AS src, pb AS dst FROM pairs
+              UNION ALL SELECT pb, pa FROM pairs),
+    f0 AS (SELECT min(src) AS id FROM edges),
+    f1 AS (
+      SELECT DISTINCT e.dst AS id FROM edges e JOIN f0 ON e.src = f0.id
+      WHERE e.dst NOT IN (SELECT id FROM f0)),
+    f2 AS (
+      SELECT DISTINCT e.dst AS id FROM edges e JOIN f1 ON e.src = f1.id
+      WHERE e.dst NOT IN (SELECT id FROM f0 UNION ALL SELECT id FROM f1)),
+    f3 AS (
+      SELECT DISTINCT e.dst AS id FROM edges e JOIN f2 ON e.src = f2.id
+      WHERE e.dst NOT IN (SELECT id FROM f0 UNION ALL SELECT id FROM f1
+                          UNION ALL SELECT id FROM f2)),
+    cand AS (
+      SELECT id, 0 AS d FROM f0 UNION ALL SELECT id, 1 FROM f1
+      UNION ALL SELECT id, 2 FROM f2 UNION ALL SELECT id, 3 FROM f3)
+    SELECT id AS part_id, min(d) AS dist FROM cand GROUP BY id
+    """,
+)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop BFS shortest-path distances (3 unrolled rounds) from
+    the smallest part id over the co-purchase graph (parts sharing ≥2
+    orders — graph_copurchase's edge set, symmetrized). Each round is
+    one frontier-edge equi-join + an anti-join PRUNE against the visited
+    set, so the frontier never re-expands settled nodes — the
+    Pregel-style BFS kernel (same per-round shape as the distributed
+    components path in operators/dedup.py), with the hop bound making
+    the plan a fixed-depth DAG both engines replay exactly. No driver
+    collect: the source node is a one-row aggregate broadcast."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    b = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        li.join(b, (li.l_orderkey == b.o) & (li.l_partkey < b.pb))
+        .groupBy(F.col("l_partkey").alias("pa"), "pb")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    # materialize the edge list ONCE — without this every unrolled round
+    # re-plans the distinct+self-join+groupBy subtree and the DAG grows
+    # exponentially (~300 exchanges); with it each round is one
+    # edge-frontier join + one anti-join prune, same per-round shape as
+    # components_from_edges (operators/dedup.py:397+)
+    edges = (
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .union(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    f0 = edges.agg(F.min("src").alias("id")).localCheckpoint(eager=True)
+    visited = f0
+    frontier = f0
+    cand = [f0.select("id", F.lit(0).alias("d"))]
+    for hop in (1, 2, 3):
+        frontier = (
+            edges.join(F.broadcast(frontier), edges.src == F.col("id"))
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        cand.append(frontier.select("id", F.lit(hop).alias("d")))
+        visited = visited.union(frontier.select("id")).localCheckpoint(eager=True)
+    out = cand[0]
+    for c in cand[1:]:
+        out = out.union(c)
+    return out.groupBy(F.col("id").alias("part_id")).agg(
+        F.min("d").alias("dist")
+    )
+
+
+@register(
+    "text_bigram_fluency",
+    """
+    WITH base AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+      FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(l[1:len(l) - 1]) AS w1,
+             unnest(l[2:len(l)]) AS w2
+      FROM base WHERE len(l) >= 2),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    scored AS (
+      SELECT bg.doc_id,
+             CAST(floor(c2.c2 * 1000000.0 / c1.c1 + 0.5) AS BIGINT) AS micro
+      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+    SELECT doc_id, count(*) AS n_bigrams,
+           CAST(floor(CAST(sum(micro) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+             AS mean_micro_prob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model fluency score — the perplexity-proxy
+    quality filter of a pretraining pipeline (KenLM-style gating,
+    integer-exact instead of log-space): each document's mean corpus
+    transition probability P(w2|w1) = c(w1,w2)/c(w1·), in fixed-point
+    micro-units so engines agree bit-for-bit (single IEEE division +
+    floor; no ln, whose last-ulp differences across libms can flip a
+    rounded digit). Low score = improbable token sequences (noise,
+    boilerplate mashups); high = predictable text.
+
+    Scale shape: bigrams come from one arrays_zip over the token array —
+    no window, no self-join; the two count tables are map-side-combined
+    groupBys; the joins back are equi-joins AQE can broadcast (vocab ≪
+    corpus). One corpus pass end to end."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    arr = F.filter(F.split("text", " "), lambda x: x != "")
+    bg = (
+        docs.select("doc_id", arr.alias("l"))
+        .filter(F.size("l") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("l", 1, F.size("l") - 1).alias("w1"),
+                    F.slice("l", 2, F.size("l") - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .select(
+            "doc_id",
+            F.floor(F.col("c2") * 1000000.0 / F.col("c1") + 0.5)
+            .cast("long")
+            .alias("micro"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.floor(F.sum("micro").cast("double") / F.count("*") + 0.5)
+        .cast("long")
+        .alias("mean_micro_prob"),
+    )
+
+
 # The external verify driver samples the FIRST 50 entries of ``queries()``
 # each round. Rotation is SELF-MAINTAINING: any query that already has a
 # fully-green row (rows+schema+hash) in some CORRECTNESS_r{N}.json — or a

@@ -143,6 +143,19 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # joins codebook+queries via broadcast BNLJ only, top-k is a
     # WindowGroupLimit — no shuffle of the vector table
     "ann_sq8_topk": (3, ["BroadcastNestedLoopJoin", "WindowGroupLimit", "!CartesianProduct", "!SortMergeJoin"]),
+    # JDBC via embedded Derby: predicate + projection pushed into the
+    # EXTERNAL engine's SQL and a 4-way range-partitioned parallel scan
+    "s9_jdbc_roundtrip": (1, ["External engine query:", "PushedFilters: [*IsNotNull(c_mktsegment), *EqualTo(c_mktsegment,BUILDING)]", "numPartitions=4", "!CartesianProduct"]),
+    # exact inverse-TM series: pure column arithmetic over Range — zero
+    # exchanges, no Python evaluator anywhere in the plan
+    "geo_utm_inverse_grid": (0, ["Range", "!Exchange", "!BatchEvalPython", "!ArrowEvalPython"]),
+    # bigram LM score: two count tables broadcast back onto the bigram
+    # stream (AQE decides, no forced hint), no sort-merge join
+    "text_bigram_fluency": (4, ["HashAggregate", "!CartesianProduct"]),
+    # bounded BFS over localCheckpointed edges/frontiers: the final plan
+    # is unions of materialized per-round RDDs + one grouped min — the
+    # per-round joins already ran; nothing may re-expand here
+    "graph_bfs_distance": (1, ["!CartesianProduct", "!SortMergeJoin", "!BroadcastNestedLoopJoin"]),
 }
 
 
