@@ -297,6 +297,63 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT join (Broder's containment
+    coefficient): ``c(A→B) = |A∩B| / |A|`` — high when A is a subset of
+    B even if B is much larger, which symmetric Jaccard misses entirely
+    (a paragraph quoted inside a long page has Jaccard ≈ 0 but
+    containment ≈ 1). The standard rule for dropping subsumed documents
+    (quotes, boilerplate-wrapped reposts, truncated mirrors) from a
+    pretraining corpus.
+
+    Same fully-aggregative inverted-index plan as
+    :func:`ngram_jaccard_pairs` (one intersection count per unordered
+    pair, no arrays cross the shuffle, hot-shingle DF cap for scale);
+    both directions are computed from the single count, and a pair is
+    emitted when EITHER direction clears ``threshold``.
+    """
+    ex = _exploded_shingles(df, id_col, text_col, k).distinct()
+    if max_doc_freq is not None:
+        hot = (
+            ex.groupBy("__sh")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_doc_freq)
+            .select("__sh")
+        )
+        ex = ex.join(hot, "__sh", "left_anti")
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("__n"))
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), "__sh")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+        .agg(F.count("*").alias("__inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("__n").alias("__nb"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "cont_a", F.round(F.col("__inter") / F.col("__na").cast("double"), 6)
+        )
+        .withColumn(
+            "cont_b", F.round(F.col("__inter") / F.col("__nb").cast("double"), 6)
+        )
+        .filter(
+            (F.col("cont_a") >= threshold) | (F.col("cont_b") >= threshold)
+        )
+        .select("a_id", "b_id", "cont_a", "cont_b")
+    )
+
+
 def dedup_components(
     df: DataFrame,
     id_col: str = "doc_id",

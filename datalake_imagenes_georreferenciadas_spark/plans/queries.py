@@ -1780,6 +1780,44 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAINMENT_THR = 0.8
+_CONTAINMENT_SQL = f"""
+WITH base AS (SELECT doc_id, {H.shingles_sql('text', 3)} AS shingles FROM documents),
+ex0 AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(shingles) AS sh FROM base)),
+hot AS (SELECT sh FROM ex0 GROUP BY sh HAVING count(*) > {_NGRAM_MAX_DF}),
+ex AS (SELECT * FROM ex0 WHERE sh NOT IN (SELECT sh FROM hot)),
+sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT a_id, b_id,
+       round(i::DOUBLE / sa.n, 6) AS cont_a,
+       round(i::DOUBLE / sb.n, 6) AS cont_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE round(i::DOUBLE / sa.n, 6) >= {_CONTAINMENT_THR}
+   OR round(i::DOUBLE / sb.n, 6) >= {_CONTAINMENT_THR}
+"""
+
+
+@register("dedup_containment", _CONTAINMENT_SQL)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (operators/dedup.py
+    containment_pairs): c(A→B) = |A∩B|/|A| catches documents SUBSUMED by
+    larger ones — quotes, truncated mirrors, boilerplate-wrapped reposts
+    — which symmetric Jaccard scores near zero. Same inverted-index
+    aggregative plan and hot-shingle DF cap as dedup_ngram_jaccard; both
+    directions from one intersection count."""
+    return D.containment_pairs(
+        table(spark, sf_dir, "documents"),
+        k=3,
+        threshold=_CONTAINMENT_THR,
+        max_doc_freq=_NGRAM_MAX_DF,
+    )
+
+
 _COS_BANDS, _COS_PLANES = 4, 5
 _COS_BAND_COLS = ",\n         ".join(
     SIM.hyperplane_signature_sql(
