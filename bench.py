@@ -127,6 +127,14 @@ EXTENDED_QUERIES = [
     "ann_sq8_topk",
     "multimodal_resize",
     "ann_sq8_recall",
+    # r06 additions: embedded-Derby JDBC, exact inverse-TM, bigram LM
+    # gate, containment dedup, GeoTIFF byte roundtrip, bounded BFS
+    "s9_jdbc_roundtrip",
+    "geo_utm_inverse_grid",
+    "text_bigram_fluency",
+    "dedup_containment",
+    "s8_geotiff_meta_scan",
+    "graph_bfs_distance",
 ]
 
 

@@ -293,3 +293,30 @@ def test_components_threshold_boundary_and_default(spark):
             r["id"]: r["component"] for r in out.collect()
         }
     assert results[n] == results[n - 1] == expect
+
+
+def test_containment_catches_subset_that_jaccard_misses(spark):
+    from datalake_imagenes_georreferenciadas_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    # doc 2 is a verbatim excerpt of the much longer doc 1; doc 3 is
+    # unrelated. Jaccard(1,2) is small (|A| >> |B|) but containment of
+    # the excerpt in its source is ~1.
+    long_doc = " ".join(f"w{i}" for i in range(200))
+    excerpt = " ".join(f"w{i}" for i in range(40, 60))
+    other = " ".join(f"x{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, excerpt), (3, other)], "doc_id long, text string"
+    )
+    cont = {
+        (r["a_id"], r["b_id"]): (r["cont_a"], r["cont_b"])
+        for r in containment_pairs(df, k=3, threshold=0.8).collect()
+    }
+    assert (1, 2) in cont and len(cont) == 1
+    ca, cb = cont[(1, 2)]
+    # the excerpt (b, smaller) is fully contained; the source is not
+    assert cb == 1.0 and ca < 0.2
+    # symmetric Jaccard at the same bar finds nothing
+    assert ngram_jaccard_pairs(df, k=3, jaccard_threshold=0.8).count() == 0
