@@ -6410,6 +6410,76 @@ def w9_trailing_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_ewma",
+    """
+    WITH w AS (
+      SELECT event_id, user_id,
+             list(value) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vals
+      FROM events WHERE user_id < 50)
+    SELECT event_id, user_id,
+           CAST(floor(
+             CAST(list_sum(list_transform(vals,
+               (x, i) -> CAST(floor(x * pow(0.9, len(vals) - i) * 1e6 + 0.5)
+                              AS BIGINT))) AS DOUBLE) * 1000.0
+             / list_sum(list_transform(vals,
+               (x, i) -> CAST(floor(pow(0.9, len(vals) - i) * 1e6 + 0.5)
+                              AS BIGINT)))
+             + 0.5) AS BIGINT) AS ewma_milli
+    FROM w
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user (pandas
+    ``ewm(alpha=0.1, adjust=True)`` semantics, truncated to the last 20
+    rows — weights beyond 20 lags are < 0.9^20 ≈ 12% and the truncation
+    makes state O(frame), the streaming-compatible form). Arithmetic is
+    fixed-point: each weighted term and each weight is floored to
+    integer micro-units and summed as BIGINT (order-independent), with
+    one final IEEE division — no float-sum association drift between
+    engines. The trailing frame + zip_with shape is the w9 pattern;
+    at 100 TB the window partitions by entity like any running agg."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    vals = F.collect_list("value").over(w)
+    exps = F.sequence(F.size("vals") - 1, F.lit(0), F.lit(-1))
+    num = F.aggregate(
+        F.zip_with(
+            F.col("vals"),
+            exps,
+            lambda x, k: F.floor(x * F.pow(F.lit(0.9), k) * 1e6 + 0.5).cast(
+                "long"
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(
+        F.transform(
+            exps,
+            lambda k: F.floor(F.pow(F.lit(0.9), k) * 1e6 + 0.5).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        ev.select("event_id", "user_id", vals.alias("vals"))
+        .select(
+            "event_id",
+            "user_id",
+            F.floor(num.cast("double") * 1000.0 / den + 0.5)
+            .cast("long")
+            .alias("ewma_milli"),
+        )
+    )
+
+
+@register(
     "dq_k_anonymity",
     """
     WITH g AS (
