@@ -6810,6 +6810,68 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("q_id", "vec_id", "cos", "rank")
 
 
+_MATRYOSHKA_SQL = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+           WHERE vec_id IN (0, 1, 2)),
+pre AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY round({V.cosine_sql('e.embedding[1:16]', 'q.qe[1:16]')}, 6) DESC,
+                      e.vec_id) AS rank
+    FROM embeddings e, q) WHERE rank <= 10),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY round({V.cosine_sql('e.embedding', 'q.qe')}, 6) DESC,
+                      e.vec_id) AS rank
+    FROM embeddings e, q) WHERE rank <= 10)
+SELECT exact.q_id,
+       count(pre.vec_id) AS n_hit,
+       floor(count(pre.vec_id) / 10.0 * 1e6 + 0.5) / 1e6 AS recall_at_10
+FROM exact LEFT JOIN pre USING (q_id, vec_id)
+GROUP BY exact.q_id
+"""
+
+
+@register("ann_matryoshka_recall", _MATRYOSHKA_SQL)
+def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka/MRL-style truncated-embedding evaluation: recall@10 of
+    ranking by only the FIRST 16 of 64 dimensions against the full-dim
+    exact top-10 — the measurement behind serving truncated embedding
+    prefixes (4× less scan + memory per query, the dimensionality twin
+    of ann_sq8_recall's compression axis). Both rankings are
+    deterministic window top-ks; the prefix is a zero-copy array slice,
+    no re-embedding pass."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries_df = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    pre16 = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    q16 = queries_df.select("q_id", F.slice("embedding", 1, 16).alias("embedding"))
+    pre = SIM.brute_force_topk(pre16, q16, k=10).select("q_id", "vec_id")
+    exact = SIM.brute_force_topk(emb, queries_df, k=10).select("q_id", "vec_id")
+    n_hit = (
+        exact.join(pre, ["q_id", "vec_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        exact.select("q_id")
+        .distinct()
+        .join(n_hit, "q_id", "left")
+        .select("q_id", F.coalesce("n_hit", F.lit(0)).alias("n_hit"))
+        .select(
+            "q_id",
+            "n_hit",
+            (F.floor(F.col("n_hit") / 10.0 * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "recall_at_10"
+            ),
+        )
+    )
+
+
 _RECALL_SQL = f"""
 WITH b AS (SELECT vec_id, {SIM.hyperplane_signature_sql('embedding', 6)} AS bucket,
                   embedding FROM embeddings),
