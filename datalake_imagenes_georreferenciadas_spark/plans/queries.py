@@ -6409,6 +6409,125 @@ def w9_trailing_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One partitioned fact layout + month-dim parquet per (session, sf_dir)
+# — a standing lake layout, like _BUCKETED_LAYOUTS and _DERBY_DBS.
+_DPP_LAYOUTS: dict[str, str] = {}
+
+
+@register(
+    "j_dynamic_partition_pruning",
+    f"""
+    WITH li AS (
+      SELECT strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m') AS ship_month,
+             l_extendedprice
+      FROM lineitem)
+    SELECT ship_month, count(*) AS n,
+           {_dsum_sql('l_extendedprice')} AS revenue
+    FROM li
+    WHERE ship_month IN ('1995-10', '1995-11', '1995-12')
+    GROUP BY ship_month
+    """,
+)
+def j_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — THE mechanism that makes
+    dim-filtered fact scans cheap on a partitioned 100 TB lake: the
+    fact (lineitem, hive-partitioned by ship month, ~80 partitions) is
+    joined to a month dimension filtered on an attribute
+    (quarter = '1995-Q4') that only the DIM carries, so static pruning
+    cannot apply; at runtime Spark turns the dim's surviving keys into a
+    partition filter on the fact scan (`dynamicpruningexpression` in
+    the formatted plan, asserted by tools/explain_audit.py) and reads 3
+    of ~80 partitions instead of all of them. Layout written once per
+    session (standing-table posture, like the bucketed join)."""
+    import uuid
+
+    base = _DPP_LAYOUTS.get(sf_dir)
+    if base is None:
+        base = os.path.join(tempfile.mkdtemp(prefix="dpp_"), uuid.uuid4().hex[:8])
+        li = table(spark, sf_dir, "lineitem").select(
+            "l_extendedprice",
+            F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        )
+        li.write.partitionBy("ship_month").parquet(os.path.join(base, "fact"))
+        dim = (
+            table(spark, sf_dir, "lineitem")
+            .select(
+                F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+                F.concat(
+                    F.year("l_shipdate").cast("string"),
+                    F.lit("-Q"),
+                    F.quarter("l_shipdate").cast("string"),
+                ).alias("quarter"),
+            )
+            .distinct()
+        )
+        dim.write.parquet(os.path.join(base, "dim"))
+        _DPP_LAYOUTS[sf_dir] = base
+    fact = spark.read.parquet(os.path.join(base, "fact"))
+    dim = spark.read.parquet(os.path.join(base, "dim")).filter(
+        F.col("quarter") == "1995-Q4"
+    )
+    return (
+        fact.join(dim.select("ship_month"), "ship_month")
+        .groupBy("ship_month")
+        .agg(
+            F.count("*").alias("n"),
+            _dsum(F.col("l_extendedprice")).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "f14_variant_extract",
+    f"""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
+           count(*) FILTER (WHERE props->>'nope' IS NULL) AS n_missing,
+           {_dsum_sql("round(value * 2, 6)")} AS sum_doubled
+    FROM events GROUP BY event_type
+    """,
+)
+def f14_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT columns (Spark 4): ``parse_json`` turns
+    the raw ``props`` JSON into the binary VARIANT encoding — schema-free
+    like a string, but field access is O(path) on the encoded tree
+    instead of a re-parse per extraction, the storage answer for
+    heterogeneous event payloads at 100 TB. Exercised end to end:
+    typed path extraction (``variant_get`` '$.k' as int), graceful
+    missing-path handling (``try_variant_get`` → NULL, never an error),
+    and a NESTED array path ('$.vs[1]') through a JSON→VARIANT roundtrip
+    of a constructed document — the oracle recomputes every extraction
+    relationally."""
+    ev = table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    nested = F.parse_json(
+        F.to_json(
+            F.struct(
+                F.col("user_id").alias("uid"),
+                F.array(F.col("value"), F.col("value") * 2).alias("vs"),
+            )
+        )
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.variant_get(v, "$.k", "int").alias("k"),
+            F.try_variant_get(v, "$.nope", "string").alias("missing"),
+            F.round(F.variant_get(nested, "$.vs[1]", "double"), 6).alias(
+                "doubled"
+            ),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.count(F.when(F.col("missing").isNull(), 1)).alias("n_missing"),
+            _dsum(F.col("doubled")).alias("sum_doubled"),
+        )
+    )
+
+
 @register(
     "ts_ewma",
     """

@@ -152,6 +152,12 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # bigram LM score: two count tables broadcast back onto the bigram
     # stream (AQE decides, no forced hint), no sort-merge join
     "text_bigram_fluency": (4, ["HashAggregate", "!CartesianProduct"]),
+    # runtime partition pruning: the dim filter must become a
+    # dynamicpruningexpression in the FACT scan's PartitionFilters
+    "j_dynamic_partition_pruning": (2, ["dynamicpruningexpression", "PartitionFilters", "!CartesianProduct"]),
+    # VARIANT path extraction runs JVM-side: one agg exchange, no
+    # Python evaluator in the plan
+    "f14_variant_extract": (1, ["HashAggregate", "!BatchEvalPython", "!ArrowEvalPython"]),
     # bounded BFS over localCheckpointed edges/frontiers: the final plan
     # is unions of materialized per-round RDDs + one grouped min — the
     # per-round joins already ran; nothing may re-expand here
