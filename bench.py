@@ -135,6 +135,11 @@ EXTENDED_QUERIES = [
     "dedup_containment",
     "s8_geotiff_meta_scan",
     "graph_bfs_distance",
+    "ts_ewma",
+    "ann_matryoshka_recall",
+    "f14_variant_extract",
+    "j_dynamic_partition_pruning",
+    "s1_python_datasource",
 ]
 
 

@@ -6409,6 +6409,88 @@ def w9_trailing_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PYDS_FIXTURE: dict[str, str] = {}
+
+
+@register(
+    "s1_python_datasource",
+    """
+    WITH jp AS (
+      SELECT i,
+             round(-((17 + i % 17) + ((i * 7) % 60) / 60.0
+                     + (((i * 131) % 6000) / 100.0) / 3600.0), 6) AS lat
+      FROM generate_series(0, 39) t(i)),
+    tf AS (
+      SELECT i, 512 + i % 256 AS cols,
+             200000.0::DOUBLE + i * 250.25::DOUBLE AS x0
+      FROM generate_series(0, 39) t(i))
+    SELECT 'BR' AS kind, count(*) AS n,
+           CAST(sum(floor(lat * 1e6 + 0.5)) AS BIGINT) AS checksum
+    FROM jp
+    UNION ALL
+    SELECT 'TIF' AS kind, count(*) AS n,
+           CAST(sum(cols) + sum(CAST(floor(x0 * 4.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS checksum
+    FROM tf
+    """,
+)
+def s1_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4): the ``exifscan`` format
+    (sources/pyds.py) reads an image directory as a TYPED table — the
+    file list is split into planner partitions, each executor split
+    decodes JPEG-EXIF / GeoTIFF metadata INSIDE the scan with the
+    pure-stdlib codec and emits rows, not blobs. The fixture mixes 40
+    real-EXIF JPEGs and 40 GeoTIFFs (same generating integers as
+    s7/s8); per-kind fixed-point checksums over the decoded coordinates
+    prove the whole source — partition planning, executor-side read,
+    typed schema — end to end against a closed-form oracle."""
+    from ..functions import tiff as _tiff
+    from ..sources.pyds import register_exifscan
+
+    dest = _PYDS_FIXTURE.get(sf_dir)
+    if dest is None:
+        dest = tempfile.mkdtemp(prefix="pyds_fix_")
+        for i in range(40):
+            with open(os.path.join(dest, f"{i}.jpg"), "wb") as f:
+                f.write(
+                    _tiff.write_jpeg_exif_gps(
+                        (17 + i % 17, (i * 7) % 60, (i * 131) % 6000, 100),
+                        (60 + i % 12, (i * 11) % 60, (i * 173) % 6000, 100),
+                        south=True,
+                        west=True,
+                    )
+                )
+            with open(os.path.join(dest, f"{i}.tif"), "wb") as f:
+                f.write(
+                    _tiff.write_geotiff(
+                        512 + i % 256,
+                        256 + i % 128,
+                        200000.0 + i * 250.25,
+                        6000000.0 - i * 125.5,
+                        0.25 + (i % 8) / 16.0,
+                        0.25 + (i % 4) / 8.0,
+                    )
+                )
+        _PYDS_FIXTURE[sf_dir] = dest
+    register_exifscan(spark)
+    scan = spark.read.format("exifscan").option("numPartitions", "8").load(dest)
+    return (
+        scan.groupBy("kind")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("kind") == "BR",
+                    F.floor(F.round(F.col("lat"), 6) * 1e6 + 0.5).cast("long"),
+                ).otherwise(
+                    F.col("cols").cast("long")
+                    + F.floor(F.col("x0") * 4.0 + 0.5).cast("long")
+                )
+            ).alias("checksum"),
+        )
+    )
+
+
 # One partitioned fact layout + month-dim parquet per (session, sf_dir)
 # — a standing lake layout, like _BUCKETED_LAYOUTS and _DERBY_DBS.
 _DPP_LAYOUTS: dict[str, str] = {}

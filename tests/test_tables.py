@@ -76,3 +76,30 @@ def test_spread_noop_when_already_parallel(spark):
     df = spark.range(1000).repartition(spark.sparkContext.defaultParallelism)
     out = spread(df)
     assert out is df  # no extra exchange inserted
+
+
+def test_exifscan_python_datasource_roundtrip(spark, tmp_path):
+    """Custom Python DataSource: partition planning + executor-side
+    decode emit typed rows for a mixed image dir (sources/pyds.py)."""
+    from datalake_imagenes_georreferenciadas_spark.functions import tiff as T
+    from datalake_imagenes_georreferenciadas_spark.sources.pyds import register_exifscan
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    (d / "a.jpg").write_bytes(
+        T.write_jpeg_exif_gps((10, 30, 0, 100), (20, 0, 0, 100), True, False)
+    )
+    (d / "b.tif").write_bytes(T.write_geotiff(64, 32, 100.0, 900.0, 2.0, 4.0))
+    (d / "c.jpg").write_bytes(b"not a real jpeg")
+    register_exifscan(spark)
+    rows = {
+        r["path"].rsplit("/", 1)[-1]: r
+        for r in spark.read.format("exifscan").load(str(d)).collect()
+    }
+    assert rows["a.jpg"]["kind"] == "BR"
+    assert abs(rows["a.jpg"]["lat"] - (-10.5)) < 1e-9
+    assert rows["a.jpg"]["lon"] == 20.0
+    assert rows["b.tif"]["kind"] == "TIF"
+    assert (rows["b.tif"]["cols"], rows["b.tif"]["rows"]) == (64, 32)
+    assert (rows["b.tif"]["x0"], rows["b.tif"]["y0"]) == (100.0, 900.0)
+    assert rows["c.jpg"]["kind"] == "RAW"  # garbage degrades, never fails
