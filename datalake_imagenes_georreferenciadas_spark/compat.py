@@ -60,8 +60,6 @@ __all__ = [
     "CatalogStore",
 ]
 
-_K0_R = 0.9996 * 6378137.0
-_DEG = 180.0 / math.pi
 
 
 def get_extent(gt: list[float], cols: int, rows: int) -> list[tuple[float, float]]:
@@ -78,15 +76,26 @@ def get_extent(gt: list[float], cols: int, rows: int) -> list[tuple[float, float
 def reproject_coords(
     coords: list[tuple[float, float]], zone: int = 18, south: bool = True
 ) -> list[tuple[float, float]]:
-    """script_geo.ReprojectCoords (33-39) with the container-safe
-    approximation of functions.geo.reproject_utm_to_wgs84_approx (the
-    pyproj pandas_udf is the production body)."""
-    lon0 = zone * 6 - 183
-    false_n = 10000000.0 if south else 0.0
-    return [
-        (lon0 + (x - 500000.0) / _K0_R * _DEG, (y - false_n) / _K0_R * _DEG)
-        for x, y in coords
-    ]
+    """script_geo.ReprojectCoords (33-39), EXACT: evaluates the same
+    Snyder inverse-TM step chain the engine and oracles share
+    (functions.geo.utm_inverse_steps) in pure Python — mm-equivalent to
+    the reference's pyproj transform, no wheel required. (Round 1-5
+    shipped an equirectangular approximation; the exact series replaced
+    it in round 6.)"""
+    from .functions.geo import utm_inverse_steps
+
+    env = {"sin": math.sin, "cos": math.cos, "sqrt": math.sqrt}
+    out = []
+    for x, y in coords:
+        vals: dict = {}
+        for name, expr in utm_inverse_steps(repr(float(x)), repr(float(y)), zone, south):
+            # "__"-prefixed step names aren't valid eval locals; rename
+            scope = {k.replace("__", "XX"): v for k, v in vals.items()}
+            vals[name] = eval(  # noqa: S307 - our own generated step text
+                expr.replace("__", "XX"), env, scope
+            )
+        out.append((vals["lon"], vals["lat"]))
+    return out
 
 
 def convertir_coordenadas(features: list[dict], zone: int = 18) -> list[dict]:

@@ -303,3 +303,73 @@ def utm_inverse_sql(
     for name, expr in utm_inverse_steps(x_expr, y_expr, zone, south):
         q = f"SELECT *, {expr} AS {name} FROM ({q})"
     return q
+
+
+_M0 = 1.0 - _E2 / 4.0 - 3.0 * _E2**2 / 64.0 - 5.0 * _E2**3 / 256.0
+_M1 = 3.0 * _E2 / 8.0 + 3.0 * _E2**2 / 32.0 + 45.0 * _E2**3 / 1024.0
+_M2 = 15.0 * _E2**2 / 256.0 + 45.0 * _E2**3 / 1024.0
+_M3 = 35.0 * _E2**3 / 3072.0
+_RAD = 3.141592653589793 / 180.0
+
+
+def utm_forward_steps(
+    lat_expr: str, lon_expr: str, zone: int = 19, south: bool = True
+) -> list[tuple[str, str]]:
+    """Forward Transverse Mercator (WGS84 lon/lat → UTM easting/
+    northing), Snyder eqs. 3-21, 8-9..8-14 — the write-back direction of
+    :func:`utm_inverse_steps`, same one-text-two-engines contract
+    (pytest round-trips the pair to < 1e-7 deg)."""
+    fn = 10000000.0 if south else 0.0
+    lam0 = float(zone * 6 - 183)
+    return [
+        ("__phi", f"({lat_expr}) * {_RAD!r}"),
+        ("__fsp", "sin(__phi)"),
+        ("__fcp", "cos(__phi)"),
+        ("__ftp", "__fsp / __fcp"),
+        ("__fn1", f"{_WGS84_A!r} / sqrt(1.0 - {_E2!r} * __fsp * __fsp)"),
+        ("__ft", "__ftp * __ftp"),
+        ("__fc", f"{_EP2!r} * __fcp * __fcp"),
+        ("__fa", f"((({lon_expr}) - {lam0!r}) * {_RAD!r}) * __fcp"),
+        ("__fa2", "__fa * __fa"),
+        (
+            "__fm",
+            f"{_WGS84_A!r} * ({_M0!r} * __phi - {_M1!r} * sin(2.0 * __phi)"
+            f" + {_M2!r} * sin(4.0 * __phi) - {_M3!r} * sin(6.0 * __phi))",
+        ),
+        (
+            "easting",
+            f"500000.0 + {_K0!r} * __fn1 * (__fa"
+            " + (1.0 - __ft + __fc) * __fa * __fa2 / 6.0"
+            f" + (5.0 - 18.0 * __ft + __ft * __ft + 72.0 * __fc"
+            f" - 58.0 * {_EP2!r}) * __fa * __fa2 * __fa2 / 120.0)",
+        ),
+        (
+            "northing",
+            f"{fn!r} + {_K0!r} * (__fm + __fn1 * __ftp * (__fa2 / 2.0"
+            " + (5.0 - __ft + 9.0 * __fc + 4.0 * __fc * __fc)"
+            " * __fa2 * __fa2 / 24.0"
+            f" + (61.0 - 58.0 * __ft + __ft * __ft + 600.0 * __fc"
+            f" - 330.0 * {_EP2!r}) * __fa2 * __fa2 * __fa2 / 720.0))",
+        ),
+    ]
+
+
+def reproject_wgs84_to_utm_exact(
+    df, lat_col: str, lon_col: str, zone: int = 19, south: bool = True
+):
+    """Apply the forward-TM series: adds ``easting``/``northing``
+    columns (dropping intermediates). Pure JVM column arithmetic."""
+    steps = utm_forward_steps(lat_col, lon_col, zone, south)
+    for name, expr in steps:
+        df = df.withColumn(name, F.expr(expr))
+    return df.drop(*[n for n, _ in steps if n.startswith("__")])
+
+
+def utm_forward_sql(
+    source_sql: str, lat_expr: str, lon_expr: str, zone: int = 19, south: bool = True
+) -> str:
+    """DuckDB twin of :func:`reproject_wgs84_to_utm_exact`."""
+    q = source_sql
+    for name, expr in utm_forward_steps(lat_expr, lon_expr, zone, south):
+        q = f"SELECT *, {expr} AS {name} FROM ({q})"
+    return q

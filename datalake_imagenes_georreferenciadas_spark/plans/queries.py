@@ -2054,6 +2054,49 @@ def geo_reproject_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UTM_FWD_SQL = (
+    "SELECT pt_id, round(easting, 4) AS easting,"
+    " round(northing, 4) AS northing, in_zone FROM ("
+    + GEO.utm_forward_sql(
+        "SELECT i AS pt_id, -44.0 + (i // 10) * 2.6 AS lat,"
+        " -73.5 + (i % 10) * 0.9 AS lon,"
+        " (-72.0 <= -73.5 + (i % 10) * 0.9"
+        "  AND -73.5 + (i % 10) * 0.9 < -66.0) AS in_zone"
+        " FROM generate_series(0, 99) t(i)",
+        "lat",
+        "lon",
+        zone=19,
+        south=True,
+    )
+    + ")"
+)
+
+
+@register("geo_utm_forward_grid", _UTM_FWD_SQL)
+def geo_utm_forward_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 write-back direction: WGS84 → UTM 19S via the full forward
+    Transverse Mercator series (functions/geo.py utm_forward_steps;
+    pytest pins the published CN Tower easting/northing within its meter
+    rounding and round-trips against the inverse to ~1e-9°). Same
+    shared-SQL-text contract as geo_utm_inverse_grid; the in_zone flag
+    marks points inside the zone's longitude band, where the series is
+    mm-exact. Pure codegen arithmetic, zero exchanges, no UDF."""
+    pts = spark.range(100).select(
+        F.col("id").alias("pt_id"),
+        (-44.0 + (F.col("id") / 10).cast("long") * 2.6).alias("lat"),
+        (-73.5 + (F.col("id") % 10) * 0.9).alias("lon"),
+    ).withColumn(
+        "in_zone", (F.col("lon") >= -72.0) & (F.col("lon") < -66.0)
+    )
+    out = GEO.reproject_wgs84_to_utm_exact(pts, "lat", "lon", zone=19, south=True)
+    return out.select(
+        "pt_id",
+        F.round("easting", 4).alias("easting"),
+        F.round("northing", 4).alias("northing"),
+        "in_zone",
+    )
+
+
 _UTM_INV_SQL = (
     "SELECT pt_id, round(lat, 6) AS lat, round(lon, 6) AS lon FROM ("
     + GEO.utm_inverse_sql(

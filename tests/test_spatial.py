@@ -339,3 +339,47 @@ def test_utm_inverse_spark_matches_python_eval(spark):
     row = G.reproject_utm_to_wgs84_exact(pts, "x", "y", zone=19, south=True).collect()[0]
     la, lo = _eval_inverse(345000.0, 6297000.0, 19, True)
     assert abs(row["lat"] - la) < 1e-12 and abs(row["lon"] - lo) < 1e-12
+
+
+def test_utm_forward_matches_published_ground_truth():
+    # CN Tower forward: 43.642567 N, 79.387139 W, zone 17N ->
+    # 630084 m E / 4833438 m N (meter-rounded published values)
+    import math
+
+    from datalake_imagenes_georreferenciadas_spark.functions import geo as G
+
+    env = {"sin": math.sin, "cos": math.cos, "sqrt": math.sqrt}
+    vals: dict = {}
+    for name, expr in G.utm_forward_steps("43.642567", "-79.387139", 17, False):
+        vals[name] = eval(  # noqa: S307 - test-only, our own generated text
+            expr.replace("__", "XX"),
+            env,
+            {k.replace("__", "XX"): v for k, v in vals.items()},
+        )
+    assert abs(vals["easting"] - 630084) < 1.0
+    assert abs(vals["northing"] - 4833438) < 1.0
+
+
+def test_utm_forward_inverse_roundtrip(spark):
+    from datalake_imagenes_georreferenciadas_spark.functions import geo as G
+
+    pts = spark.createDataFrame(
+        [(la, lo) for la in (-45.0, -33.45, -18.0) for lo in (-72.0, -69.0)],
+        "lat double, lon double",
+    )
+    fwd = G.reproject_wgs84_to_utm_exact(pts, "lat", "lon", zone=19, south=True)
+    back = G.reproject_utm_to_wgs84_exact(
+        fwd.select(
+            F.col("lat").alias("lat0"),
+            F.col("lon").alias("lon0"),
+            "easting",
+            "northing",
+        ),
+        "easting",
+        "northing",
+        zone=19,
+        south=True,
+    )
+    for r in back.collect():
+        assert abs(r["lat"] - r["lat0"]) < 1e-7
+        assert abs(r["lon"] - r["lon0"]) < 1e-7

@@ -149,6 +149,7 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # exact inverse-TM series: pure column arithmetic over Range — zero
     # exchanges, no Python evaluator anywhere in the plan
     "geo_utm_inverse_grid": (0, ["Range", "!Exchange", "!BatchEvalPython", "!ArrowEvalPython"]),
+    "geo_utm_forward_grid": (0, ["Range", "!Exchange", "!BatchEvalPython", "!ArrowEvalPython"]),
     # bigram LM score: two count tables broadcast back onto the bigram
     # stream (AQE decides, no forced hint), no sort-merge join
     "text_bigram_fluency": (4, ["HashAggregate", "!CartesianProduct"]),
