@@ -6603,6 +6603,91 @@ def j_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_foreachbatch_merge",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE)
+             AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production streaming-sink pattern: ``foreachBatch`` MERGE.
+    The event file is staged as 4 shards read one-per-micro-batch
+    (maxFilesPerTrigger=1), and each batch UPSERTS its per-type partial
+    aggregate into a copy-on-write state table keyed by the batch id —
+    a replayed batch is SKIPPED (the exactly-once discipline every
+    Delta/Iceberg streaming MERGE uses, here over plain parquet).
+    Partials are DECIMAL so cross-batch accumulation is exact and
+    order-independent; the final state must equal the one-shot batch
+    aggregate the oracle computes. Four micro-batches exercise the
+    read-merge-write loop for real, not a single-batch degenerate."""
+    import uuid
+
+    base = tempfile.mkdtemp(prefix="febm_")
+    stream_dir = os.path.join(base, "in")
+    state_dir = os.path.join(base, "state")
+    ev = table(spark, sf_dir, "events").select("event_type", F.round("value", 4).alias("value"))
+    ev.repartition(4).write.parquet(stream_dir)
+    schema = spark.read.parquet(stream_dir).schema
+
+    applied: set[int] = set()
+
+    def merge(batch_df, batch_id: int) -> None:
+        if batch_id in applied:  # replay guard: batch already merged
+            return
+        applied.add(batch_id)
+        part = batch_df.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("total"),
+        )
+        cur_dir = os.path.join(state_dir, "cur")
+        if os.path.isdir(cur_dir):
+            cur = batch_df.sparkSession.read.parquet(cur_dir)
+            merged = (
+                cur.select("event_type", "n", "total")
+                .unionByName(part)
+                .groupBy("event_type")
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.sum("total").cast("decimal(18,4)").alias("total"),
+                )
+            )
+        else:
+            merged = part
+        nxt = os.path.join(state_dir, f"v_{uuid.uuid4().hex[:8]}")
+        merged.write.parquet(nxt)
+        # atomic-ish pointer flip: re-link 'cur' to the new version
+        tmp_link = cur_dir + ".tmp"
+        if os.path.islink(tmp_link):
+            os.unlink(tmp_link)
+        os.symlink(nxt, tmp_link)
+        os.replace(tmp_link, cur_dir)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(stream_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(os.path.join(state_dir, "cur"))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("total").cast("double").alias("total"),
+        )
+    )
+
+
+@register(
     "f14_variant_extract",
     f"""
     SELECT event_type,
