@@ -829,6 +829,150 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- PQ (product quantization): M=8 subspaces × K=16 codewords ------
+# Codebook = the subvectors of the first 16 vectors (deterministic
+# data-sampled codebook — k-means would refine it but breaks
+# cross-engine exactness; the SEARCH mechanics are identical either
+# way). Indexing: Spark uses element_at (1-based; its [] is 0-based),
+# DuckDB uses list_extract (1-based; its element_at is MAP-only).
+
+_PQ_M, _PQ_K, _PQ_D = 8, 16, 8
+
+
+def _pq_l2_spark(a: str, b: str) -> str:
+    """Spark-SQL squared-L2 text, same sequential fold as V.euclidean2."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _pq_sub(arr: str, m: str) -> str:  # m is 0-based in both engines
+    return f"slice({arr}, {m} * {_PQ_D} + 1, {_PQ_D})"
+
+
+_PQ_CODES_SPARK = (
+    f"transform(sequence(0, {_PQ_M - 1}), m -> array_position("
+    + f"transform(element_at(cbs, m + 1), c -> {_pq_l2_spark(_pq_sub('emb', 'm'), 'c')}), "
+    + "array_min(transform(element_at(cbs, m + 1), c -> "
+    + _pq_l2_spark(_pq_sub("emb", "m"), "c")
+    + "))))"
+)
+
+_PQ_ADC_SPARK = (
+    f"aggregate(sequence(0, {_PQ_M - 1}), CAST(0 AS BIGINT), (acc, m) -> "
+    "acc + CAST(floor("
+    + _pq_l2_spark(
+        _pq_sub("qe", "m"),
+        "element_at(element_at(cbs, m + 1), CAST(element_at(codes, m + 1) AS INT))",
+    )
+    + " * 1e9 + 0.5) AS BIGINT))"
+)
+
+
+def _pq_sub_duck(arr: str, m: str) -> str:
+    return f"({arr})[({m}) * {_PQ_D} + 1 : ({m}) * {_PQ_D} + {_PQ_D}]"
+
+
+_PQ_DUCK_CODES = (
+    "[ list_position("
+    + f"[ {V.euclidean2_sql(_pq_sub_duck('embedding', 'm'), 'list_extract(list_extract(cbs, m + 1), k + 1)')} FOR k IN range({_PQ_K}) ], "
+    + f"list_min([ {V.euclidean2_sql(_pq_sub_duck('embedding', 'm'), 'list_extract(list_extract(cbs, m + 1), k + 1)')} FOR k IN range({_PQ_K}) ])"
+    + f") FOR m IN range({_PQ_M}) ]"
+)
+
+_PQ_DUCK_ADC = (
+    "list_sum([ CAST(floor("
+    + V.euclidean2_sql(
+        _pq_sub_duck("qe", "m"),
+        "list_extract(list_extract(cbs, m + 1), CAST(list_extract(codes, m + 1) AS INT))",
+    )
+    + " * 1e9 + 0.5) AS BIGINT) FOR m IN range("
+    + str(_PQ_M)
+    + ") ])"
+)
+
+_PQ_TOPK_SQL = f"""
+WITH cb AS (
+  SELECT [ [ {_pq_sub_duck('e', 'm')} FOR e IN cvs ] FOR m IN range({_PQ_M}) ] AS cbs
+  FROM (SELECT list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS cvs
+        FROM embeddings WHERE vec_id < {_PQ_K})),
+enc AS (
+  SELECT vec_id, {_PQ_DUCK_CODES} AS codes
+  FROM embeddings, cb),
+q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT q.q_id, enc.vec_id,
+         CAST({_PQ_DUCK_ADC} AS BIGINT) AS adc_nano
+  FROM enc, q, cb)
+SELECT q_id, vec_id, adc_nano, rank FROM (
+  SELECT q_id, vec_id, adc_nano,
+         row_number() OVER (PARTITION BY q_id
+           ORDER BY adc_nano, vec_id) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
+@register("ann_pq_topk", _PQ_TOPK_SQL)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT-quantized ANN (the vector completion of ann_sq8_topk's
+    scalar axis): 64 dims split into M=8 subspaces, each encoded as the
+    nearest of K=16 codewords, so a vector stores as 8 small codes —
+    32× smaller than float32 — and search runs by Asymmetric Distance
+    Computation: per query, L2 to each codeword once, then every
+    database vector scores as a sum of 8 table lookups. ADC partials
+    are floored to nano-units and summed as BIGINT (order-independent,
+    hash-exact cross-engine).
+
+    Scale shape: the codebook collapses to ONE broadcast row (nested
+    array, 8×16×8 doubles); encoding and scoring are corpus scans with
+    broadcast joins only — no shuffle of the vector table; top-k is one
+    window. The codebook here is deterministically data-sampled (first
+    K vectors) to stay oracle-exact; swapping in k-means centroids
+    changes only the cb row, not the plan."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb = (
+        emb.filter(F.col("vec_id") < _PQ_K)
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(vec_id, "
+                "CAST(embedding AS ARRAY<DOUBLE>) AS e))), s -> s.e)"
+            ).alias("cvs")
+        )
+        .select(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}), m -> "
+                f"transform(cvs, e -> {_pq_sub('e', 'm')}))"
+            ).alias("cbs")
+        )
+    )
+    enc = (
+        emb.crossJoin(F.broadcast(cb))
+        .select(
+            "vec_id",
+            F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("emb"),
+            F.col("cbs"),
+        )
+        .select("vec_id", F.expr(_PQ_CODES_SPARK).alias("codes"), "cbs")
+    )
+    queries_df = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("q_id"),
+        F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("qe"),
+    )
+    scored = enc.crossJoin(F.broadcast(queries_df)).select(
+        "q_id", "vec_id", F.expr(_PQ_ADC_SPARK).alias("adc_nano")
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_nano", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "vec_id", "adc_nano", "rank")
+    )
+
+
 _SQ8_RECALL_SQL = (
     _SQ8_CTE
     + f""",

@@ -143,6 +143,10 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # joins codebook+queries via broadcast BNLJ only, top-k is a
     # WindowGroupLimit — no shuffle of the vector table
     "ann_sq8_topk": (3, ["BroadcastNestedLoopJoin", "WindowGroupLimit", "!CartesianProduct", "!SortMergeJoin"]),
+    # PQ ANN: the 8×16×8 codebook collapses to ONE broadcast row;
+    # encode + ADC scoring are corpus scans with broadcast joins only —
+    # the vector table never shuffles; top-k is a window group limit
+    "ann_pq_topk": (2, ["BroadcastNestedLoopJoin", "WindowGroupLimit", "!CartesianProduct", "!SortMergeJoin"]),
     # JDBC via embedded Derby: predicate + projection pushed into the
     # EXTERNAL engine's SQL and a 4-way range-partitioned parallel scan
     "s9_jdbc_roundtrip": (1, ["External engine query:", "PushedFilters: [*IsNotNull(c_mktsegment), *EqualTo(c_mktsegment,BUILDING)]", "numPartitions=4", "!CartesianProduct"]),
