@@ -973,6 +973,70 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_RECALL_SQL = (
+    _PQ_TOPK_SQL.replace(
+        """SELECT q_id, vec_id, adc_nano, rank FROM (
+  SELECT q_id, vec_id, adc_nano,
+         row_number() OVER (PARTITION BY q_id
+           ORDER BY adc_nano, vec_id) AS rank
+  FROM scored) WHERE rank <= 5""",
+        f""", pq AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY adc_nano, vec_id) AS rank
+    FROM scored) WHERE rank <= 5),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY round({V.cosine_sql('CAST(e.embedding AS DOUBLE[])', 'q.qe')}, 6) DESC,
+                      e.vec_id) AS rank
+    FROM embeddings e, q) WHERE rank <= 5)
+SELECT exact.q_id,
+       count(pq.vec_id) AS n_hit,
+       floor(count(pq.vec_id) / 5.0 * 1e6 + 0.5) / 1e6 AS recall_at_5
+FROM exact LEFT JOIN pq USING (q_id, vec_id)
+GROUP BY exact.q_id""",
+    ).replace("WITH cb AS (", "WITH cb AS (", 1)
+)
+
+
+@register("ann_pq_recall", _PQ_RECALL_SQL)
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the product-quantized ADC ranking against exact
+    cosine ground truth — the index-quality measurement that decides
+    whether 8-code vectors are safe to serve (completing the eval trio:
+    ann_recall_eval for LSH, ann_sq8_recall for scalar quantization,
+    this for PQ). Note ADC ranks by L2 while ground truth ranks by
+    cosine — recall here also absorbs that metric gap, as it does in a
+    real deployment."""
+    pq = ann_pq_topk(spark, sf_dir).select("q_id", "vec_id")
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries_df = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact = SIM.brute_force_topk(emb, queries_df, k=5).select("q_id", "vec_id")
+    n_hit = (
+        exact.join(pq, ["q_id", "vec_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        exact.select("q_id")
+        .distinct()
+        .join(n_hit, "q_id", "left")
+        .select("q_id", F.coalesce("n_hit", F.lit(0)).alias("n_hit"))
+        .select(
+            "q_id",
+            "n_hit",
+            (F.floor(F.col("n_hit") / 5.0 * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "recall_at_5"
+            ),
+        )
+    )
+
+
 _SQ8_RECALL_SQL = (
     _SQ8_CTE
     + f""",
