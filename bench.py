@@ -140,6 +140,9 @@ EXTENDED_QUERIES = [
     "f14_variant_extract",
     "j_dynamic_partition_pruning",
     "s1_python_datasource",
+    "ann_pq_topk",
+    "streaming_foreachbatch_merge",
+    "geo_utm_forward_grid",
 ]
 
 

@@ -836,6 +836,42 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # way). Indexing: Spark uses element_at (1-based; its [] is 0-based),
 # DuckDB uses list_extract (1-based; its element_at is MAP-only).
 
+@register(
+    "multimodal_audio_features",
+    """
+    WITH fr AS (
+      SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN ['']
+                  ELSE [substring(text, s, 1000)
+                        FOR s IN range(1, length(text) + 1, 1000)]
+             END AS chunks
+      FROM documents),
+    rms AS (
+      SELECT doc_id,
+             [('0x' || substring(md5(c), 1, 8))::BIGINT % 1000000
+              FOR c IN chunks] AS vals
+      FROM fr)
+    SELECT doc_id,
+           CAST(len(vals) AS INT) AS n_frames,
+           list_extract(vals, 1) AS first_rms,
+           CAST(list_sum(vals) AS BIGINT) AS total_rms
+    FROM rms
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction (sources/binary.py audio_features) — the
+    third modality kernel beside image resize and video frame-sampling:
+    the payload is windowed into fixed 1000-char frames, each frame
+    reduced to a scalar energy, aggregated per document inside one Arrow
+    mapInPandas pass. The per-frame DSP body is the documented digest
+    stub (librosa/soundfile absent from the container); the windowing,
+    batch iteration and typed aggregation — the Spark-side contract — is
+    real and value-checked against the digest-twin oracle."""
+    from ..sources.binary import audio_features
+
+    return audio_features(table(spark, sf_dir, "documents"))
+
+
 _PQ_M, _PQ_K, _PQ_D = 8, 16, 8
 
 

@@ -359,3 +359,52 @@ def sample_frames(binary_df: DataFrame, every_n: int = 10, max_frames: int = 5) 
             yield pd.DataFrame({"path": paths, "frame_idx": idxs, "frame_key": keys})
 
     return binary_df.select("path", "content").mapInPandas(batches, FRAME_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, n_frames int, first_rms long, total_rms long"
+)
+
+
+def _frame_rms_stub(chunk: str) -> int:
+    """Deterministic per-frame 'RMS' proxy — STAND-IN for a real audio
+    decode (librosa/soundfile aren't in this container): the first 8 hex
+    digits of the frame digest as an integer energy. Clearly fake
+    values; the real body would decode PCM and compute actual RMS."""
+    return int(hashlib.md5(chunk.encode("utf-8")).hexdigest()[:8], 16) % 1_000_000
+
+
+def audio_features(df: DataFrame, frame_chars: int = 1000) -> DataFrame:
+    """Audio feature extraction as an Arrow mapInPandas kernel — the
+    third modality next to image resize and video frame-sampling: an
+    opaque payload is windowed into fixed-size frames and each frame
+    yields a scalar feature, aggregated per document. The Spark-side
+    contract (Arrow batch iteration, frame windowing, per-row feature
+    reduction, typed output schema) is real; only the per-frame DSP body
+    is the documented digest stub. Input is the ``text`` column standing
+    in for a PCM payload (frames = fixed CHARACTER windows so the DuckDB
+    oracle can reproduce the windowing exactly)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nfr, first, total = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                chunks = [
+                    text[i : i + frame_chars]
+                    for i in range(0, len(text), frame_chars)
+                ] or [""]
+                rms = [_frame_rms_stub(c) for c in chunks]
+                ids.append(int(doc_id))
+                nfr.append(len(rms))
+                first.append(rms[0])
+                total.append(sum(rms))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_frames": nfr,
+                    "first_rms": first,
+                    "total_rms": total,
+                }
+            )
+
+    return df.select("doc_id", "text").mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
