@@ -9654,6 +9654,89 @@ def text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "w11_id_gaps",
+    """
+    WITH o AS (
+      SELECT o_orderkey AS k,
+             lead(o_orderkey) OVER (ORDER BY o_orderkey) AS nxt
+      FROM orders)
+    SELECT k + 1 AS gap_start, nxt - 1 AS gap_end,
+           nxt - k - 1 AS gap_len
+    FROM o WHERE nxt - k > 1
+    ORDER BY gap_start LIMIT 100
+    """,
+)
+def w11_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over the order-id sequence: each missing id
+    range as (gap_start, gap_end, gap_len) via one lead() window — the
+    classic sequence-audit shape (detecting dropped ingest batches,
+    id-allocator holes). The global-ordered window is the point of the
+    exercise at toy scale; at 100 TB, range-partition by id bucket and
+    run the same lead() per bucket, stitching only the bucket
+    boundaries (one row per bucket) on the driver side."""
+    o = table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    w = Window.orderBy("k")
+    g = o.withColumn("nxt", F.lead("k").over(w)).filter(
+        F.col("nxt") - F.col("k") > 1
+    )
+    return (
+        g.select(
+            (F.col("k") + 1).alias("gap_start"),
+            (F.col("nxt") - 1).alias("gap_end"),
+            (F.col("nxt") - F.col("k") - 1).alias("gap_len"),
+        )
+        .orderBy("gap_start")
+        .limit(100)
+    )
+
+
+@register(
+    "dq_referential_integrity",
+    """
+    SELECT 'lineitem->orders' AS fk, count(*) AS n_orphans
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders->customer', count(*)
+    FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer->nation', count(*)
+    FROM customer c WHERE NOT EXISTS
+      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the fact chain: orphan
+    foreign keys counted by LEFT-ANTI joins (lineitem→orders,
+    orders→customer, customer→nation) — the pre-publish gate a lake
+    without enforced constraints needs after every load. Anti joins
+    broadcast the key side where small; a healthy load reports zeros,
+    and any non-zero row pinpoints which edge broke."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey")
+
+    def orphans(fact, dim, cond, label):
+        return fact.join(dim, cond, "left_anti").agg(
+            F.lit(label).alias("fk"), F.count("*").alias("n_orphans")
+        )
+
+    return (
+        orphans(li, o, li.l_orderkey == o.o_orderkey, "lineitem->orders")
+        .unionByName(
+            orphans(o, c, o.o_custkey == c.c_custkey, "orders->customer")
+        )
+        .unionByName(
+            orphans(
+                c, F.broadcast(n), c.c_nationkey == n.n_nationkey, "customer->nation"
+            )
+        )
+    )
+
+
 # The external verify driver samples the FIRST 50 entries of ``queries()``
 # each round. Rotation is SELF-MAINTAINING: any query that already has a
 # fully-green row (rows+schema+hash) in some CORRECTNESS_r{N}.json — or a
