@@ -143,6 +143,7 @@ EXTENDED_QUERIES = [
     "ann_pq_topk",
     "streaming_foreachbatch_merge",
     "geo_utm_forward_grid",
+    "s2_7z_extract",
 ]
 
 

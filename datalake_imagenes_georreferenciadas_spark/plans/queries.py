@@ -3253,6 +3253,52 @@ def s2_archive_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEVENZIP_SQL = """
+SELECT 'member' AS kind, doc_id, strlen(text)::BIGINT AS size
+FROM documents WHERE doc_id % 10 = 2
+UNION ALL
+SELECT 'skipped' AS kind, NULL::BIGINT AS doc_id, NULL::BIGINT AS size
+"""
+
+
+@register("s2_7z_extract", _SEVENZIP_SQL)
+def s2_7z_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2, 7z tier (download_list_images.py:27-30 parity — patoolib's
+    external-tool coverage of .7z, re-done in-engine): a landing bucket
+    holding a SOLID LZMA2 .7z (docs with doc_id%10=2 concatenated into
+    one compressed stream, split back by the substream-size table —
+    sources/sevenzip.py, pure stdlib) and a truncated 7z whose
+    start-header CRC cannot verify → binaryFile scan →
+    extract_archives mapInPandas → one row per member + ONE
+    skipped_reason row. Member sizes equal the docs' utf-8 byte
+    lengths, which the oracle reproduces via strlen."""
+    from ..sources.binary import extract_archives, read_binary_dir
+    from ..sources.sevenzip import write_7z
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    sub = {
+        r["doc_id"]: r["text"]
+        for r in docs.filter(F.col("doc_id") % 10 == 2).collect()
+    }
+    d = tempfile.mkdtemp(prefix="s2_sevenzip_")
+    members = [
+        (f"doc_{i}.txt", sub[i].encode("utf-8")) for i in sorted(sub)
+    ]
+    arc = write_7z(members, codec="lzma2")
+    with open(os.path.join(d, "batch.7z"), "wb") as f:
+        f.write(arc)
+    with open(os.path.join(d, "torn.7z"), "wb") as f:
+        f.write(arc[:20])  # truncated mid start-header
+    out = extract_archives(read_binary_dir(spark, d))
+    return out.select(
+        F.when(F.col("skipped_reason").isNotNull(), "skipped")
+        .otherwise("member")
+        .alias("kind"),
+        F.regexp_extract("member", r"doc_(\d+)\.txt", 1).cast("long").alias("doc_id"),
+        F.col("size"),
+    )
+
+
 # ======================================================================
 # F16 — the training-corpus quality pre-filter pipeline
 # ======================================================================

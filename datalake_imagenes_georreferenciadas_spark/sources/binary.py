@@ -294,19 +294,29 @@ def _extract_tar(p: str, b: bytes):
         yield (p, info.name, info.size, f.read() if f else b"", None)
 
 
+def _extract_7z(p: str, b: bytes):
+    from .sevenzip import read_7z
+
+    for name, content in read_7z(b):
+        yield (p, name, len(content), content, None)
+
+
 def extract_archives(binary_df: DataFrame) -> DataFrame:
     """S2: archive extract as a one-to-many mapInPandas kernel — the
     reference's patoolib ``extract_files`` extract-then-delete loop
     (download_list_images.py:27-30) without ever touching local disk:
     archive bytes in, one row per member out.
 
-    REAL stdlib implementations: zip (zipfile) and tar/tar.gz/tbz2/txz
-    (tarfile with compression sniffing), dispatched by magic bytes then
-    by attempt. An archive no handler can open yields ONE row with
+    REAL stdlib implementations: zip (zipfile), tar/tar.gz/tbz2/txz
+    (tarfile with compression sniffing), and 7z (sevenzip.py — the
+    container format parsed from the published spec over stdlib
+    lzma/bz2/zlib: Copy/LZMA1/LZMA2/BZip2/Deflate/Delta coders, solid
+    folders, encoded headers, CRC checks), dispatched by magic bytes
+    then by attempt. An archive no handler can open yields ONE row with
     ``skipped_reason`` set and null member/content — a landing bucket
     with ``.rar`` surfaces in the output instead of silently dropping
-    data (the reference's patoolib covered rar/7z; those need external
-    tools, so they land in the skipped channel here).
+    data (the reference's patoolib covered rar too; rar COMPRESSION is
+    proprietary, so it stays in the skipped channel).
     """
 
     def _extract_one(p: str, b: bytes):
@@ -314,8 +324,10 @@ def extract_archives(binary_df: DataFrame) -> DataFrame:
         attempts = []
         if b[:4] in (b"PK\x03\x04", b"PK\x05\x06", b"PK\x07\x08"):
             attempts = [_extract_zip, _extract_tar]
+        elif b[:6] == b"7z\xbc\xaf\x27\x1c":
+            attempts = [_extract_7z]
         else:
-            attempts = [_extract_tar, _extract_zip]
+            attempts = [_extract_tar, _extract_zip, _extract_7z]
         for fn in attempts:
             try:
                 return list(fn(p, b))
