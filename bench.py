@@ -144,6 +144,8 @@ EXTENDED_QUERIES = [
     "streaming_foreachbatch_merge",
     "geo_utm_forward_grid",
     "s2_7z_extract",
+    "a19_tdigest_quantile",
+    "hybrid_maxsim_topk",
 ]
 
 

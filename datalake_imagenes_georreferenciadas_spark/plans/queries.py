@@ -7939,6 +7939,81 @@ def a18_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TDIGEST_QS = [0.25, 0.5, 0.75, 0.95]
+
+_TDIGEST_SQL = f"""
+WITH e AS (
+  SELECT quantile_cont(value, {_TDIGEST_QS}) AS arr, count(*) AS n
+  FROM events)
+SELECT ({_TDIGEST_QS}::DOUBLE[])[i] AS q,
+       n AS n_total,
+       round(arr[i], 4) AS exact_q,
+       true AS within_tol
+FROM e, UNNEST(generate_series(1, {len(_TDIGEST_QS)})) AS t(i)
+ORDER BY q
+"""
+
+
+@register("a19_tdigest_quantile", _TDIGEST_SQL)
+def a19_tdigest_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom mergeable quantile sketch: a two-stage t-digest
+    (operators/tdigest.py — per-Arrow-batch digests via mapInPandas,
+    tiny centroid rows merged in one final task) estimating 4 quantiles
+    of events.value in ONE scan + one O(δ·batches) reduction — the
+    100 TB percentile path where exact `percentile` would global-sort.
+
+    External check (same discipline as a5_approx_distinct /
+    ann_recall_eval): the sketch estimate is batch-boundary-sensitive,
+    so what leaves the engine is the EXACT interpolated percentile
+    (value-compared against DuckDB quantile_cont) plus a boolean
+    asserting the t-digest's published rank-error bound: the midrank of
+    the estimate must sit within ±0.02 of the target quantile (δ=200
+    bounds rank error at ≈4·q(1−q)/δ ≤ 0.005 — 4× margin). Midrank
+    (count(<) + count(≤))/2 keeps the check stable across the 2-decimal
+    tie mass in events.value. A broken digest reports false and
+    red-rows the round."""
+    from ..operators import tdigest as TD
+
+    ev = table(spark, sf_dir, "events").select("value")
+    q_arr = F.array(*[F.lit(x) for x in _TDIGEST_QS])
+    stats = (
+        ev.agg(
+            F.count("*").alias("n_total"),
+            F.percentile("value", q_arr).alias("ex"),
+        )
+        .select("n_total", F.posexplode("ex").alias("pos", "exact_q"))
+        .select(
+            F.element_at(q_arr, F.col("pos") + 1).alias("q"),
+            "n_total",
+            F.round("exact_q", 4).alias("exact_q"),
+        )
+    )
+    approx = TD.quantiles(ev, "value", _TDIGEST_QS)
+    rank = (
+        ev.crossJoin(F.broadcast(approx))
+        .groupBy("q")
+        .agg(
+            (
+                (
+                    F.count_if(F.col("value") < F.col("approx"))
+                    + F.count_if(F.col("value") <= F.col("approx"))
+                )
+                / (2.0 * F.count("*"))
+            ).alias("midrank")
+        )
+    )
+    return (
+        stats.join(F.broadcast(rank), "q")
+        .select(
+            "q",
+            "n_total",
+            "exact_q",
+            (F.abs(F.col("midrank") - F.col("q")) <= 0.02).alias("within_tol"),
+        )
+        .orderBy("q")
+    )
+
+
 @register(
     "dq_shard_balance",
     f"""
@@ -9399,6 +9474,77 @@ def hybrid_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ce_rank"),
         )
     )
+
+
+_MAXSIM_NSUB = 4
+_MAXSIM_SUBLEN = 16  # 64-dim embeddings → 4 contiguous 16-dim sub-vectors
+_MAXSIM_Q_IDS = (0, 1, 2)
+
+_MAXSIM_SQL = f"""
+WITH s AS (
+  SELECT vec_id,
+         {', '.join(f'embedding[{i * _MAXSIM_SUBLEN + 1}:{(i + 1) * _MAXSIM_SUBLEN}] AS s{i}' for i in range(_MAXSIM_NSUB))}
+  FROM embeddings),
+q AS (
+  SELECT vec_id AS q_id, {', '.join(f's{i} AS q{i}' for i in range(_MAXSIM_NSUB))}
+  FROM s WHERE vec_id IN {_MAXSIM_Q_IDS}),
+scored AS (
+  SELECT q.q_id, d.vec_id,
+         round({' + '.join('greatest(' + ', '.join(V.dot_sql(f'q.q{i}', f'd.s{j}') for j in range(_MAXSIM_NSUB)) + ')' for i in range(_MAXSIM_NSUB))}, 6) AS maxsim
+  FROM s d, q WHERE d.vec_id <> q.q_id)
+SELECT q_id, vec_id, maxsim, rank FROM (
+  SELECT q_id, vec_id, maxsim,
+         row_number() OVER (PARTITION BY q_id ORDER BY maxsim DESC, vec_id) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
+@register("hybrid_maxsim_topk", _MAXSIM_SQL)
+def hybrid_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval (ColBERT-style MaxSim, Khattab &
+    Zaharia SIGIR'20 — public method): query and document are BAGS of
+    sub-vectors (here: 4 contiguous 16-dim slices of the 64-dim
+    embedding, standing in for per-token vectors); the score is
+    Σ_query-subvec max_doc-subvec ⟨q_i, d_j⟩ — finer-grained than one
+    pooled dot product, cheaper than a cross-encoder. Everything is
+    JVM-side column math: slice → 16 sequential-fold dot products →
+    greatest per query slice → sum, then a per-query top-5 ranking
+    window over ≤|queries|·|docs| scored rows.
+
+    Scale shape: the MaxSim operator itself is embarrassingly parallel
+    (map-only after the broadcast of the 3-row query side); at fleet
+    scale it consumes an ANN candidate join (as hybrid_rerank_topk
+    consumes hybrid_rrf_topk) instead of the full table — the fixture
+    scores the whole table so the oracle is exact over all pairs."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sub = emb.select(
+        "vec_id",
+        *[
+            F.slice("embedding", i * _MAXSIM_SUBLEN + 1, _MAXSIM_SUBLEN).alias(f"s{i}")
+            for i in range(_MAXSIM_NSUB)
+        ],
+    )
+    q = sub.filter(F.col("vec_id").isin(*_MAXSIM_Q_IDS)).select(
+        F.col("vec_id").alias("q_id"),
+        *[F.col(f"s{i}").alias(f"q{i}") for i in range(_MAXSIM_NSUB)],
+    )
+    pairs = sub.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_id"))
+    maxsim = sum(
+        [
+            F.greatest(
+                *[V.dot(F.col(f"q{i}"), F.col(f"s{j}")) for j in range(_MAXSIM_NSUB)]
+            )
+            for i in range(_MAXSIM_NSUB)
+        ],
+        F.lit(0.0),
+    )
+    scored = pairs.select(
+        "q_id", "vec_id", F.round(maxsim, 6).alias("maxsim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("maxsim").desc(), "vec_id")
+    return scored.select(
+        "q_id", "vec_id", "maxsim", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= 5)
 
 
 @register(

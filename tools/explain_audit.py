@@ -167,6 +167,14 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # is unions of materialized per-round RDDs + one grouped min — the
     # per-round joins already ran; nothing may re-expand here
     "graph_bfs_distance": (1, ["!CartesianProduct", "!SortMergeJoin", "!BroadcastNestedLoopJoin"]),
+    # MaxSim late interaction: the 3-row query side broadcasts (BNLJ,
+    # never a shuffle of the doc side), all dot/greatest math JVM-side
+    # (no Python evaluator), one exchange for the per-query ranking window
+    "hybrid_maxsim_topk": (1, ["BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin", "!BatchEvalPython", "!ArrowEvalPython"]),
+    # t-digest: the events scan feeds the Arrow sketch kernel ONCE; the
+    # tiny centroid/quantile sides broadcast back onto the rank check —
+    # no sort-merge join, no cartesian against the big side
+    "a19_tdigest_quantile": (6, ["MapInPandas", "FlatMapGroupsInPandas", "BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin"]),
 }
 
 
