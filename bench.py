@@ -146,6 +146,7 @@ EXTENDED_QUERIES = [
     "s2_7z_extract",
     "a19_tdigest_quantile",
     "hybrid_maxsim_topk",
+    "s25_xml_roundtrip",
 ]
 
 

@@ -5689,6 +5689,47 @@ def s20_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s25_xml_roundtrip",
+    """
+    SELECT s_nationkey, count(*) AS n,
+           CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal,
+           min(s_name) AS first_name
+    FROM supplier WHERE s_acctbal >= 0 GROUP BY s_nationkey
+    """,
+)
+def s25_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + scan round-trip (Spark 4 built-in XML source — the
+    interchange format for cadastral/government feeds like the
+    reference's SECCION/COMUNA parcel metadata, §1.2): the filtered
+    supplier slice is written as <supplier> row elements and read back
+    WITH AN EXPLICIT SCHEMA and rowTag — never schema inference (a
+    second full scan at 100 TB). Oracle runs on the original table: the
+    XML round-trip is lossless for the projected columns. Scale shape:
+    XML parsing is per-row/per-split work in the executors; the
+    aggregate after read-back is an ordinary one-exchange groupBy."""
+    sup = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") >= 0)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="xml_rt_"), "suppliers")
+    sup.write.mode("overwrite").option("rowTag", "supplier").format("xml").save(out)
+    back = (
+        spark.read.schema(
+            "s_suppkey bigint, s_name string, s_nationkey bigint, s_acctbal double"
+        )
+        .option("rowTag", "supplier")
+        .format("xml")
+        .load(out)
+    )
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n"),
+        _dsum(F.col("s_acctbal")).alias("total_bal"),
+        F.min("s_name").alias("first_name"),
+    )
+
+
+@register(
     "s21_targeted_delete",
     """
     SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
