@@ -147,6 +147,8 @@ EXTENDED_QUERIES = [
     "a19_tdigest_quantile",
     "hybrid_maxsim_topk",
     "s25_xml_roundtrip",
+    "w12_reset_running_sum",
+    "ml_feature_hashing",
 ]
 
 

@@ -9925,6 +9925,115 @@ def w11_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w12_reset_running_sum",
+    """
+    WITH b AS (
+      SELECT event_id, user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER w <= INTERVAL '30 minutes'
+                  THEN 0 ELSE 1 END AS boundary
+      FROM events WHERE user_id < 40
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT event_id, user_id, ts, value,
+             sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM b)
+    SELECT event_id, user_id, session_seq,
+           round(sum(value) OVER (PARTITION BY user_id, session_seq
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 2) AS running
+    FROM s
+    """,
+)
+def w12_reset_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-RESET running total (the islands composition): a
+    per-user cumulative value that restarts whenever the gap to the
+    previous event exceeds 30 minutes — per-session running spend, the
+    window shape plain ``ROWS UNBOUNDED PRECEDING`` cannot express
+    alone. Three stacked windows, all on the SAME (user_id) hash
+    partitioning: lag → boundary flag → running count of boundaries
+    (the session sequence) → running sum partitioned by (user,
+    session). One exchange total — Catalyst reuses the partitioning
+    across all three Window operators, so at 100 TB this costs exactly
+    what w2_running_sum costs. Running folds are frame-ordered in both
+    engines, so the double sums match bit-for-bit (w2 discipline)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = (
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    ) <= 1800
+    b = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(gap_ok, F.lit(0)).otherwise(F.lit(1)).alias("boundary"),
+    )
+    s = b.withColumn(
+        "session_seq",
+        F.sum("boundary").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    w2 = (
+        Window.partitionBy("user_id", "session_seq")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return s.select(
+        "event_id",
+        "user_id",
+        "session_seq",
+        F.round(F.sum("value").over(w2), 2).alias("running"),
+    )
+
+
+_FEATHASH_DIM = 1024
+
+
+@register(
+    "ml_feature_hashing",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lower(t.token) AS token
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+      WHERE t.token <> ''),
+    feat AS (
+      SELECT DISTINCT doc_id,
+             {H.hash64_sql('token', 7)} % {_FEATHASH_DIM} AS idx
+      FROM tok)
+    SELECT doc_id,
+           count(*) AS n_features,
+           bit_xor({H.hash64_sql('idx::VARCHAR', 8)}) AS feat_checksum
+    FROM feat GROUP BY doc_id
+    """,
+)
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick feature extraction (Weinberger et al. ICML'09 —
+    public method): tokens hash into a fixed {_FEATHASH_DIM}-dim index
+    space, so the feature map needs NO vocabulary build, no global
+    dictionary shuffle, and new tokens never change the schema — the
+    property that makes it the default featurizer for streaming /
+    incremental training at corpus scale. Plan: explode → seeded-md5
+    index (cross-engine-identical bits) → distinct per (doc, index) →
+    per-doc count + order-independent bit_xor checksum of the active
+    indices (set equality without emitting {_FEATHASH_DIM} columns).
+    One explode and two hash exchanges on doc_id; no vocabulary join at
+    all — compare text_rarity_score, which must join a count table."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .select("doc_id", F.lower("token").alias("token"))
+        .filter(F.col("token") != "")
+    )
+    feat = tok.select(
+        "doc_id", (H.hash64(F.col("token"), 7) % _FEATHASH_DIM).alias("idx")
+    ).distinct()
+    return feat.groupBy("doc_id").agg(
+        F.count("*").alias("n_features"),
+        F.bit_xor(H.hash64(F.col("idx"), 8)).alias("feat_checksum"),
+    )
+
+
+@register(
     "dq_referential_integrity",
     """
     SELECT 'lineitem->orders' AS fk, count(*) AS n_orphans

@@ -175,6 +175,13 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # tiny centroid/quantile sides broadcast back onto the rank check —
     # no sort-merge join, no cartesian against the big side
     "a19_tdigest_quantile": (6, ["MapInPandas", "FlatMapGroupsInPandas", "BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin"]),
+    # reset-running-sum: three stacked windows must share ONE user_id
+    # exchange (HashPartitioning(user_id) satisfies the (user_id,
+    # session_seq) clustering of the inner window — no re-shuffle)
+    "w12_reset_running_sum": (1, ["Window", "PushedFilters: [IsNotNull(user_id), LessThan(user_id,40)]", "!BatchEvalPython", "!ArrowEvalPython"]),
+    # hashing-trick features: no vocabulary join anywhere — just the
+    # distinct + groupBy exchanges, everything JVM-side
+    "ml_feature_hashing": (2, ["HashAggregate", "!SortMergeJoin", "!BroadcastHashJoin", "!BatchEvalPython", "!ArrowEvalPython"]),
 }
 
 
