@@ -149,6 +149,7 @@ EXTENDED_QUERIES = [
     "s25_xml_roundtrip",
     "w12_reset_running_sum",
     "ml_feature_hashing",
+    "streaming_tdigest",
 ]
 
 

@@ -109,13 +109,14 @@ def sketch(df: DataFrame, col: str, delta: float = DELTA) -> DataFrame:
     return df.select(col).mapInPandas(batches, "mean double, weight double")
 
 
-def quantiles(
-    df: DataFrame, col: str, qs: Sequence[float], delta: float = DELTA
+def quantiles_from_centroids(
+    cent: DataFrame, qs: Sequence[float], delta: float = DELTA
 ) -> DataFrame:
-    """Two-stage t-digest → DataFrame (q double, approx double), one row
-    per requested quantile."""
+    """Final merge stage: (mean, weight) centroid rows — from any number
+    of partial digests, batch or streaming — re-merged in ONE task
+    (sorted by mean first, so the result is independent of arrival
+    order), then interpolated → (q double, approx double) rows."""
     qs = list(qs)
-    cent = sketch(df, col, delta)
 
     def final(_key, pdf):
         pdf = pdf.sort_values(["mean", "weight"]).reset_index(drop=True)
@@ -131,3 +132,11 @@ def quantiles(
         .groupBy("__g")
         .applyInPandas(final, "q double, approx double")
     )
+
+
+def quantiles(
+    df: DataFrame, col: str, qs: Sequence[float], delta: float = DELTA
+) -> DataFrame:
+    """Two-stage t-digest → DataFrame (q double, approx double), one row
+    per requested quantile."""
+    return quantiles_from_centroids(sketch(df, col, delta), qs, delta)

@@ -7995,27 +7995,11 @@ ORDER BY q
 """
 
 
-@register("a19_tdigest_quantile", _TDIGEST_SQL)
-def a19_tdigest_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom mergeable quantile sketch: a two-stage t-digest
-    (operators/tdigest.py — per-Arrow-batch digests via mapInPandas,
-    tiny centroid rows merged in one final task) estimating 4 quantiles
-    of events.value in ONE scan + one O(δ·batches) reduction — the
-    100 TB percentile path where exact `percentile` would global-sort.
-
-    External check (same discipline as a5_approx_distinct /
-    ann_recall_eval): the sketch estimate is batch-boundary-sensitive,
-    so what leaves the engine is the EXACT interpolated percentile
-    (value-compared against DuckDB quantile_cont) plus a boolean
-    asserting the t-digest's published rank-error bound: the midrank of
-    the estimate must sit within ±0.02 of the target quantile (δ=200
-    bounds rank error at ≈4·q(1−q)/δ ≤ 0.005 — 4× margin). Midrank
-    (count(<) + count(≤))/2 keeps the check stable across the 2-decimal
-    tie mass in events.value. A broken digest reports false and
-    red-rows the round."""
-    from ..operators import tdigest as TD
-
-    ev = table(spark, sf_dir, "events").select("value")
+def _tdigest_rank_check(ev: DataFrame, approx: DataFrame) -> DataFrame:
+    """Shared external-check tail for the t-digest queries: join the
+    (q, approx) digest estimates back to the data — exact percentile
+    value-compared, the estimate graded as a midrank-tolerance boolean
+    (see a19_tdigest_quantile docstring for the bound)."""
     q_arr = F.array(*[F.lit(x) for x in _TDIGEST_QS])
     stats = (
         ev.agg(
@@ -8029,7 +8013,6 @@ def a19_tdigest_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("exact_q", 4).alias("exact_q"),
         )
     )
-    approx = TD.quantiles(ev, "value", _TDIGEST_QS)
     rank = (
         ev.crossJoin(F.broadcast(approx))
         .groupBy("q")
@@ -8053,6 +8036,89 @@ def a19_tdigest_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+@register("a19_tdigest_quantile", _TDIGEST_SQL)
+def a19_tdigest_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom mergeable quantile sketch: a two-stage t-digest
+    (operators/tdigest.py — per-Arrow-batch digests via mapInPandas,
+    tiny centroid rows merged in one final task) estimating 4 quantiles
+    of events.value in ONE scan + one O(δ·batches) reduction — the
+    100 TB percentile path where exact `percentile` would global-sort.
+
+    External check (same discipline as a5_approx_distinct /
+    ann_recall_eval): the sketch estimate is batch-boundary-sensitive,
+    so what leaves the engine is the EXACT interpolated percentile
+    (value-compared against DuckDB quantile_cont) plus a boolean
+    asserting the t-digest's published rank-error bound: the midrank of
+    the estimate must sit within ±0.02 of the target quantile (δ=200
+    bounds rank error at ≈4·q(1−q)/δ ≤ 0.005 — 4× margin). Midrank
+    (count(<) + count(≤))/2 keeps the check stable across the 2-decimal
+    tie mass in events.value. A broken digest reports false and
+    red-rows the round."""
+    from ..operators import tdigest as TD
+
+    ev = table(spark, sf_dir, "events").select("value")
+    return _tdigest_rank_check(ev, TD.quantiles(ev, "value", _TDIGEST_QS))
+
+
+@register("streaming_tdigest", _TDIGEST_SQL)
+def streaming_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile monitoring: the t-digest's MERGEABILITY is
+    what makes it a streaming sketch — each micro-batch compresses to
+    ≤δ centroid rows written once under its batch id (idempotent on
+    replay: an existing batch directory is never rewritten — the same
+    exactly-once discipline as streaming_foreachbatch_merge), and the
+    monitor's estimate is the merge of ALL batches' centroids, which by
+    associativity equals a single digest over the full stream. State
+    grows O(δ) per batch and never touches raw history — the shape of
+    a production latency/price quantile dashboard fed by a stream.
+
+    The stream is the events file staged as 4 shards read
+    one-per-micro-batch (availableNow); the external check is the same
+    exact-percentile + midrank-tolerance contract as
+    a19_tdigest_quantile, so the streamed-and-merged digest is graded
+    against the full batch table."""
+    from ..operators import tdigest as TD
+
+    base = tempfile.mkdtemp(prefix="stdg_")
+    stream_dir = os.path.join(base, "in")
+    cent_dir = os.path.join(base, "centroids")
+    ev = table(spark, sf_dir, "events").select("value")
+    ev.repartition(4).write.parquet(stream_dir)
+    schema = spark.read.parquet(stream_dir).schema
+
+    applied: set[int] = set()
+
+    def add_digest(batch_df, batch_id: int) -> None:
+        if batch_id in applied:
+            return
+        applied.add(batch_id)
+        out = os.path.join(cent_dir, f"batch_{batch_id}")
+        if os.path.isdir(out):  # replayed after restart: already merged
+            return
+        TD.sketch(batch_df, "value").write.parquet(out)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(stream_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(add_digest)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cent = (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema("mean double, weight double")
+        .parquet(cent_dir)
+    )
+    approx = TD.quantiles_from_centroids(cent, _TDIGEST_QS)
+    return _tdigest_rank_check(ev, approx)
 
 
 @register(

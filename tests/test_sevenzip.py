@@ -95,6 +95,52 @@ def test_unsupported_coder_is_distinguishable():
         read_7z(rebuilt)
 
 
+def test_encoded_header_archive():
+    """Real `7z a` compresses the header by default (kEncodedHeader):
+    rebuild a written archive with an LZMA2-compressed header and a
+    pointer block describing it — the reader must decode the header
+    folder first, then parse it as a normal kHeader."""
+    import lzma
+
+    from datalake_imagenes_georreferenciadas_spark.sources import sevenzip as SZ
+
+    members = [("a.txt", b"alpha " * 50), ("b.txt", b"beta")]
+    arc = SZ.write_7z(members, codec="lzma2")
+    nh_off, nh_size = struct.unpack("<QQ", arc[12:28])
+    header = arc[32 + nh_off : 32 + nh_off + nh_size]
+    packed_area = arc[32 : 32 + nh_off]
+
+    comp = lzma.LZMACompressor(
+        format=lzma.FORMAT_RAW,
+        filters=[{"id": lzma.FILTER_LZMA2, "dict_size": 1 << 20, "preset": 6}],
+    )
+    chdr = comp.compress(header) + comp.flush()
+
+    n = SZ._write_number
+    desc = bytearray()
+    desc += n(SZ.K_ENCODED_HEADER)
+    desc += n(SZ.K_PACK_INFO) + n(len(packed_area)) + n(1)
+    desc += n(SZ.K_SIZE) + n(len(chdr)) + n(SZ.K_END)
+    desc += n(SZ.K_UNPACK_INFO)
+    desc += n(SZ.K_FOLDER) + n(1) + b"\x00"
+    desc += bytes([1, 1 | 0x20]) + SZ.CODEC_LZMA2 + n(1) + bytes([16])
+    desc += n(SZ.K_CODERS_UNPACK_SIZE) + n(len(header))
+    desc += n(SZ.K_END) + n(SZ.K_END)
+    desc = bytes(desc)
+
+    body = packed_area + chdr
+    start = struct.pack("<QQI", len(body), len(desc), zlib.crc32(desc))
+    rebuilt = (
+        SZ.SIGNATURE
+        + b"\x00\x04"
+        + struct.pack("<I", zlib.crc32(start))
+        + start
+        + body
+        + desc
+    )
+    assert SZ.read_7z(rebuilt) == members
+
+
 def test_kernel_extracts_7z_alongside_zip(spark):
     import io
     import zipfile
