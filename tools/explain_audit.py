@@ -182,6 +182,21 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # hashing-trick features: no vocabulary join anywhere — just the
     # distinct + groupBy exchanges, everything JVM-side
     "ml_feature_hashing": (2, ["HashAggregate", "!SortMergeJoin", "!BroadcastHashJoin", "!BatchEvalPython", "!ArrowEvalPython"]),
+    # 7z extract: one Arrow kernel straight off the binaryFile scan —
+    # no shuffle anywhere (the expansion happens inside the kernel)
+    "s2_7z_extract": (0, ["MapInPandas", "!Exchange", "!CartesianProduct"]),
+    # XML read-back aggregate: ordinary one-exchange groupBy, XML
+    # parsing fully JVM-side
+    # (SortAggregate: min(string) is sort-based — partials still map-side)
+    "s25_xml_roundtrip": (1, ["SortAggregate", "Scan xml", "partial_count", "!BatchEvalPython", "!ArrowEvalPython"]),
+    # PQ ANN: one-row codebook broadcast onto the vector table, never a
+    # shuffle of the vectors; one exchange for the ranking window
+    "ann_pq_topk": (2, ["BroadcastNestedLoopJoin", "!SortMergeJoin", "!CartesianProduct"]),
+    # audio feature kernel: Arrow mapInPandas off the binary scan
+    "multimodal_audio_features": (1, ["MapInPandas", "!CartesianProduct", "!SortMergeJoin"]),
+    # streaming t-digest monitor (post-stream check plan): centroid
+    # merge in one FlatMapGroupsInPandas task, tiny sides broadcast
+    "streaming_tdigest": (6, ["FlatMapGroupsInPandas", "BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin"]),
 }
 
 
