@@ -150,6 +150,8 @@ EXTENDED_QUERIES = [
     "w12_reset_running_sum",
     "ml_feature_hashing",
     "streaming_tdigest",
+    "j_scd2_asof",
+    "a22_weighted_quantile",
 ]
 
 

@@ -5788,6 +5788,148 @@ def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j_scd2_asof",
+    """
+    WITH dim AS (
+      SELECT o_custkey AS custkey, o_orderstatus AS status,
+             floor(epoch(o_orderdate))::BIGINT AS valid_from,
+             floor(epoch(lead(o_orderdate) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)))::BIGINT
+               AS valid_to
+      FROM orders WHERE o_custkey < 100),
+    fact AS (
+      SELECT l_orderkey, o_custkey AS custkey,
+             floor(epoch(l_shipdate))::BIGINT AS ship_ts,
+             l_quantity
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_custkey < 100 AND l_linenumber = 1)
+    SELECT f.custkey, d.status,
+           count(*) AS n,
+           CAST(sum(CAST(f.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+    FROM fact f JOIN dim d
+      ON f.custkey = d.custkey
+     AND f.ship_ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ship_ts < d.valid_to)
+    GROUP BY f.custkey, d.status
+    """,
+)
+def j_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension lookup — the query every SCD2 dimension
+    exists FOR: each fact row joins the dimension VERSION that was
+    valid at the fact's event time (equi on the key + the
+    half-open [valid_from, valid_to) interval predicate; NULL
+    valid_to = current version). Consumes the exact effective-dating
+    shape `scd2_build` constructs. Scale shape: an equi-join on the
+    dimension key with the interval check as a residual filter — the
+    per-key version count is small (it is a HISTORY, not a fact), so
+    the join never amplifies; here the dimension side is
+    broadcast-sized and Catalyst picks BroadcastHashJoin with the
+    range residual attached."""
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dim = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.unix_timestamp("o_orderdate").alias("valid_from"),
+        F.unix_timestamp(F.lead("o_orderdate").over(w)).alias("valid_to"),
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    fact = li.join(
+        orders.select(
+            F.col("o_orderkey"), F.col("o_custkey").alias("custkey")
+        ),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "custkey",
+        F.unix_timestamp("l_shipdate").alias("ship_ts"),
+        "l_quantity",
+    )
+    joined = fact.join(
+        dim,
+        (fact.custkey == dim.custkey)
+        & (F.col("ship_ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ship_ts") < F.col("valid_to"))),
+    )
+    return joined.groupBy(fact.custkey.alias("custkey"), "status").agg(
+        F.count("*").alias("n"),
+        _dsum(F.col("l_quantity")).alias("qty"),
+    )
+
+
+# weighted-quantile targets as exact rationals (q, numerator, denominator)
+_WQ_QS = ((0.5, 1, 2), (0.9, 9, 10))
+
+
+@register(
+    "a22_weighted_quantile",
+    f"""
+    WITH s AS (
+      SELECT l_extendedprice AS v,
+             sum(CAST(l_quantity AS DECIMAL(18,4))) OVER
+               (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS cw,
+             sum(CAST(l_quantity AS DECIMAL(18,4))) OVER () AS tw
+      FROM lineitem),
+    qs AS (SELECT * FROM (VALUES {', '.join(f'({q}::DOUBLE, {n}, {d})' for q, n, d in _WQ_QS)}) AS t(q, num, den))
+    SELECT q, min(v) AS wq
+    FROM s, qs
+    WHERE cw * den >= num * tw
+    GROUP BY q ORDER BY q
+    """,
+)
+def a22_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-aware quantile (lower weighted quantile): the smallest
+    value whose CUMULATIVE weight reaches q of the total — price
+    percentiles where each row counts `l_quantity` times, the form
+    inventory/risk queries need and plain `percentile` cannot express.
+    One ordered cumulative-weight window + a one-row total broadcast.
+    Exactness discipline: weights accumulate as DECIMAL (associative —
+    a double cumsum could disagree between engines at the threshold
+    row because window sums are not required to fold sequentially) and
+    the q·total threshold is an integer rational (cw·den ≥ num·tw), so
+    the crossing row is bit-determined. At 100 TB the global-ordered
+    window is the cost — the scale path distributes it as a
+    per-partition pre-aggregation over value buckets (a17's histogram
+    shape) or a weighted t-digest (a19); this query pins the EXACT
+    semantics those approximations are graded against."""
+    li = table(spark, sf_dir, "lineitem")
+    w_cum = Window.orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    s = li.select(
+        F.col("l_extendedprice").alias("v"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+        .over(w_cum)
+        .alias("cw"),
+    ).crossJoin(
+        F.broadcast(
+            li.agg(
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("tw")
+            )
+        )
+    )
+    qs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(q).alias("q"),
+                    F.lit(n).alias("num"),
+                    F.lit(d).alias("den"),
+                )
+                for q, n, d in _WQ_QS
+            ]
+        )
+    ).alias("t")
+    return (
+        s.select("v", "cw", "tw", qs)
+        .select("v", "cw", "tw", "t.q", "t.num", "t.den")
+        .filter(F.col("cw") * F.col("den") >= F.col("num") * F.col("tw"))
+        .groupBy("q")
+        .agg(F.min("v").alias("wq"))
+        .orderBy("q")
+    )
+
+
+@register(
     "j1_null_safe_join",
     """
     WITH a AS (SELECT nullif(c_nationkey % 5, 0) AS k, count(*) AS n_cust

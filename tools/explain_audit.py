@@ -197,6 +197,13 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # streaming t-digest monitor (post-stream check plan): centroid
     # merge in one FlatMapGroupsInPandas task, tiny sides broadcast
     "streaming_tdigest": (6, ["FlatMapGroupsInPandas", "BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin"]),
+    # SCD2 temporal lookup: the interval predicate must ride a
+    # broadcast equi-join on the dimension key as a residual, never a
+    # cartesian/range-explode
+    "j_scd2_asof": (4, ["BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
+    # exact weighted quantile: ONE global-ordered window (SinglePartition
+    # — the documented exact-semantics cost), one-row total broadcast
+    "a22_weighted_quantile": (4, ["Window", "BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin"]),
 }
 
 
