@@ -152,6 +152,7 @@ EXTENDED_QUERIES = [
     "streaming_tdigest",
     "j_scd2_asof",
     "a22_weighted_quantile",
+    "geo_areal_weighted",
 ]
 
 

@@ -1366,6 +1366,77 @@ SELECT img_id, id_predio, nombre FROM cr WHERE crossings % 2 = 1
 """
 
 
+_GEO_AREAL_SQL = f"""
+WITH v AS (SELECT * FROM {GF.vertices_values_sql()}),
+b AS (SELECT id_predio, min(x) AS x1, min(y) AS y1, max(x) AS x2, max(y) AS y2
+      FROM v GROUP BY id_predio),
+gx AS (SELECT unnest(range(0, 14)) AS cx),
+gy AS (SELECT unnest(range(-1, 10)) AS cy),
+o AS (
+  SELECT cx, cy, id_predio,
+         greatest(0.0, least(x2, cx + 1) - greatest(x1, cx))
+           * greatest(0.0, least(y2, cy + 1) - greatest(y1, cy))
+           / ((x2 - x1) * (y2 - y1)) AS frac
+  FROM b, gx, gy)
+SELECT cx, cy, count(*) AS n_parcels,
+       CAST(sum(CAST(floor(frac * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+         AS density_nano
+FROM o WHERE frac > 0 GROUP BY cx, cy
+"""
+
+
+@register("geo_areal_weighted", _GEO_AREAL_SQL)
+def geo_areal_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Areal interpolation (bbox tier): distribute each parcel onto a
+    regular analysis grid weighted by the FRACTION of the parcel's
+    bounding box falling in each cell — the downscaling step that turns
+    irregular cadastral units into raster-aligned statistics (population
+    /land-use gridding). Interval-overlap arithmetic is closed-form
+    (`greatest/least` clamps per axis), identical operand order both
+    engines; per-pair weights are fixed-pointed to nano units BEFORE the
+    aggregate so the cell sum is integer-exact regardless of addend
+    order. Scale shape: bboxes are O(#parcels) — broadcast against the
+    (tiny, generated) grid; at fleet scale the join becomes an equi-join
+    on overlapping cell-id ranges (each bbox expands to its covered cell
+    ids — bounded by bbox size), never a cartesian against the full
+    grid."""
+    verts = (
+        GF.spark_polys(spark)
+        .select("id_predio", F.explode("rings").alias("ring"))
+        .select("id_predio", F.explode("ring").alias("pt"))
+        .select("id_predio", F.col("pt.x").alias("x"), F.col("pt.y").alias("y"))
+    )
+    bbox = verts.groupBy("id_predio").agg(
+        F.min("x").alias("x1"),
+        F.min("y").alias("y1"),
+        F.max("x").alias("x2"),
+        F.max("y").alias("y2"),
+    )
+    gx = spark.range(0, 14).select(F.col("id").alias("cx"))
+    gy = spark.range(-1, 10).select(F.col("id").alias("cy"))
+    cells = gx.crossJoin(gy)
+    wx = F.greatest(
+        F.lit(0.0), F.least(F.col("x2"), F.col("cx") + 1) - F.greatest(F.col("x1"), F.col("cx"))
+    )
+    wy = F.greatest(
+        F.lit(0.0), F.least(F.col("y2"), F.col("cy") + 1) - F.greatest(F.col("y1"), F.col("cy"))
+    )
+    frac = wx * wy / ((F.col("x2") - F.col("x1")) * (F.col("y2") - F.col("y1")))
+    o = bbox.crossJoin(F.broadcast(cells)).select(
+        "cx", "cy", frac.alias("frac")
+    )
+    return (
+        o.filter(F.col("frac") > 0)
+        .groupBy("cx", "cy")
+        .agg(
+            F.count("*").alias("n_parcels"),
+            F.sum(F.floor(F.col("frac") * 1e9 + F.lit(0.5)).cast("long")).alias(
+                "density_nano"
+            ),
+        )
+    )
+
+
 @register("geo_contains", _GEO_CONTAINS_SQL)
 def geo_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: point-in-polygon broadcast join, even-odd ray-cast over all

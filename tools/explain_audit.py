@@ -204,6 +204,9 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # exact weighted quantile: ONE global-ordered window (SinglePartition
     # — the documented exact-semantics cost), one-row total broadcast
     "a22_weighted_quantile": (4, ["Window", "BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin"]),
+    # areal interpolation: the generated grid broadcasts onto the bbox
+    # side — no cartesian, no sort-merge
+    "geo_areal_weighted": (3, ["BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin"]),
 }
 
 
