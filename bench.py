@@ -153,6 +153,8 @@ EXTENDED_QUERIES = [
     "j_scd2_asof",
     "a22_weighted_quantile",
     "geo_areal_weighted",
+    "a23_bitmap_distinct",
+    "ml_target_encoding",
 ]
 
 

@@ -5927,6 +5927,127 @@ def j_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a23_bitmap_distinct",
+    """
+    WITH m AS (
+      SELECT o_orderpriority, o_custkey // 32 AS chunk,
+             bit_or(1::BIGINT << CAST(o_custkey % 32 AS INT)) AS mask
+      FROM orders GROUP BY o_orderpriority, o_custkey // 32),
+    b AS (
+      SELECT o_orderpriority, count(*) AS n_chunks,
+             CAST(sum(CAST(bit_count(mask) AS BIGINT)) AS BIGINT) AS n_distinct
+      FROM m GROUP BY o_orderpriority),
+    e AS (
+      SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_exact
+      FROM orders GROUP BY o_orderpriority)
+    SELECT b.o_orderpriority, b.n_chunks, b.n_distinct,
+           b.n_distinct = e.n_exact AS matches_exact
+    FROM b JOIN e USING (o_orderpriority)
+    """,
+)
+def a23_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index distinct counting for DENSE integer keys: ids chunk
+    into 32-bit words (chunk = id/32, bit = id%32 — 32 not 64 because a
+    63-bit shift overflows DuckDB's checked BIGINT arithmetic while
+    Spark wraps; 32 keeps both engines in-range), a bit_or aggregate
+    folds each chunk's membership into one BIGINT, and popcounts sum to
+    the EXACT distinct count — the roaring-bitmap trick without the
+    library. Why it matters at 100 TB: the bitmap partial state is
+    O(id-range/32) BITS per group instead of a hash set of raw keys —
+    map-side combine ships words, not values, and merging shards is
+    bit_or (associative, commutative, constant-size). The query emits
+    its own exactness proof next to the construction: n_distinct must
+    equal count(DISTINCT) — both engines compute both paths."""
+    o = table(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey")
+    m = (
+        o.select(
+            "o_orderpriority",
+            F.floor(F.col("o_custkey") / 32).alias("chunk"),
+            # pyspark's F.shiftleft only takes a literal shift amount;
+            # the SQL form accepts a column
+            F.expr("shiftleft(1L, cast(o_custkey % 32 as int))").alias("bit"),
+        )
+        .groupBy("o_orderpriority", "chunk")
+        .agg(F.bit_or("bit").alias("mask"))
+    )
+    b = m.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.bit_count("mask").cast("long")).alias("n_distinct"),
+    )
+    e = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    return b.join(e, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_chunks",
+        "n_distinct",
+        (F.col("n_distinct") == F.col("n_exact")).alias("matches_exact"),
+    )
+
+
+@register(
+    "ml_target_encoding",
+    """
+    WITH f AS (
+      SELECT event_type, event_id % 5 AS fold,
+             count(*) AS cnt,
+             sum(CAST(round(value, 4) AS DECIMAL(18,4))) AS s
+      FROM events GROUP BY event_type, event_id % 5),
+    t AS (
+      SELECT event_type, sum(cnt) AS tot_cnt, sum(s) AS tot_s
+      FROM f GROUP BY event_type)
+    SELECT f.event_type, f.fold, f.cnt AS n_rows,
+           floor(CAST(t.tot_s - f.s AS DOUBLE)
+                 / nullif(t.tot_cnt - f.cnt, 0) * 1e6 + 0.5) / 1e6
+             AS oof_encoding
+    FROM f JOIN t USING (event_type)
+    """,
+)
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding — the leakage-safe categorical
+    featurizer: a category's encoding for fold k is the target mean
+    computed from every OTHER fold (total − fold partials), so no row's
+    own target leaks into its feature. Two aggregates at different
+    altitudes (category×fold partials, then category totals re-derived
+    FROM THE PARTIALS — the incremental_agg_merge discipline; the
+    lazy plan re-expands the partial subtree on both join inputs, so at
+    fleet scale localCheckpoint the 25-row partials first) and a
+    broadcast join back; DECIMAL partials make the
+    subtraction exact, one double division at the end, fixed-point
+    rounded. At 100 TB this is one shuffle on (category, fold) plus an
+    O(#categories) broadcast."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("event_id") % 5).alias("fold"),
+        F.round("value", 4).alias("value"),
+    )
+    f = ev.groupBy("event_type", "fold").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("s"),
+    )
+    t = f.groupBy("event_type").agg(
+        F.sum("cnt").alias("tot_cnt"),
+        F.sum("s").cast("decimal(18,4)").alias("tot_s"),
+    )
+    joined = f.join(F.broadcast(t), "event_type")
+    enc = (
+        F.floor(
+            (F.col("tot_s") - F.col("s")).cast("double")
+            / F.nullif(F.col("tot_cnt") - F.col("cnt"), F.lit(0))
+            * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6
+    )
+    return joined.select(
+        "event_type",
+        "fold",
+        F.col("cnt").alias("n_rows"),
+        enc.alias("oof_encoding"),
+    )
+
+
 # weighted-quantile targets as exact rationals (q, numerator, denominator)
 _WQ_QS = ((0.5, 1, 2), (0.9, 9, 10))
 

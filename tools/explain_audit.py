@@ -207,6 +207,12 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # areal interpolation: the generated grid broadcasts onto the bbox
     # side — no cartesian, no sort-merge
     "geo_areal_weighted": (3, ["BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin"]),
+    # bitmap distinct: bit_or word aggregation map-side combined; the
+    # per-priority verify join is broadcast-sized
+    "a23_bitmap_distinct": (4, ["HashAggregate", "BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
+    # out-of-fold encoding: totals re-derived from the fold partials
+    # (no second scan), O(#categories) broadcast back
+    "ml_target_encoding": (3, ["BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct", "!BatchEvalPython"]),
 }
 
 
