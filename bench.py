@@ -155,6 +155,8 @@ EXTENDED_QUERIES = [
     "geo_areal_weighted",
     "a23_bitmap_distinct",
     "ml_target_encoding",
+    "j_range_bucketed",
+    "catalog_wap_publish",
 ]
 
 

@@ -1902,6 +1902,65 @@ def s8_geotiff_meta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ======================================================================
 
 
+_RB_WINDOW_S = 300  # ±5-minute proximity window = the bucket width
+
+
+@register(
+    "j_range_bucketed",
+    f"""
+    WITH e AS (SELECT event_id, floor(epoch(CAST(ts AS TIMESTAMP)))::BIGINT AS t
+               FROM events WHERE event_type = 'error' AND user_id < 200),
+    s AS (SELECT floor(epoch(CAST(ts AS TIMESTAMP)))::BIGINT AS t
+          FROM events WHERE event_type = 'signup')
+    SELECT e.event_id, count(s.t) AS n_nearby
+    FROM e LEFT JOIN s ON abs(s.t - e.t) <= {_RB_WINDOW_S}
+    GROUP BY e.event_id
+    """,
+)
+def j_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless range join via interval bucketing — the rewrite that
+    scales a pure-proximity join (no equi key: every error vs every
+    signup within ±5 min, ACROSS users). Naive is |E|·|S| cross; the
+    engine buckets time into window-width cells, expands the probe side
+    into its cell ±1 (3 rows each — bounded, data-independent), and
+    equi-joins on the cell with the true |Δt| ≤ w residual. Each
+    qualifying pair meets in exactly ONE cell (the build row's own), so
+    no dedup pass is needed. This is the temporal twin of the spatial
+    grid trick (`geo_contains_grid`) — shuffle-partitionable where the
+    oracle's inequality join is not. The left join keeps zero-match
+    errors in the output."""
+    ev = table(spark, sf_dir, "events")
+    t_sec = F.unix_timestamp("ts")
+    err = ev.filter(
+        (F.col("event_type") == "error") & (F.col("user_id") < 200)
+    ).select(
+        "event_id",
+        t_sec.alias("t"),
+        F.floor(t_sec / _RB_WINDOW_S).alias("cell"),
+    )
+    sig = ev.filter(F.col("event_type") == "signup").select(
+        t_sec.alias("s_t"),
+        F.floor(t_sec / _RB_WINDOW_S).alias("s_cell"),
+    )
+    sig_exp = sig.select(
+        "s_t",
+        F.explode(
+            F.array(
+                F.col("s_cell") - 1, F.col("s_cell"), F.col("s_cell") + 1
+            )
+        ).alias("cell"),
+    )
+    joined = err.join(
+        sig_exp,
+        (err.cell == sig_exp.cell)
+        & (F.abs(F.col("s_t") - F.col("t")) <= _RB_WINDOW_S),
+        "left",
+    )
+    return joined.groupBy("event_id").agg(
+        F.count("s_t").alias("n_nearby")
+    )
+
+
 @register(
     "j_range_join",
     """
@@ -3665,6 +3724,78 @@ def catalog_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     v0 = store.catalog(version=0).select("id", F.col("id_tipo_img").alias("tipo_old"))
     v1 = store.catalog(version=1).select("id", F.col("id_tipo_img").alias("tipo_new"))
     return v0.join(v1, "id").filter(F.col("tipo_old") != F.col("tipo_new"))
+
+
+@register(
+    "catalog_wap_publish",
+    """
+    SELECT 'clean' AS batch,
+           (SELECT count(*) FROM orders WHERE o_orderstatus = 'F') AS n_rows,
+           true AS audit_passed, true AS published
+    UNION ALL
+    SELECT 'dirty',
+           (SELECT count(*) * 2 FROM orders WHERE o_custkey < 5),
+           false, false
+    ORDER BY batch
+    """,
+)
+def catalog_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish — the lakehouse publish discipline: every
+    batch lands in STAGING, a data-quality audit runs against the
+    staged files (key non-null + key uniqueness here; dq_constraints is
+    the general gate), and only a passing batch is atomically promoted
+    to the published location — a failing batch is quarantined, and the
+    published table never serves a row that skipped its audit. Two
+    batches exercise both paths: the clean 'F'-status slice publishes;
+    a deliberately doubled slice (duplicate keys) fails the uniqueness
+    audit and lands in quarantine. The final output re-derives each
+    batch's verdict FROM THE DIRECTORIES (published vs quarantine
+    re-read), not from in-memory state — the audit trail a catalog
+    would record. Promotion is a directory rename: same atomic-pointer
+    posture as the catalog store's snapshot flip."""
+    base = tempfile.mkdtemp(prefix="wap_")
+    orders = table(spark, sf_dir, "orders")
+    batches = {
+        "clean": orders.filter(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ),
+        "dirty": orders.filter(F.col("o_custkey") < 5)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .unionAll(
+            orders.filter(F.col("o_custkey") < 5).select(
+                "o_orderkey", "o_custkey", "o_totalprice"
+            )
+        ),
+    }
+    for name, df in batches.items():
+        staging = os.path.join(base, "staging", name)
+        df.write.parquet(staging)
+        staged = spark.read.parquet(staging)
+        n = staged.count()
+        n_keys = staged.select("o_orderkey").distinct().count()
+        n_null = staged.filter(F.col("o_orderkey").isNull()).count()
+        audit_ok = n > 0 and n_null == 0 and n_keys == n
+        dest = "published" if audit_ok else "quarantine"
+        os.makedirs(os.path.join(base, dest), exist_ok=True)
+        os.rename(staging, os.path.join(base, dest, name))
+
+    def _dir_rows(kind: str):
+        root = os.path.join(base, kind)
+        out = []
+        for name in sorted(os.listdir(root)) if os.path.isdir(root) else []:
+            n = spark.read.parquet(os.path.join(root, name)).count()
+            out.append((name, n, kind == "published"))
+        return out
+
+    rows = [
+        (name, n, True if published else False, published)
+        for name, n, published in _dir_rows("published")
+    ] + [
+        (name, n, False, False) for name, n, _ in _dir_rows("quarantine")
+    ]
+    return spark.createDataFrame(
+        rows, "batch string, n_rows long, audit_passed boolean, published boolean"
+    ).orderBy("batch")
 
 
 # ======================================================================

@@ -213,6 +213,10 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # out-of-fold encoding: totals re-derived from the fold partials
     # (no second scan), O(#categories) broadcast back
     "ml_target_encoding": (3, ["BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct", "!BatchEvalPython"]),
+    # keyless proximity join rewritten onto the time-cell equi-join:
+    # the plan must be a HASH join on the cell (shuffle-partitionable),
+    # never the cross/BNLJ shape the naive inequality join produces
+    "j_range_bucketed": (3, ["BroadcastHashJoin", "!CartesianProduct", "!BroadcastNestedLoopJoin", "!SortMergeJoin"]),
 }
 
 
