@@ -157,6 +157,8 @@ EXTENDED_QUERIES = [
     "ml_target_encoding",
     "j_range_bucketed",
     "catalog_wap_publish",
+    "graph_item_similarity",
+    "geo_tile_pyramid",
 ]
 
 

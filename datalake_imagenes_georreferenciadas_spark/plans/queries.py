@@ -1902,6 +1902,155 @@ def s8_geotiff_meta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ======================================================================
 
 
+@register(
+    "graph_item_similarity",
+    """
+    WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    deg AS (SELECT pk, count(*) AS n FROM bp GROUP BY pk),
+    co AS (
+      SELECT a.pk AS p1, b.pk AS p2, count(*) AS co
+      FROM bp a JOIN bp b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk),
+    j AS (
+      SELECT p1, p2, co, d1.n AS n1, d2.n AS n2,
+             floor(co * 1e6 / (d1.n + d2.n - co) + 0.5)::BIGINT AS jacc_micro
+      FROM co JOIN deg d1 ON d1.pk = p1 JOIN deg d2 ON d2.pk = p2)
+    SELECT p1, p2, co, n1, n2, jacc_micro FROM (
+      SELECT *, row_number() OVER (ORDER BY jacc_micro DESC, p1, p2) AS rn
+      FROM j) WHERE rn <= 20
+    """,
+)
+def graph_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering similarity (the recommender
+    primitive): parts are similar when the same orders contain both —
+    neighbor-set Jaccard |A∩B| / |A∪B| over the order-part bipartite
+    graph. Candidates come from the SHARED-ORDER self-join (equi on
+    order key — fan-out bounded by basket size, ~4-7 parts per TPC-H
+    order, never all item pairs), degrees from one distinct-count pass,
+    and the score as fixed-point micro-units so ranking is
+    integer-exact. This composes with graph_copurchase (raw pair
+    counts) the way BM25 composes with raw term counts — normalization
+    turns counts into a comparable score. Scale: at a 10^9-order
+    fleet the basket-size bound keeps the pair stream ~|orders|·k²,
+    shuffle-partitioned on the order key; hub ITEMS never explode
+    because pairs are generated per order, not per item."""
+    bp = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    deg = bp.groupBy("pk").agg(F.count("*").alias("n"))
+    a = bp.select("ok", F.col("pk").alias("p1"))
+    b = bp.select("ok", F.col("pk").alias("p2"))
+    co = (
+        a.join(b, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("co"))
+    )
+    j = (
+        co.join(deg.select(F.col("pk").alias("p1"), F.col("n").alias("n1")), "p1")
+        .join(deg.select(F.col("pk").alias("p2"), F.col("n").alias("n2")), "p2")
+        .select(
+            "p1",
+            "p2",
+            "co",
+            "n1",
+            "n2",
+            F.floor(
+                F.col("co") * 1e6 / (F.col("n1") + F.col("n2") - F.col("co"))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("jacc_micro"),
+        )
+    )
+    w = Window.orderBy(F.col("jacc_micro").desc(), "p1", "p2")
+    return (
+        j.select("p1", "p2", "co", "n1", "n2", "jacc_micro", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+
+
+_TILE_WORLD = 1 << 23  # 8,388,608 m square world → zoom-z tile = WORLD/2^z
+_TILE_ZOOMS = (0, 1, 2, 3)
+
+
+@register(
+    "geo_tile_pyramid",
+    f"""
+    WITH r AS (SELECT * FROM {GF.rasters_values_sql()}),
+    c AS (
+      SELECT img_id,
+             least(gt0, gt0 + gt1*cols, gt0 + gt2*rows, gt0 + gt1*cols + gt2*rows) AS x0,
+             greatest(gt0, gt0 + gt1*cols, gt0 + gt2*rows, gt0 + gt1*cols + gt2*rows) AS x1,
+             least(gt3, gt3 + gt4*cols, gt3 + gt5*rows, gt3 + gt4*cols + gt5*rows) AS y0,
+             greatest(gt3, gt3 + gt4*cols, gt3 + gt5*rows, gt3 + gt4*cols + gt5*rows) AS y1
+      FROM r),
+    z AS (SELECT unnest([{', '.join(str(z) for z in _TILE_ZOOMS)}]) AS zoom)
+    SELECT img_id, zoom,
+           floor(x0 / ({_TILE_WORLD} / (1 << zoom)))::BIGINT AS tx_min,
+           floor(y0 / ({_TILE_WORLD} / (1 << zoom)))::BIGINT AS ty_min,
+           (floor(x1 / ({_TILE_WORLD} / (1 << zoom)))::BIGINT
+              - floor(x0 / ({_TILE_WORLD} / (1 << zoom)))::BIGINT + 1)
+           * (floor(y1 / ({_TILE_WORLD} / (1 << zoom)))::BIGINT
+              - floor(y0 / ({_TILE_WORLD} / (1 << zoom)))::BIGINT + 1)
+             AS n_tiles
+    FROM c, z
+    """,
+)
+def geo_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-pyramid planning for raster serving (the XYZ/slippy-map
+    layout, zooms 0-3 over a fixed 2^23 m world): each raster's affine
+    geotransform (script_geo.py:177 parity — the same gt[6] the
+    reference reads from GDAL) yields its exact corner extent
+    (including skew terms), and per zoom the covered tile-id rectangle
+    (tx, ty ranges + count) — the partition layout a 100 TB imagery
+    lake serves and compacts by. All integer/closed-form double
+    arithmetic, identical operand order both engines; the zoom axis is
+    a generated 4-row explode, so the plan is map-only over the raster
+    catalog."""
+    r = GF.spark_rasters(spark)
+    g = [F.col("gt").getItem(i) for i in range(6)]
+    xs = [
+        g[0],
+        g[0] + g[1] * F.col("cols"),
+        g[0] + g[2] * F.col("rows"),
+        g[0] + g[1] * F.col("cols") + g[2] * F.col("rows"),
+    ]
+    ys = [
+        g[3],
+        g[3] + g[4] * F.col("cols"),
+        g[3] + g[5] * F.col("rows"),
+        g[3] + g[4] * F.col("cols") + g[5] * F.col("rows"),
+    ]
+    c = r.select(
+        "img_id",
+        F.least(*xs).alias("x0"),
+        F.greatest(*xs).alias("x1"),
+        F.least(*ys).alias("y0"),
+        F.greatest(*ys).alias("y1"),
+    )
+    z = c.select(
+        "*", F.explode(F.array(*[F.lit(z) for z in _TILE_ZOOMS])).alias("zoom")
+    )
+    # powers of two are exact doubles, so WORLD / 2^z matches the
+    # oracle's integer-shift division bit-for-bit
+    size = F.lit(float(_TILE_WORLD)) / F.pow(F.lit(2.0), F.col("zoom"))
+    tx0 = F.floor(F.col("x0") / size).cast("long")
+    tx1 = F.floor(F.col("x1") / size).cast("long")
+    ty0 = F.floor(F.col("y0") / size).cast("long")
+    ty1 = F.floor(F.col("y1") / size).cast("long")
+    return z.select(
+        "img_id",
+        "zoom",
+        tx0.alias("tx_min"),
+        ty0.alias("ty_min"),
+        ((tx1 - tx0 + 1) * (ty1 - ty0 + 1)).alias("n_tiles"),
+    )
+
+
 _RB_WINDOW_S = 300  # ±5-minute proximity window = the bucket width
 
 

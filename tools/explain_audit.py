@@ -217,6 +217,13 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # the plan must be a HASH join on the cell (shuffle-partitionable),
     # never the cross/BNLJ shape the naive inequality join produces
     "j_range_bucketed": (3, ["BroadcastHashJoin", "!CartesianProduct", "!BroadcastNestedLoopJoin", "!SortMergeJoin"]),
+    # item-item similarity: pair generation rides the per-order
+    # self-join (equi on order key, fan-out = basket size) — never a
+    # cross of the item universe
+    "graph_item_similarity": (7, ["!CartesianProduct", "!BroadcastNestedLoopJoin"]),
+    # tile planning: map-only over the raster catalog (explode on the
+    # generated zoom axis, no shuffle at all)
+    "geo_tile_pyramid": (0, ["Generate", "!Exchange", "!CartesianProduct"]),
 }
 
 
