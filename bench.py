@@ -159,6 +159,7 @@ EXTENDED_QUERIES = [
     "catalog_wap_publish",
     "graph_item_similarity",
     "geo_tile_pyramid",
+    "streaming_cdc_apply",
 ]
 
 

@@ -6590,6 +6590,116 @@ def g2_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_cdc_apply",
+    """
+    WITH log AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN event_id % 10 = 0 THEN 'D'
+                  WHEN event_id % 10 < 5 THEN 'U' ELSE 'I' END AS op,
+             round(value, 6) AS value
+      FROM events),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM log) WHERE rn = 1)
+    SELECT user_id, event_id AS last_event_id, op AS last_op,
+           value AS last_value
+    FROM latest WHERE op <> 'D'
+    """,
+)
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC APPLY: an insert/update/delete change log (ops
+    derived deterministically from event ids) streams in micro-batches
+    into a keyed state table via foreachBatch MERGE. The merge is
+    VERSION-ORDERED, not arrival-ordered: state and batch rows compete
+    on (ts, event_id) and the newest wins, deletes included — so the
+    result is independent of how the log is sharded into batches (the
+    property a real CDC consumer needs, since file arrival order is
+    not guaranteed) and replays are idempotent twice over (batch-id
+    guard + the merge itself is idempotent). A key whose LATEST change
+    is a delete is absent from the final read — tombstones survive
+    compaction until they win or lose, they are never dropped early.
+    Complements cdc_upsert_compact (the batch read-side compaction of
+    the same log shape)."""
+    import uuid
+
+    base = tempfile.mkdtemp(prefix="scdc_")
+    stream_dir = os.path.join(base, "in")
+    state_dir = os.path.join(base, "state")
+    log = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_id") % 10 == 0, "D")
+        .when(F.col("event_id") % 10 < 5, "U")
+        .otherwise("I")
+        .alias("op"),
+        F.round("value", 6).alias("value"),
+    )
+    log.repartition(4).write.parquet(stream_dir)
+    schema = spark.read.parquet(stream_dir).schema
+
+    applied: set[int] = set()
+    w_latest = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def merge(batch_df, batch_id: int) -> None:
+        if batch_id in applied:
+            return
+        applied.add(batch_id)
+        batch_latest = (
+            batch_df.withColumn("rn", F.row_number().over(w_latest))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        cur_dir = os.path.join(state_dir, "cur")
+        ss = batch_df.sparkSession
+        if os.path.isdir(cur_dir):
+            merged = (
+                ss.read.parquet(cur_dir)
+                .unionByName(batch_latest)
+                .withColumn("rn", F.row_number().over(w_latest))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+        else:
+            merged = batch_latest
+        nxt = os.path.join(state_dir, f"v_{uuid.uuid4().hex[:8]}")
+        merged.write.parquet(nxt)
+        tmp = cur_dir + ".tmp"
+        if os.path.islink(tmp):
+            os.unlink(tmp)
+        os.symlink(nxt, tmp)
+        os.replace(tmp, cur_dir)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(stream_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(os.path.join(state_dir, "cur"))
+        .filter(F.col("op") != "D")
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("op").alias("last_op"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@register(
     "cdc_upsert_compact",
     """
     SELECT user_id, event_id AS last_event_id, event_type AS last_type,
