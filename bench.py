@@ -160,6 +160,8 @@ EXTENDED_QUERIES = [
     "graph_item_similarity",
     "geo_tile_pyramid",
     "streaming_cdc_apply",
+    "text_tfidf_topk",
+    "geo_edge_crossings",
 ]
 
 

@@ -1366,6 +1366,99 @@ SELECT img_id, id_predio, nombre FROM cr WHERE crossings % 2 = 1
 """
 
 
+# road fixture: 4 probe segments (id, ax, ay, bx, by) — R1 crosses the
+# triangle + pentagon, R2 the square, R3 the annulus shell AND its hole,
+# R4 nothing (the zero row the left join must keep)
+_ROADS = (
+    (1, -1.0, 0.9, 14.0, 0.9),
+    (2, 4.0, 4.2, 7.0, 7.2),
+    (3, 12.2, 5.5, 12.8, 8.0),
+    (4, -1.5, -1.5, -0.5, -0.5),
+)
+
+
+def _ccw_sql(ax, ay, bx, by, cx, cy):
+    return f"(({bx} - {ax}) * ({cy} - {ay}) - ({by} - {ay}) * ({cx} - {ax}))"
+
+
+_GEO_CROSSINGS_SQL = f"""
+WITH e AS (SELECT * FROM {{edges}}),
+r AS (SELECT * FROM (VALUES {', '.join(f'({i}, {ax}::DOUBLE, {ay}::DOUBLE, {bx}::DOUBLE, {by}::DOUBLE)' for i, ax, ay, bx, by in _ROADS)})
+      AS r(road_id, ax, ay, bx, by)),
+hits AS (
+  SELECT r.road_id, e.id_predio
+  FROM r JOIN e
+    ON {_ccw_sql('r.ax','r.ay','r.bx','r.by','e.x1','e.y1')}
+       * {_ccw_sql('r.ax','r.ay','r.bx','r.by','e.x2','e.y2')} < 0
+   AND {_ccw_sql('e.x1','e.y1','e.x2','e.y2','r.ax','r.ay')}
+       * {_ccw_sql('e.x1','e.y1','e.x2','e.y2','r.bx','r.by')} < 0)
+SELECT r.road_id, count(h.id_predio) AS n_crossings,
+       count(DISTINCT h.id_predio) AS n_parcels
+FROM r LEFT JOIN hits h USING (road_id)
+GROUP BY r.road_id
+"""
+
+
+@register(
+    "geo_edge_crossings",
+    _GEO_CROSSINGS_SQL.format(edges=GF.edges_values_sql()),
+)
+def geo_edge_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-segment intersection (route × parcel-boundary overlay):
+    for each probe road, how many boundary edges it properly crosses
+    and how many distinct parcels those belong to — the computational-
+    geometry kernel under route planning and parcel-impact analysis.
+    Proper crossing is the standard double-orientation test (both
+    endpoint pairs strictly straddle the other segment:
+    ccw(A,B,C)·ccw(A,B,D) < 0 twice) — pure sign arithmetic on cross
+    products, identical operand order both engines, no trigonometry and
+    no epsilon. Holes count: R3 crosses the annulus shell twice AND its
+    interior ring twice. The left join keeps the zero-crossing road.
+    Scale: roads broadcast against the edge table (edges are the big
+    side at fleet scale); a bbox/grid prefilter (geo_contains_grid's
+    cell trick) would bound candidates before the exact test."""
+    polys = GF.spark_polys(spark)
+    rings = polys.select("id_predio", F.explode("rings").alias("ring"))
+    edges = rings.select(
+        "id_predio",
+        F.explode(
+            F.expr(
+                "transform(ring, (p, i) -> struct("
+                "p.x AS x1, p.y AS y1, "
+                "element_at(ring, (i + 1) % size(ring) + 1).x AS x2, "
+                "element_at(ring, (i + 1) % size(ring) + 1).y AS y2))"
+            )
+        ).alias("e"),
+    ).select("id_predio", "e.*")
+    roads = spark.createDataFrame(
+        list(_ROADS), "road_id long, ax double, ay double, bx double, by double"
+    )
+
+    def ccw(ax, ay, bx, by, cx, cy):
+        return (F.col(bx) - F.col(ax)) * (F.col(cy) - F.col(ay)) - (
+            F.col(by) - F.col(ay)
+        ) * (F.col(cx) - F.col(ax))
+
+    cond = (
+        ccw("ax", "ay", "bx", "by", "x1", "y1")
+        * ccw("ax", "ay", "bx", "by", "x2", "y2")
+        < 0
+    ) & (
+        ccw("x1", "y1", "x2", "y2", "ax", "ay")
+        * ccw("x1", "y1", "x2", "y2", "bx", "by")
+        < 0
+    )
+    hits = F.broadcast(roads).join(edges, cond).select("road_id", "id_predio")
+    return (
+        roads.join(hits, "road_id", "left")
+        .groupBy("road_id")
+        .agg(
+            F.count("id_predio").alias("n_crossings"),
+            F.countDistinct("id_predio").alias("n_parcels"),
+        )
+    )
+
+
 _GEO_AREAL_SQL = f"""
 WITH v AS (SELECT * FROM {GF.vertices_values_sql()}),
 b AS (SELECT id_predio, min(x) AS x1, min(y) AS y1, max(x) AS x2, max(y) AS y2
@@ -2270,6 +2363,71 @@ def a5_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ======================================================================
 # EXT — dedup families #4/#5: exact n-gram Jaccard, embedding cosine
 # ======================================================================
+
+@register(
+    "text_tfidf_topk",
+    """
+    WITH tok AS (
+      SELECT doc_id, lower(t.token) AS token
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+      WHERE t.token <> ''),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             (tf.tf * n.n_docs * 1000000 // df.df)::BIGINT AS score_micro
+      FROM tf JOIN df USING (token), n)
+    SELECT doc_id, token, score_micro, rank FROM (
+      SELECT doc_id, token, score_micro,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_micro DESC, token) AS rank
+      FROM scored) WHERE rank <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction (top-3 terms): term
+    frequency × inverse document frequency, the classic relevance
+    weight (Spärck Jones 1972). The IDF is kept as the exact integer
+    rational tf·N·10⁶ ÷ df (floor division) instead of the usual
+    log(N/df) — the RANKING is identical for top-k-per-doc and the
+    score stays bit-exact cross-engine with no libm log in sight (the
+    same discipline as text_bigram_fluency). Plan: one explode, two
+    count aggregates at different keys, a token-keyed join back
+    (AQE-decided, unhinted — the text_rarity_score rationale), a
+    one-row N broadcast, and a per-doc ranking window."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .select("doc_id", F.lower("token").alias("token"))
+        .filter(F.col("token") != "")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            # integral `div`, not floor(double /): a double quotient one
+            # ulp under an integer can round up and break the floor
+            F.expr("(tf * n_docs * 1000000L) div df")
+            .cast("long")
+            .alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), "token"
+    )
+    return (
+        scored.select(
+            "doc_id", "token", "score_micro", F.row_number().over(w).alias("rank")
+        )
+        .filter(F.col("rank") <= 3)
+    )
+
 
 _NGRAM_MAX_DF = 100
 _NGRAM_JACCARD_SQL = f"""

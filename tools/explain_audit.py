@@ -224,6 +224,12 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # tile planning: map-only over the raster catalog (explode on the
     # generated zoom axis, no shuffle at all)
     "geo_tile_pyramid": (0, ["Generate", "!Exchange", "!CartesianProduct"]),
+    # TF-IDF keywords: no libm log anywhere, per-doc ranking window,
+    # one-row N broadcast; token join AQE-decided
+    "text_tfidf_topk": (6, ["Window", "BroadcastNestedLoopJoin", "!CartesianProduct", "!BatchEvalPython", "!ArrowEvalPython"]),
+    # segment intersection: roads broadcast onto the edge walk — the
+    # non-equi orientation predicate rides a BNLJ, never a cartesian
+    "geo_edge_crossings": (4, ["BroadcastNestedLoopJoin", "!CartesianProduct"]),
 }
 
 
