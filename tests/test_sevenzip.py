@@ -141,6 +141,64 @@ def test_encoded_header_archive():
     assert SZ.read_7z(rebuilt) == members
 
 
+def test_multi_coder_bindpair_chain():
+    """Two-coder folder (LZMA2 → Delta) wired through a bind pair — the
+    filter-chain shape real 7z uses for executables (BCJ+LZMA). The
+    payload is delta-ENCODED then compressed; the reader must decode
+    LZMA2 first, route its output through the bind pair into the Delta
+    decoder, and return the original bytes."""
+    import lzma
+
+    from datalake_imagenes_georreferenciadas_spark.sources import sevenzip as SZ
+
+    payload = bytes((i * 7 + (i // 5)) & 0xFF for i in range(4096))
+    dist = 4
+    # delta ENCODE (decoder inverts): d[i] = p[i] - p[i-dist]
+    enc = bytearray(payload)
+    for i in range(len(enc) - 1, dist - 1, -1):
+        enc[i] = (enc[i] - enc[i - dist]) & 0xFF
+    comp = lzma.LZMACompressor(
+        format=lzma.FORMAT_RAW,
+        filters=[{"id": lzma.FILTER_LZMA2, "dict_size": 1 << 20, "preset": 6}],
+    )
+    packed = comp.compress(bytes(enc)) + comp.flush()
+
+    n = SZ._write_number
+    hdr = bytearray()
+    hdr += n(SZ.K_HEADER)
+    hdr += n(SZ.K_MAIN_STREAMS_INFO)
+    hdr += n(SZ.K_PACK_INFO) + n(0) + n(1)
+    hdr += n(SZ.K_SIZE) + n(len(packed)) + n(SZ.K_END)
+    hdr += n(SZ.K_UNPACK_INFO)
+    hdr += n(SZ.K_FOLDER) + n(1) + b"\x00"
+    hdr += n(2)  # two coders
+    hdr += bytes([1 | 0x20]) + SZ.CODEC_LZMA2 + n(1) + bytes([16])
+    hdr += bytes([1 | 0x20]) + SZ.CODEC_DELTA + n(1) + bytes([dist - 1])
+    hdr += n(1) + n(0)  # bind pair: delta's in-stream 1 <- lzma2's out 0
+    hdr += n(SZ.K_CODERS_UNPACK_SIZE) + n(len(payload)) + n(len(payload))
+    hdr += n(SZ.K_END)
+    hdr += n(SZ.K_SUBSTREAMS_INFO)
+    hdr += n(SZ.K_CRC) + b"\x01" + struct.pack("<I", zlib.crc32(payload))
+    hdr += n(SZ.K_END)
+    hdr += n(SZ.K_END)
+    hdr += n(SZ.K_FILES_INFO) + n(1)
+    name = b"\x00" + "chained.bin\x00".encode("utf-16-le")
+    hdr += n(SZ.K_NAME) + n(len(name)) + name
+    hdr += n(SZ.K_END) + n(SZ.K_END)
+    hdr = bytes(hdr)
+
+    start = struct.pack("<QQI", len(packed), len(hdr), zlib.crc32(hdr))
+    arc = (
+        SZ.SIGNATURE
+        + b"\x00\x04"
+        + struct.pack("<I", zlib.crc32(start))
+        + start
+        + packed
+        + hdr
+    )
+    assert SZ.read_7z(arc) == [("chained.bin", payload)]
+
+
 def test_kernel_extracts_7z_alongside_zip(spark):
     import io
     import zipfile
