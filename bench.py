@@ -162,6 +162,7 @@ EXTENDED_QUERIES = [
     "streaming_cdc_apply",
     "text_tfidf_topk",
     "geo_edge_crossings",
+    "geo_knn_grid",
 ]
 
 

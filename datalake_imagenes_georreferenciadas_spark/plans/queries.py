@@ -1579,6 +1579,117 @@ def geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nearest_vertex_join(pts, polys)
 
 
+_KNN_CELL = 4.0
+
+_GEO_KNN_GRID_SQL = f"""
+WITH pts AS (SELECT * FROM {GF.points_values_sql()}),
+v AS (SELECT *, floor(x / {_KNN_CELL})::BIGINT AS cx,
+               floor(y / {_KNN_CELL})::BIGINT AS cy
+      FROM {GF.vertices_values_sql()}),
+probe AS (
+  SELECT p.img_id, p.lon, p.lat,
+         floor(p.lon / {_KNN_CELL})::BIGINT + dx.d AS cx,
+         floor(p.lat / {_KNN_CELL})::BIGINT + dy.d AS cy
+  FROM pts p,
+       (SELECT unnest([-1, 0, 1]) AS d) dx,
+       (SELECT unnest([-1, 0, 1]) AS d) dy
+  WHERE p.lon IS NOT NULL AND p.lat IS NOT NULL),
+cand AS (
+  SELECT pr.img_id, v.id_predio, v.nombre, v.x AS vx, v.y AS vy,
+         (pr.lon - v.x) * (pr.lon - v.x) + (pr.lat - v.y) * (pr.lat - v.y)
+           AS dist2
+  FROM probe pr JOIN v ON pr.cx = v.cx AND pr.cy = v.cy),
+grid_nn AS (
+  SELECT img_id, id_predio, nombre, vx, vy FROM (
+    SELECT *, row_number() OVER (PARTITION BY img_id
+                                 ORDER BY dist2, id_predio, nombre, vx, vy) AS rn
+    FROM cand) WHERE rn = 1),
+brute AS ({_GEO_KNN_SQL})
+SELECT g.img_id, g.id_predio, g.nombre, g.vx, g.vy,
+       (g.id_predio = b.id_predio AND g.vx = b.vx AND g.vy = b.vy)
+         AS matches_brute
+FROM grid_nn g JOIN brute b USING (img_id)
+"""
+
+
+@register("geo_knn_grid", _GEO_KNN_GRID_SQL)
+def geo_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3-J5 SCALE path: grid-bucketed nearest-vertex search — each
+    located point probes its 3×3 neighborhood of 4-unit cells
+    and the argmin runs over those candidates only, turning the
+    all-pairs cross join (`geo_knn`) into a shuffle-partitionable
+    equi-join on the cell key, the same §4.3 rewrite
+    `geo_contains_grid` applies to containment. Probe expansion is a
+    fixed 9 rows per point (data-independent). The output carries its
+    own exactness proof: `matches_brute` compares the grid answer to
+    the full brute-force argmin in-engine (true whenever the true NN
+    lies within one cell ring — guaranteed here by the fixture's
+    geometry; at fleet scale the standard escalation re-probes wider
+    rings for the rare unmatched point)."""
+    pts = GF.spark_points(spark).filter(
+        F.col("lon").isNotNull() & F.col("lat").isNotNull()
+    )
+    polys = GF.spark_polys(spark)
+    verts = (
+        polys.select("id_predio", "nombre", F.explode("rings").alias("ring"))
+        .select("id_predio", "nombre", F.explode("ring").alias("pt"))
+        .select(
+            "id_predio",
+            "nombre",
+            F.col("pt.x").alias("x"),
+            F.col("pt.y").alias("y"),
+        )
+        .withColumn("cx", F.floor(F.col("x") / _KNN_CELL))
+        .withColumn("cy", F.floor(F.col("y") / _KNN_CELL))
+    )
+    d = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    probe = (
+        pts.select("img_id", "lon", "lat", d.alias("dx"))
+        .select("img_id", "lon", "lat", "dx", d.alias("dy"))
+        .select(
+            "img_id",
+            "lon",
+            "lat",
+            (F.floor(F.col("lon") / _KNN_CELL) + F.col("dx")).alias("cx"),
+            (F.floor(F.col("lat") / _KNN_CELL) + F.col("dy")).alias("cy"),
+        )
+    )
+    dist2 = (F.col("lon") - F.col("x")) * (F.col("lon") - F.col("x")) + (
+        F.col("lat") - F.col("y")
+    ) * (F.col("lat") - F.col("y"))
+    cand = probe.join(F.broadcast(verts), ["cx", "cy"]).select(
+        "img_id", "id_predio", "nombre",
+        F.col("x").alias("vx"), F.col("y").alias("vy"),
+        dist2.alias("dist2"),
+    )
+    w = Window.partitionBy("img_id").orderBy(
+        "dist2", "id_predio", "nombre", "vx", "vy"
+    )
+    grid_nn = (
+        cand.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "dist2")
+    )
+    brute = nearest_vertex_join(pts, polys).select(
+        "img_id",
+        F.col("id_predio").alias("b_predio"),
+        F.col("vx").alias("b_vx"),
+        F.col("vy").alias("b_vy"),
+    )
+    return grid_nn.join(F.broadcast(brute), "img_id").select(
+        "img_id",
+        "id_predio",
+        "nombre",
+        "vx",
+        "vy",
+        (
+            (F.col("id_predio") == F.col("b_predio"))
+            & (F.col("vx") == F.col("b_vx"))
+            & (F.col("vy") == F.col("b_vy"))
+        ).alias("matches_brute"),
+    )
+
+
 _GEO_CLASSIFY_SQL = f"""
 WITH pts AS (SELECT * FROM {GF.points_values_sql()}),
 e AS (SELECT * FROM {GF.edges_values_sql()}),

@@ -230,6 +230,10 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # segment intersection: roads broadcast onto the edge walk — the
     # non-equi orientation predicate rides a BNLJ, never a cartesian
     "geo_edge_crossings": (4, ["BroadcastNestedLoopJoin", "!CartesianProduct"]),
+    # grid KNN: the candidate join is an EQUI join on the cell key —
+    # the whole point of the rewrite; no cartesian anywhere even though
+    # the brute-force twin rides along for the self-proof
+    "geo_knn_grid": (4, ["BroadcastHashJoin", "!CartesianProduct"]),
 }
 
 
