@@ -163,6 +163,8 @@ EXTENDED_QUERIES = [
     "text_tfidf_topk",
     "geo_edge_crossings",
     "geo_knn_grid",
+    "a4_pivot_dynamic",
+    "j_late_arriving_dim",
 ]
 
 

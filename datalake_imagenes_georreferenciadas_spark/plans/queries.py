@@ -3108,6 +3108,120 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a4_pivot_dynamic",
+    """
+    SELECT source,
+           count(*) FILTER (WHERE lang = 'de') AS n_de,
+           count(*) FILTER (WHERE lang = 'en') AS n_en,
+           count(*) FILTER (WHERE lang = 'es') AS n_es,
+           count(*) FILTER (WHERE lang = 'fr') AS n_fr,
+           count(*) FILTER (WHERE lang = 'zh') AS n_zh
+    FROM documents GROUP BY source
+    """,
+)
+def a4_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC pivot: the value list is DISCOVERED at runtime (distinct
+    langs, sorted for a stable column order) instead of hard-coded —
+    the report-building pattern where the category set is data-driven.
+    The discovery is a one-column distinct collected to the driver:
+    bounded by the domain's cardinality (languages, statuses — tens,
+    not millions; the same one-small-collect posture as the catalog's
+    max-id lookup), and the pivot itself stays a single map-side-
+    combined aggregate. The oracle pins the expected discovered set, so
+    the external check also verifies the discovery found exactly the
+    corpus's languages."""
+    docs = table(spark, sf_dir, "documents").select("source", "lang")
+    langs = sorted(r["lang"] for r in docs.select("lang").distinct().collect())
+    out = docs.groupBy("source").pivot("lang", langs).count().na.fill(0)
+    return out.select(
+        "source", *[F.col(lg).alias(f"n_{lg}") for lg in langs]
+    )
+
+
+@register(
+    "j_late_arriving_dim",
+    """
+    WITH dim0 AS (SELECT * FROM customer WHERE c_custkey % 10 <> 7),
+    missing AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE NOT EXISTS (SELECT 1 FROM dim0 d WHERE d.c_custkey = o_custkey)),
+    seg AS (
+      SELECT c.c_mktsegment AS segment, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment)
+    SELECT segment, n_orders, revenue FROM seg
+    UNION ALL
+    SELECT '__reconciled_inferred',
+           (SELECT count(*) FROM missing),
+           0.0
+    ORDER BY segment
+    """,
+)
+def j_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving dimension (inferred members): facts reference
+    customer keys the dimension does not have yet (every 10th key is
+    withheld to simulate late dim data). The warehouse discipline, run
+    END TO END: (1) the anti-join discovers orphan keys and INSERTS
+    placeholder members flagged inferred — facts are never dropped or
+    stalled; (2) facts join the augmented dimension losslessly; (3) the
+    late dim rows arrive and a MERGE overwrites exactly the inferred
+    placeholders with real attributes. The output is the post-
+    reconciliation revenue by segment — value-identical to a join
+    against the complete dimension (the oracle's formulation) — plus a
+    ledger row counting the placeholders that were reconciled. Scale:
+    the orphan-key set is the anti-join's output (small by definition);
+    placeholders broadcast back into the MERGE."""
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    dim0 = cust.filter(F.col("c_custkey") % 10 != 7).withColumn(
+        "inferred", F.lit(False)
+    )
+    missing = (
+        orders.select("o_custkey")
+        .distinct()
+        .join(dim0, orders.o_custkey == dim0.c_custkey, "left_anti")
+    )
+    inferred = missing.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.lit("__UNKNOWN__").alias("c_mktsegment"),
+        F.lit(True).alias("inferred"),
+    )
+    dim1 = dim0.unionByName(inferred)
+    n_inferred = inferred.count()
+    # the late data arrives: MERGE — real attributes overwrite exactly
+    # the inferred placeholders, everything else is untouched
+    late = cust.withColumnRenamed("c_mktsegment", "late_seg")
+    dim2 = (
+        dim1.join(F.broadcast(late.select("c_custkey", "late_seg")), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.when(F.col("inferred") & F.col("late_seg").isNotNull(), F.col("late_seg"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+            (F.col("inferred") & F.col("late_seg").isNull()).alias("inferred"),
+        )
+    )
+    seg = (
+        orders.join(dim2, orders.o_custkey == dim2.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+    ledger = seg.sparkSession.createDataFrame(
+        [("__reconciled_inferred", n_inferred, 0.0)],
+        "segment string, n_orders long, revenue double",
+    )
+    return seg.unionByName(ledger).orderBy("segment")
+
+
+@register(
     "a4_pivot",
     """
     SELECT o_orderpriority,

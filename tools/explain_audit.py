@@ -234,6 +234,13 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # the whole point of the rewrite; no cartesian anywhere even though
     # the brute-force twin rides along for the self-proof
     "geo_knn_grid": (4, ["BroadcastHashJoin", "!CartesianProduct"]),
+    # dynamic pivot: Catalyst's two-phase pivot (pre-agg on
+    # (source, lang), then PivotFirst) — 2 exchanges, still no join
+    "a4_pivot_dynamic": (2, ["HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    # inferred members: orphan discovery is an anti-join, placeholders
+    # and late rows broadcast back — the fact side shuffles only for
+    # the final segment aggregate
+    "j_late_arriving_dim": (6, ["BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
 }
 
 
