@@ -11207,6 +11207,64 @@ def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dq_distribution_drift",
+    """
+    WITH c AS (
+      SELECT least(floor(value / 50)::BIGINT, 9) AS bucket,
+             count(*) FILTER (WHERE event_id % 2 = 0) AS n_ref,
+             count(*) FILTER (WHERE event_id % 2 <> 0) AS n_cur
+      FROM events GROUP BY 1),
+    tot AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM c),
+    j AS (SELECT c.*, tot.t_ref, tot.t_cur FROM c, tot WHERE c.n_ref > 0)
+    SELECT bucket, n_ref, n_cur,
+           floor(
+             (CAST(n_cur AS DOUBLE) / t_cur - CAST(n_ref AS DOUBLE) / t_ref)
+             * (CAST(n_cur AS DOUBLE) / t_cur - CAST(n_ref AS DOUBLE) / t_ref)
+             / (CAST(n_ref AS DOUBLE) / t_ref) * 1e9 + 0.5)::BIGINT
+             AS drift_nano
+    FROM j ORDER BY bucket
+    """,
+)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: the per-bucket chi-square-style
+    contribution ((p_cur − p_ref)² / p_ref) between a reference slice
+    and a current slice of the value distribution — the data-quality
+    gate that catches upstream shifts BEFORE a model trains on them
+    (the integer-exact stand-in for PSI, which needs libm ln; the
+    ranking of drifting buckets is the actionable output and is
+    identical). BOTH period histograms come out of ONE conditional
+    aggregate over one scan (count_if per period — no self-join, no
+    per-period subtree re-expansion), totals are re-derived from the
+    ~10-bucket aggregate and broadcast back as one row, and the double
+    drift expression is fixed-pointed to nano units at the end. A
+    bucket absent from the current period scores with n_cur = 0 —
+    disappearance IS drift. At 100 TB: one map-side-combined aggregate,
+    then post-agg altitude only."""
+    ev = table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 2 == 0).alias("is_ref"),
+        F.least(F.floor(F.col("value") / 50), F.lit(9)).alias("bucket"),
+    )
+    c = ev.groupBy("bucket").agg(
+        F.count_if("is_ref").alias("n_ref"),
+        F.count_if(~F.col("is_ref")).alias("n_cur"),
+    )
+    tot = c.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    j = c.filter(F.col("n_ref") > 0).crossJoin(F.broadcast(tot))
+    p_ref = F.col("n_ref").cast("double") / F.col("t_ref")
+    p_cur = F.col("n_cur").cast("double") / F.col("t_cur")
+    return j.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.floor((p_cur - p_ref) * (p_cur - p_ref) / p_ref * 1e9 + F.lit(0.5))
+        .cast("long")
+        .alias("drift_nano"),
+    ).orderBy("bucket")
+
+
+@register(
     "dq_referential_integrity",
     """
     SELECT 'lineitem->orders' AS fk, count(*) AS n_orphans

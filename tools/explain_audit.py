@@ -241,6 +241,9 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # and late rows broadcast back — the fact side shuffles only for
     # the final segment aggregate
     "j_late_arriving_dim": (6, ["BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
+    # drift monitor: ONE scan split by period (no self-join of the
+    # table), per-period totals broadcast as one-row sides
+    "dq_distribution_drift": (5, ["HashAggregate", "BroadcastNestedLoopJoin", "!SortMergeJoin", "!CartesianProduct"]),
 }
 
 
