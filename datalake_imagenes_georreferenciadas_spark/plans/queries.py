@@ -11310,6 +11310,340 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ======================================================================
+# Round 7 — time-series bars, Benford audit, DSIR selection, chi² tokens
+# ======================================================================
+
+
+@register(
+    "ts_ohlc_resample",
+    """
+    SELECT event_type,
+           CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600 AS BIGINT)
+             AS bucket_s,
+           first(value ORDER BY ts, event_id) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           last(value ORDER BY ts, event_id) AS close,
+           count(*) AS n_obs
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar resampling: per event_type and hour, the opening value
+    (first by event time, event_id tiebreak), high, low, close, and
+    observation count — the canonical downsampling of an irregular tick
+    stream into fixed bars (script_geo.py's FECHA stamping generalized
+    to interval analytics). min_by/max_by over a (ts, event_id) struct
+    makes open/close deterministic under duplicate timestamps; the raw
+    doubles pass through un-arithmetic'd so both engines hash identical
+    bits. One map-side-combinable aggregate, no window, no shuffle
+    beyond the groupBy — at 100 TB the bar table is
+    |types|·|hours| rows, orders of magnitude smaller than the input."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+        .cast("bigint")
+        .alias("bucket_s"),
+    ).agg(
+        F.expr("min_by(value, struct(ts, event_id))").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.expr("max_by(value, struct(ts, event_id))").alias("close"),
+        F.count("*").alias("n_obs"),
+    )
+
+
+_BENFORD_P = [
+    0.301029995663981,
+    0.176091259055681,
+    0.124938736608300,
+    0.096910013008056,
+    0.079181246047625,
+    0.066946789630613,
+    0.057991946977687,
+    0.051152522447381,
+    0.045757490560675,
+]
+
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d + 1} THEN {p!r}" for d, p in enumerate(_BENFORD_P)
+) + " END"
+
+
+@register(
+    "dq_benford",
+    f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice > 0),
+    c AS (SELECT digit, count(*) AS n FROM digits GROUP BY digit),
+    t AS (SELECT sum(n) AS total FROM c)
+    SELECT digit, n,
+           CAST(floor((CAST(n AS DOUBLE) / total - ({_BENFORD_CASE}))
+                      * (CAST(n AS DOUBLE) / total - ({_BENFORD_CASE}))
+                      / ({_BENFORD_CASE}) * 1e9 + 0.5) AS BIGINT)
+             AS chi2_nano
+    FROM c CROSS JOIN t
+    ORDER BY digit
+    """,
+)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order amounts: observed leading-digit
+    frequencies vs the Benford expectation, per-digit chi² contribution
+    in nano fixed point — the classic fabricated-data / unit-mixup
+    detector for financial columns. The leading digit is taken through
+    integer cents → string head (no log10, no libm); the expected
+    probabilities are shared 15-digit literals; the only double math is
+    the final fixed-pointed ratio. One conditional aggregate over one
+    scan, a 9-row result re-joined to its own one-row total — at 100 TB
+    this is a single map-side-combined pass."""
+    benford = F.array(*[F.lit(p) for p in _BENFORD_P])
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = digits.groupBy("digit").agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    p = F.element_at(benford, F.col("digit"))
+    frac = F.col("n").cast("double") / F.col("total")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            F.floor((frac - p) * (frac - p) / p * 1e9 + F.lit(0.5))
+            .cast("long")
+            .alias("chi2_nano"),
+        )
+        .orderBy("digit")
+    )
+
+
+_DSIR_BUCKETS = 512
+_DSIR_SEED = 7
+_DSIR_TARGET = ("src1", "src2", "src3")
+_DSIR_TARGET_SQL = "('src1', 'src2', 'src3')"
+
+
+@register(
+    "pipeline_dsir_weights",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source IN {_DSIR_TARGET_SQL} AS is_target,
+             {H.shingles_sql('text', 2)} AS bgs
+      FROM documents),
+    xb AS (
+      SELECT doc_id, is_target,
+             ({H.hash64_sql('bg', _DSIR_SEED)}) % {_DSIR_BUCKETS} AS bucket
+      FROM (SELECT doc_id, is_target, unnest(bgs) AS bg FROM d)),
+    bs AS (
+      SELECT bucket, count(*) FILTER (WHERE is_target) AS t_b,
+             count(*) AS r_b
+      FROM xb GROUP BY bucket),
+    tot AS (SELECT sum(t_b) AS t_tot, sum(r_b) AS r_tot FROM bs),
+    lam AS (
+      SELECT bucket,
+             CAST(floor((ln((t_b + 0.5) / (t_tot + {_DSIR_BUCKETS / 2.0}))
+                         - ln((r_b + 0.5) / (r_tot + {_DSIR_BUCKETS / 2.0})))
+                        * 1e6 + 0.5) AS BIGINT) AS lam_micro
+      FROM bs CROSS JOIN tot),
+    dc AS (SELECT doc_id, bucket, count(*) AS cnt
+           FROM xb GROUP BY doc_id, bucket),
+    w AS (SELECT doc_id, CAST(sum(cnt * lam_micro) AS BIGINT) AS weight_micro
+          FROM dc JOIN lam USING (bucket) GROUP BY doc_id)
+    SELECT doc_id, weight_micro, rank FROM (
+      SELECT doc_id, weight_micro,
+             row_number() OVER (ORDER BY weight_micro DESC, doc_id) AS rank
+      FROM w)
+    WHERE rank <= 20
+    """,
+)
+def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): score
+    every raw document by the hashed-bigram importance ratio between a
+    target distribution (here the docs from sources src1–3) and the raw
+    corpus, then keep the top-weighted docs — the published
+    importance-resampling recipe for matching a pretraining corpus to a
+    target domain without a model in the loop. Bigram features hash into
+    512 fixed buckets (cross-engine md5 family), per-bucket smoothed
+    log-ratios λ_b are fixed-pointed to micro units at the bucket level
+    (512 rows — the only libm ln in the plan), and each doc's weight is
+    the exact integer Σ count·λ over its buckets. At 100 TB: one explode
+    pass, two map-side-combinable aggregates, a 512-row broadcast — the
+    corpus never shuffles by anything wider than (doc_id, bucket)."""
+    docs = table(spark, sf_dir, "documents")
+    d = spread(docs, "doc_id").select(
+        "doc_id",
+        F.col("source").isin(*_DSIR_TARGET).alias("is_target"),
+        H.shingles(F.col("text"), 2).alias("bgs"),
+    )
+    xb = d.select(
+        "doc_id", "is_target", F.explode("bgs").alias("bg")
+    ).select(
+        "doc_id",
+        "is_target",
+        (H.hash64(F.col("bg"), _DSIR_SEED) % _DSIR_BUCKETS).alias("bucket"),
+    )
+    bs = xb.groupBy("bucket").agg(
+        F.count_if("is_target").alias("t_b"), F.count("*").alias("r_b")
+    )
+    tot = bs.agg(F.sum("t_b").alias("t_tot"), F.sum("r_b").alias("r_tot"))
+    half_b = _DSIR_BUCKETS / 2.0
+    lam = bs.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.floor(
+            (
+                F.log((F.col("t_b") + 0.5) / (F.col("t_tot") + half_b))
+                - F.log((F.col("r_b") + 0.5) / (F.col("r_tot") + half_b))
+            )
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("lam_micro"),
+    )
+    dc = xb.groupBy("doc_id", "bucket").agg(F.count("*").alias("cnt"))
+    w = (
+        dc.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("lam_micro")).alias("weight_micro"))
+    )
+    return (
+        w.orderBy(F.col("weight_micro").desc(), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            "weight_micro",
+            F.row_number()
+            .over(Window.orderBy(F.col("weight_micro").desc(), "doc_id"))
+            .alias("rank"),
+        )
+    )
+
+
+_CHI2_POS = ("src1", "src3", "src5", "src7", "src9")
+_CHI2_POS_SQL = "('src1', 'src3', 'src5', 'src7', 'src9')"
+
+
+@register(
+    "ml_chi2_tokens",
+    f"""
+    WITH lab AS (
+      SELECT doc_id, source IN {_CHI2_POS_SQL} AS is_pos,
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS toks
+      FROM documents),
+    tot AS (
+      SELECT count(*) FILTER (WHERE is_pos) AS p_tot,
+             count(*) FILTER (WHERE NOT is_pos) AS n_tot
+      FROM lab),
+    tc AS (
+      SELECT t, count(*) FILTER (WHERE is_pos) AS a,
+             count(*) FILTER (WHERE NOT is_pos) AS b
+      FROM (SELECT doc_id, is_pos, unnest(toks) AS t FROM lab)
+      GROUP BY t),
+    sc AS (
+      SELECT t, a, b,
+             CAST(floor(
+               CAST(p_tot + n_tot AS DOUBLE)
+               * (a * (n_tot - b) - b * (p_tot - a))
+               * (a * (n_tot - b) - b * (p_tot - a))
+               / ((a + b) * (p_tot + n_tot - a - b)
+                  * p_tot * n_tot)
+               * 1e6 + 0.5) AS BIGINT) AS chi2_micro
+      FROM tc CROSS JOIN tot
+      WHERE a + b >= 10 AND a + b <= p_tot + n_tot - 10)
+    SELECT t AS token, a AS pos_docs, b AS neg_docs, chi2_micro, rank FROM (
+      SELECT *, row_number() OVER (ORDER BY chi2_micro DESC, t) AS rank
+      FROM sc)
+    WHERE rank <= 15
+    """,
+)
+def ml_chi2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² feature selection: rank vocabulary tokens by their chi-square
+    association with a binary document label (source ∈ odd-numbered
+    sources) from the 2×2 presence/label contingency table — the
+    classic pre-training feature screen (and leakage detector: a
+    too-predictive token is a label proxy). Counts stay exact integers
+    end-to-end; the χ² ratio is the only double op and is fixed-pointed
+    to micro units. Plan: distinct-token explode → one conditional
+    aggregate per token; the 2-number doc-label total is a one-row
+    broadcast; df-bounds prune the long tail before ranking. At 100 TB
+    the token table is vocabulary-sized, not corpus-sized."""
+    docs = table(spark, sf_dir, "documents")
+    lab = spread(docs, "doc_id").select(
+        "doc_id",
+        F.col("source").isin(*_CHI2_POS).alias("is_pos"),
+        F.array_distinct(H.tokens(F.col("text"))).alias("toks"),
+    )
+    tot = lab.agg(
+        F.count_if("is_pos").alias("p_tot"),
+        F.count_if(~F.col("is_pos")).alias("n_tot"),
+    )
+    tc = (
+        lab.select("is_pos", F.explode("toks").alias("t"))
+        .groupBy("t")
+        .agg(
+            F.count_if("is_pos").alias("a"),
+            F.count_if(~F.col("is_pos")).alias("b"),
+        )
+    )
+    n_all = F.col("p_tot") + F.col("n_tot")
+    det = F.col("a") * (F.col("n_tot") - F.col("b")) - F.col("b") * (
+        F.col("p_tot") - F.col("a")
+    )
+    sc = (
+        tc.crossJoin(F.broadcast(tot))
+        .filter(
+            ((F.col("a") + F.col("b")) >= 10)
+            & ((F.col("a") + F.col("b")) <= n_all - 10)
+        )
+        .select(
+            "t",
+            "a",
+            "b",
+            F.floor(
+                n_all.cast("double")
+                * det
+                * det
+                / (
+                    (F.col("a") + F.col("b"))
+                    * (n_all - F.col("a") - F.col("b"))
+                    * F.col("p_tot")
+                    * F.col("n_tot")
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("chi2_micro"),
+        )
+    )
+    return (
+        sc.orderBy(F.col("chi2_micro").desc(), "t")
+        .limit(15)
+        .select(
+            F.col("t").alias("token"),
+            F.col("a").alias("pos_docs"),
+            F.col("b").alias("neg_docs"),
+            "chi2_micro",
+            F.row_number()
+            .over(Window.orderBy(F.col("chi2_micro").desc(), "t"))
+            .alias("rank"),
+        )
+    )
+
+
 # The external verify driver samples the FIRST 50 entries of ``queries()``
 # each round. Rotation is SELF-MAINTAINING: any query that already has a
 # fully-green row (rows+schema+hash) in some CORRECTNESS_r{N}.json — or a
