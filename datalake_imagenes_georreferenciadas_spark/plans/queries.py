@@ -11644,6 +11644,391 @@ def ml_chi2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_static_join",
+    f"""
+    SELECT c.c_mktsegment, count(*) AS n, {_dsum_sql('e.value')} AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream (file source, availableNow)
+    enriches against a BATCH dimension table inside the streaming query —
+    the Structured Streaming surface for slowly-changing lookups, where
+    the static side is re-planned per micro-batch (so a dimension update
+    lands without restarting the stream). The dimension is broadcast
+    (1.5k rows), the post-join aggregate runs in complete mode, and the
+    decimal partial sums keep the double total order-independent across
+    micro-batch boundaries. Oracle: the same join as one batch SQL. At
+    100 TB of stream the static side is still dimension-sized — the
+    join never shuffles the stream."""
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stream_dir = tempfile.mkdtemp(prefix="events_dimjoin_")
+    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    stream = spark.readStream.format("parquet").schema(raw_schema).load(stream_dir)
+    stream = _norm_event_ts(stream)
+    dim = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = stream.join(
+        F.broadcast(dim), stream.user_id == dim.c_custkey, "inner"
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), _dsum(F.col("value")).alias("sum_value")
+    )
+    name = f"stream_dimjoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_CUSUM_SLACK_C = 500  # 5.00 drift allowance per observation, in cents
+_CUSUM_THR_C = 20000  # alert when cumulative excess passes 200.00
+
+
+@register(
+    "ts_cusum_alerts",
+    f"""
+    WITH s AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE user_id < 100),
+    u AS (SELECT user_id, count(*) AS n, sum(cents) AS total
+          FROM s GROUP BY user_id),
+    d AS (
+      SELECT s.user_id, s.event_id, s.ts,
+             s.cents * u.n - u.total - {_CUSUM_SLACK_C} * u.n AS dev,
+             u.n
+      FROM s JOIN u USING (user_id)),
+    p AS (
+      SELECT user_id, event_id, ts, n,
+             sum(dev) OVER w AS prefix
+      FROM d
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    p2 AS (
+      SELECT user_id, event_id, ts, n, prefix,
+             min(prefix) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin
+      FROM p),
+    cu AS (
+      SELECT user_id, event_id, ts, n,
+             prefix - least(CAST(0 AS BIGINT), runmin) AS cusum
+      FROM p2)
+    SELECT user_id,
+           count(*) FILTER (WHERE cusum > {_CUSUM_THR_C} * n) AS n_alerts,
+           CAST(floor(epoch(min(ts) FILTER (WHERE cusum > {_CUSUM_THR_C} * n)))
+                AS BIGINT) AS first_alert_epoch,
+           CAST(max(cusum // n) AS BIGINT) AS peak_cusum_cents
+    FROM cu
+    GROUP BY user_id
+    HAVING count(*) FILTER (WHERE cusum > {_CUSUM_THR_C} * n) > 0
+    """,
+)
+def ts_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint alerts: the one-sided cumulative-sum control
+    chart S_i = max(0, S_{{i-1}} + (x_i − mean − slack)) per user stream,
+    alerting when the statistic crosses a threshold — upward
+    level-shift detection for metrics pipelines. The recursion solves in
+    closed form as prefix − min(0, running-min(prefix)), so it is TWO
+    stacked window functions, not an iterative loop; everything is
+    integer cents scaled by the per-user count n (mean stays an exact
+    rational), so both engines agree bit-for-bit with zero float math.
+    At 100 TB: one join against a per-key aggregate, one partitioned
+    window — no driver loop, no state store."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    s = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    u = s.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("total")
+    )
+    d = s.join(u, "user_id").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "n",
+        (
+            F.col("cents") * F.col("n")
+            - F.col("total")
+            - _CUSUM_SLACK_C * F.col("n")
+        ).alias("dev"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = d.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "n",
+        F.sum("dev").over(w).alias("prefix"),
+    ).withColumn("runmin", F.min("prefix").over(w))
+    cu = p.select(
+        "user_id",
+        "ts",
+        "n",
+        (
+            F.col("prefix")
+            - F.least(F.lit(0).cast("bigint"), F.col("runmin"))
+        ).alias("cusum"),
+    )
+    alert = F.col("cusum") > _CUSUM_THR_C * F.col("n")
+    out = cu.groupBy("user_id").agg(
+        F.count_if(alert).alias("n_alerts"),
+        F.floor(F.unix_timestamp(F.min(F.when(alert, F.col("ts")))))
+        .cast("bigint")
+        .alias("first_alert_epoch"),
+        F.max(F.floor(F.col("cusum") / F.col("n")))
+        .cast("bigint")
+        .alias("peak_cusum_cents"),
+    )
+    return out.filter(F.col("n_alerts") > 0)
+
+
+@register(
+    "text_entropy_quality",
+    """
+    WITH d AS (
+      SELECT doc_id, list_filter(
+               string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents),
+    tc AS (
+      SELECT doc_id, t, count(*) AS c
+      FROM (SELECT doc_id, unnest(toks) AS t FROM d)
+      GROUP BY doc_id, t),
+    terms AS (
+      SELECT doc_id,
+             CAST(sum(CAST(floor(c * log2(c) * 1e6 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sum_terms,
+             CAST(sum(c) AS BIGINT) AS n_tokens
+      FROM tc GROUP BY doc_id),
+    ent AS (
+      SELECT doc_id, n_tokens,
+             (n_tokens * CAST(floor(log2(n_tokens) * 1e6 + 0.5) AS BIGINT)
+              - sum_terms) // n_tokens AS ent_micro
+      FROM terms WHERE n_tokens > 0)
+    SELECT doc_id, n_tokens, ent_micro, rank FROM (
+      SELECT doc_id, n_tokens, ent_micro,
+             row_number() OVER (ORDER BY ent_micro, doc_id) AS rank
+      FROM ent)
+    WHERE rank <= 15
+    """,
+)
+def text_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-entropy quality gate: per-document Shannon entropy of the
+    unigram distribution, H = log2(L) − (Σ c·log2 c)/L — the standard
+    low-diversity filter (boilerplate, keyword stuffing, stuck
+    generators score near 0 bits; natural text 5+). Each c·log2(c) term
+    is fixed-pointed to micro units BEFORE the per-doc sum, so the
+    reduction is pure BIGINT and order-independent; the only libm calls
+    take small-integer inputs both engines evaluate identically. Output:
+    the 15 most repetitive docs. At 100 TB this is explode → two
+    map-side-combinable aggregates, vocabulary-bounded per doc."""
+    docs = table(spark, sf_dir, "documents")
+    d = spread(docs, "doc_id").select(
+        "doc_id", H.tokens(F.col("text")).alias("toks")
+    )
+    tc = (
+        d.select("doc_id", F.explode("toks").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    terms = tc.groupBy("doc_id").agg(
+        F.sum(
+            F.floor(F.col("c") * F.log2("c") * 1e6 + F.lit(0.5)).cast("bigint")
+        ).alias("sum_terms"),
+        F.sum("c").alias("n_tokens"),
+    )
+    ent = terms.filter(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "n_tokens",
+        F.floor(
+            (
+                F.col("n_tokens")
+                * F.floor(F.log2("n_tokens") * 1e6 + F.lit(0.5)).cast("bigint")
+                - F.col("sum_terms")
+            )
+            / F.col("n_tokens")
+        )
+        .cast("bigint")
+        .alias("ent_micro"),
+    )
+    return (
+        ent.orderBy("ent_micro", "doc_id")
+        .limit(15)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "ent_micro",
+            F.row_number()
+            .over(Window.orderBy("ent_micro", "doc_id"))
+            .alias("rank"),
+        )
+    )
+
+
+_IVFPQ_NCELLS = 8
+_IVFPQ_DIM = _PQ_M * _PQ_D  # 64
+
+
+def _res_duck(ve: str, cent: str) -> str:
+    return (
+        f"list_transform(range(1, {_IVFPQ_DIM + 1}), "
+        f"i -> ({ve})[i] - ({cent})[i])"
+    )
+
+
+_IVFPQ_TOPK_SQL = f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS centroid
+  FROM embeddings WHERE vec_id < {_IVFPQ_NCELLS}),
+a0 AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ve,
+         c.centroid_id, c.centroid,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY {V.euclidean2_sql('CAST(e.embedding AS DOUBLE[])', 'c.centroid')},
+                    c.centroid_id) AS rn
+  FROM embeddings e CROSS JOIN c),
+assign AS (
+  SELECT vec_id, centroid_id, {_res_duck('ve', 'centroid')} AS residual
+  FROM a0 WHERE rn = 1),
+pcb AS (
+  SELECT [ [ {_pq_sub_duck('r', 'm')} FOR r IN cvs ] FOR m IN range({_PQ_M}) ] AS cbs
+  FROM (SELECT list(residual ORDER BY vec_id) AS cvs
+        FROM assign WHERE vec_id >= {_IVFPQ_NCELLS} AND vec_id < {_IVFPQ_NCELLS + _PQ_K})),
+enc AS (
+  SELECT vec_id, centroid_id, {_PQ_DUCK_CODES} AS codes
+  FROM (SELECT vec_id, centroid_id, residual AS embedding FROM assign), pcb),
+probes AS (
+  SELECT vec_id AS q_id, centroid_id, {_res_duck('ve', 'centroid')} AS qe
+  FROM a0 WHERE vec_id IN (10, 11, 12) AND rn <= 2),
+scored AS (
+  SELECT p.q_id, enc.vec_id, CAST({_PQ_DUCK_ADC} AS BIGINT) AS adc_nano
+  FROM enc JOIN probes p USING (centroid_id) CROSS JOIN pcb)
+SELECT q_id, vec_id, adc_nano, rank FROM (
+  SELECT q_id, vec_id, adc_nano,
+         row_number() OVER (PARTITION BY q_id
+           ORDER BY adc_nano, vec_id) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
+@register("ann_ivfpq_topk", _IVFPQ_TOPK_SQL)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production ANN index layout (FAISS IndexIVFPQ):
+    coarse-quantize every vector to its nearest of 8 cells, PRODUCT-
+    quantize the RESIDUAL (vector − cell centroid) to 8 one-byte codes,
+    and serve queries by probing the 2 nearest cells with Asymmetric
+    Distance Computation against the per-cell posting lists. Combines
+    ann_ivf_topk's cell equi-join (the shuffle-partitionable probe) with
+    ann_pq_topk's 32×-compressed scoring: at 100 TB the vector table
+    stores as (cell, 8 codes), the probe is an equi-join on cell — never
+    a corpus scan — and both codebooks broadcast as one row each. ADC
+    partials floor to nano units and sum as BIGINT (hash-exact). The
+    codebooks are deterministically data-sampled (first 8 raw vectors /
+    next 16 residuals) so the oracle is exact; k-means training swaps in
+    without changing the plan."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("ve")
+    )
+    cents = (
+        emb.filter(F.col("vec_id") < _IVFPQ_NCELLS)
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(vec_id, ve AS e))), "
+                "s -> s.e)"
+            ).alias("cents")
+        )
+    )
+    a0 = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "ve",
+            F.posexplode("cents").alias("pos", "centroid"),
+        )
+        .select(
+            "vec_id",
+            "ve",
+            (F.col("pos") + 1).alias("centroid_id"),
+            "centroid",
+            V.euclidean2(F.col("ve"), F.col("centroid")).alias("__d2"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("__d2", "centroid_id")
+            ),
+        )
+    )
+    assign = a0.filter(F.col("rn") == 1).select(
+        "vec_id",
+        "centroid_id",
+        F.expr("zip_with(ve, centroid, (x, y) -> x - y)").alias("residual"),
+    )
+    pcb = (
+        assign.filter(
+            (F.col("vec_id") >= _IVFPQ_NCELLS)
+            & (F.col("vec_id") < _IVFPQ_NCELLS + _PQ_K)
+        )
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(vec_id, "
+                "residual AS e))), s -> s.e)"
+            ).alias("cvs")
+        )
+        .select(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}), m -> "
+                f"transform(cvs, e -> {_pq_sub('e', 'm')}))"
+            ).alias("cbs")
+        )
+    )
+    enc = (
+        assign.crossJoin(F.broadcast(pcb))
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.col("residual").alias("emb"),
+            "cbs",
+        )
+        .select(
+            "vec_id", "centroid_id", F.expr(_PQ_CODES_SPARK).alias("codes"), "cbs"
+        )
+    )
+    probes = a0.filter(
+        F.col("vec_id").isin(10, 11, 12) & (F.col("rn") <= 2)
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        "centroid_id",
+        F.expr("zip_with(ve, centroid, (x, y) -> x - y)").alias("qe"),
+    )
+    scored = enc.join(probes, "centroid_id").select(
+        "q_id", "vec_id", F.expr(_PQ_ADC_SPARK).alias("adc_nano")
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_nano", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "vec_id", "adc_nano", "rank")
+    )
+
+
 # The external verify driver samples the FIRST 50 entries of ``queries()``
 # each round. Rotation is SELF-MAINTAINING: any query that already has a
 # fully-green row (rows+schema+hash) in some CORRECTNESS_r{N}.json — or a
