@@ -12029,6 +12029,310 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ml_auc_exact",
+    """
+    WITH o AS (
+      SELECT o_totalprice AS score, o_orderstatus = 'F' AS is_pos
+      FROM orders),
+    sc AS (
+      SELECT score, count(*) FILTER (WHERE is_pos) AS pos_s,
+             count(*) FILTER (WHERE NOT is_pos) AS neg_s
+      FROM o GROUP BY score),
+    cum AS (
+      SELECT score, pos_s, neg_s,
+             sum(neg_s) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumneg
+      FROM sc),
+    agg AS (
+      SELECT CAST(sum(pos_s) AS BIGINT) AS n_pos,
+             CAST(sum(neg_s) AS BIGINT) AS n_neg,
+             CAST(sum(pos_s * (2 * (cumneg - neg_s) + neg_s)) AS BIGINT)
+               AS two_u
+      FROM cum)
+    SELECT n_pos, n_neg,
+           CAST(two_u * 1000000 // (2 * n_pos * n_neg) AS BIGINT) AS auc_micro
+    FROM agg
+    """,
+)
+def ml_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC by the Mann-Whitney rank-sum identity, tie-correct:
+    AUC = U/(P·N) with U = Σ_pos avg-rank − P(P+1)/2 — the standard
+    offline evaluation of a scoring model (here: does order value
+    predict fulfilment status). Reduced FIRST to the distinct-score
+    contingency table (pos/neg counts per score), so the only ordered
+    window runs over |distinct scores| aggregated rows, not the raw
+    events — Σ_s pos_s·(2·neg_below + neg_s) counts discordant pairs
+    exactly with ties at half weight, all in BIGINT; the single
+    division is integer micro fixed point. At 100 TB: one map-side-
+    combinable aggregate, then a window over the (much smaller) score
+    table — never a global sort of the fact table."""
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("score"),
+        (F.col("o_orderstatus") == "F").alias("is_pos"),
+    )
+    sc = o.groupBy("score").agg(
+        F.count_if("is_pos").alias("pos_s"),
+        F.count_if(~F.col("is_pos")).alias("neg_s"),
+    )
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = sc.withColumn("cumneg", F.sum("neg_s").over(w))
+    agg = cum.agg(
+        F.sum("pos_s").alias("n_pos"),
+        F.sum("neg_s").alias("n_neg"),
+        F.sum(
+            F.col("pos_s")
+            * (2 * (F.col("cumneg") - F.col("neg_s")) + F.col("neg_s"))
+        ).alias("two_u"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.floor(
+            F.col("two_u") * 1000000 / (2 * F.col("n_pos") * F.col("n_neg"))
+        )
+        .cast("bigint")
+        .alias("auc_micro"),
+    )
+
+
+@register(
+    "ml_calibration_bins",
+    f"""
+    WITH p AS (
+      SELECT ({H.hash64_sql('o_orderkey', 3)}) % 1000000 AS pred_micro,
+             o_orderstatus = 'F' AS is_pos
+      FROM orders),
+    b AS (
+      SELECT pred_micro // 100000 AS bin, count(*) AS n,
+             count(*) FILTER (WHERE is_pos) AS pos,
+             CAST(sum(pred_micro) AS BIGINT) AS sum_pred
+      FROM p GROUP BY bin)
+    SELECT bin, n,
+           CAST(sum_pred // n AS BIGINT) AS mean_pred_micro,
+           CAST(pos * 1000000 // n AS BIGINT) AS frac_pos_micro,
+           CAST(abs(sum_pred // n - pos * 1000000 // n) AS BIGINT)
+             AS gap_micro
+    FROM b ORDER BY bin
+    """,
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability bins: decile-bucket a model score
+    against the observed positive rate and report the per-bin gap — the
+    ECE (expected calibration error) building block every model-serving
+    pipeline monitors. The 'model' is a deterministic hash-derived
+    pseudo-score in [0,1) (micro units) so the oracle is exact; swapping
+    in a real prediction column changes nothing structural. Pure
+    integer arithmetic end-to-end — bin means and rates are floor-div
+    micro rationals. One map-side-combinable aggregate → 10 rows."""
+    o = table(spark, sf_dir, "orders")
+    p = o.select(
+        (H.hash64(F.col("o_orderkey"), 3) % 1000000).alias("pred_micro"),
+        (F.col("o_orderstatus") == "F").alias("is_pos"),
+    )
+    b = p.groupBy(
+        F.floor(F.col("pred_micro") / 100000).cast("bigint").alias("bin")
+    ).agg(
+        F.count("*").alias("n"),
+        F.count_if("is_pos").alias("pos"),
+        F.sum("pred_micro").alias("sum_pred"),
+    )
+    mean_pred = F.floor(F.col("sum_pred") / F.col("n")).cast("bigint")
+    frac_pos = F.floor(F.col("pos") * 1000000 / F.col("n")).cast("bigint")
+    return b.select(
+        "bin",
+        "n",
+        mean_pred.alias("mean_pred_micro"),
+        frac_pos.alias("frac_pos_micro"),
+        F.abs(mean_pred - frac_pos).alias("gap_micro"),
+    ).orderBy("bin")
+
+
+_GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH_N = 20000
+
+
+@register(
+    "geo_geohash_cells",
+    f"""
+    WITH pts AS (
+      SELECT (i * 73 % 997) / 997.0 * 16.0 - 2.0 AS lon,
+             (i * 131 % 983) / 983.0 * 14.0 - 2.0 AS lat
+      FROM (SELECT unnest(generate_series(0, {_GH_N - 1})) AS i)),
+    q AS (
+      SELECT CAST(floor((lon + 180.0) / 360.0 * 32768.0) AS BIGINT) AS lon_q,
+             CAST(floor((lat + 90.0) / 180.0 * 32768.0) AS BIGINT) AS lat_q
+      FROM pts),
+    code AS (
+      SELECT list_sum(list_transform(range(0, 15), i ->
+               (((lon_q >> (14 - i)) & 1) << (29 - 2 * i))
+               + (((lat_q >> (14 - i)) & 1) << (28 - 2 * i)))) AS c30
+      FROM q),
+    gh AS (
+      SELECT list_aggregate(list_transform(range(0, 6), j ->
+               substring('{_GH_ALPHABET}',
+                         CAST(((c30 >> (25 - 5 * j)) & 31) AS INT) + 1, 1)),
+             'string_agg', '') AS geohash
+      FROM code),
+    cells AS (SELECT geohash, count(*) AS n FROM gh GROUP BY geohash)
+    SELECT geohash, n, rank FROM (
+      SELECT geohash, n,
+             row_number() OVER (ORDER BY n DESC, geohash) AS rank
+      FROM cells)
+    WHERE rank <= 15
+    """,
+)
+def geo_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash spatial indexing: encode each point as a 6-character
+    base-32 geohash (the interleaved-bit cell key used for spatial
+    partitioning, prefix-range queries and neighbor lookups in every
+    geo datalake — the string sibling of geo_zorder_key) and report the
+    densest cells. The encode is pure integer bit math — quantize
+    lon/lat to 15 bits each, interleave with one fold, emit chars by
+    5-bit slices — identical cross-engine, no libm, no UDF. At 100 TB
+    the encode is a map-only projection and the density report one
+    map-side-combinable aggregate; prefix truncation gives every
+    coarser zoom level for free."""
+    pts = spark.range(_GH_N).select(
+        ((F.col("id") * 73 % 997) / 997.0 * 16.0 - 2.0).alias("lon"),
+        ((F.col("id") * 131 % 983) / 983.0 * 14.0 - 2.0).alias("lat"),
+    )
+    q = pts.select(
+        F.floor((F.col("lon") + 180.0) / 360.0 * 32768.0)
+        .cast("bigint")
+        .alias("lon_q"),
+        F.floor((F.col("lat") + 90.0) / 180.0 * 32768.0)
+        .cast("bigint")
+        .alias("lat_q"),
+    )
+    code = q.select(
+        F.expr(
+            "aggregate(sequence(0, 14), CAST(0 AS BIGINT), (acc, i) -> acc"
+            " + shiftleft(shiftright(lon_q, 14 - i) & 1, 29 - 2 * i)"
+            " + shiftleft(shiftright(lat_q, 14 - i) & 1, 28 - 2 * i))"
+        ).alias("c30")
+    )
+    gh = code.select(
+        F.expr(
+            "concat_ws('', transform(sequence(0, 5), j -> "
+            f"substring('{_GH_ALPHABET}', "
+            "CAST((shiftright(c30, 25 - 5 * j) & 31) AS INT) + 1, 1)))"
+        ).alias("geohash")
+    )
+    cells = gh.groupBy("geohash").agg(F.count("*").alias("n"))
+    return (
+        cells.orderBy(F.col("n").desc(), "geohash")
+        .limit(15)
+        .select(
+            "geohash",
+            "n",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), "geohash"))
+            .alias("rank"),
+        )
+    )
+
+
+_MH_ACC_SQL = (
+    _minhash_cte()
+    + """,
+expl AS (SELECT doc_id, unnest(bands) AS band FROM bandt),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM expl a JOIN expl b ON a.band = b.band AND a.doc_id < b.doc_id),
+est AS (
+  SELECT c.a_id, c.b_id,
+         CAST(len(list_filter(range(0, 16),
+                i -> sa.sig[i + 1] = sb.sig[i + 1])) * 62500 AS BIGINT)
+           AS est_micro
+  FROM cand c
+  JOIN sigt sa ON sa.doc_id = c.a_id
+  JOIN sigt sb ON sb.doc_id = c.b_id),
+ex2 AS (
+  SELECT c.a_id, c.b_id,
+         CAST(len(list_filter(list_distinct(sa.shingles),
+                              s -> list_contains(sb.shingles, s)))
+              AS BIGINT) AS inter,
+         CAST(len(list_distinct(sa.shingles)) AS BIGINT) AS na,
+         CAST(len(list_distinct(sb.shingles)) AS BIGINT) AS nb
+  FROM cand c
+  JOIN base sa ON sa.doc_id = c.a_id
+  JOIN base sb ON sb.doc_id = c.b_id)
+SELECT e.a_id, e.b_id, e.est_micro,
+       CAST(x.inter * 1000000 // greatest(x.na + x.nb - x.inter, 1)
+            AS BIGINT) AS exact_micro,
+       CAST(abs(e.est_micro
+                - x.inter * 1000000 // greatest(x.na + x.nb - x.inter, 1))
+            AS BIGINT) AS err_micro
+FROM est e JOIN ex2 x ON e.a_id = x.a_id AND e.b_id = x.b_id
+"""
+)
+
+
+@register("dedup_minhash_accuracy", _MH_ACC_SQL)
+def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy evaluation for the MinHash-LSH dedup path: for
+    every LSH candidate pair, the Jaccard ESTIMATE from 16-hash
+    signature agreement (matches/16) next to the EXACT shingle-set
+    Jaccard and the absolute error — the eval that justifies a
+    signature width before a fleet-scale dedup run (the dedup twin of
+    ann_*_recall). Candidates come from the production band equi-join
+    (never all-pairs); the estimate is a zip-compare of two 16-int
+    arrays; exact Jaccard uses the same integer intersect/union counts
+    as the verify stage, floor-divided to micro units so both engines
+    hash identically."""
+    docs = table(spark, sf_dir, "documents")
+    s = D.with_minhash(docs, "text", 3, 16, 4, keep_shingles=True)
+    b = s.select("doc_id", F.explode("__bands").alias("band"))
+    cand = (
+        b.select(F.col("doc_id").alias("a_id"), "band")
+        .join(b.select(F.col("doc_id").alias("b_id"), "band"), "band")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    side = s.select(
+        "doc_id",
+        F.col("__sig").alias("sig"),
+        F.array_distinct("__shingles").alias("sh"),
+    )
+    pa = side.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("sig").alias("sig_a"),
+        F.col("sh").alias("sh_a"),
+    )
+    pb = side.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("sig").alias("sig_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    j = F.broadcast(cand).join(pa, "a_id").join(pb, "b_id")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda v: v,
+            )
+        ).cast("bigint")
+        * 62500
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    na = F.size("sh_a").cast("bigint")
+    nb = F.size("sh_b").cast("bigint")
+    exact = F.floor(
+        inter * 1000000 / F.greatest(na + nb - inter, F.lit(1).cast("bigint"))
+    ).cast("bigint")
+    return j.select(
+        "a_id",
+        "b_id",
+        est.alias("est_micro"),
+        exact.alias("exact_micro"),
+        F.abs(est - exact).alias("err_micro"),
+    )
+
+
 # The external verify driver samples the FIRST 50 entries of ``queries()``
 # each round. Rotation is SELF-MAINTAINING: any query that already has a
 # fully-green row (rows+schema+hash) in some CORRECTNESS_r{N}.json — or a
