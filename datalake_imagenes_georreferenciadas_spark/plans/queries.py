@@ -11818,9 +11818,14 @@ def ts_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(c) AS BIGINT) AS n_tokens
       FROM tc GROUP BY doc_id),
     ent AS (
+      -- floor division via DOUBLE: DuckDB's integer // truncates toward
+      -- zero, Spark's floor() floors — they differ when the rounding
+      -- residue makes the numerator slightly negative (all-same-token doc)
       SELECT doc_id, n_tokens,
-             (n_tokens * CAST(floor(log2(n_tokens) * 1e6 + 0.5) AS BIGINT)
-              - sum_terms) // n_tokens AS ent_micro
+             CAST(floor(CAST(n_tokens * CAST(floor(log2(n_tokens) * 1e6 + 0.5)
+                                             AS BIGINT)
+                             - sum_terms AS DOUBLE) / n_tokens) AS BIGINT)
+               AS ent_micro
       FROM terms WHERE n_tokens > 0)
     SELECT doc_id, n_tokens, ent_micro, rank FROM (
       SELECT doc_id, n_tokens, ent_micro,
@@ -12330,6 +12335,286 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.alias("est_micro"),
         exact.alias("exact_micro"),
         F.abs(est - exact).alias("err_micro"),
+    )
+
+
+_NPROBE_MAX = 4
+
+
+_NPROBE_CURVE_SQL = f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS centroid
+  FROM embeddings WHERE vec_id < {_IVFPQ_NCELLS}),
+a0 AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ve, c.centroid_id,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY {V.euclidean2_sql('CAST(e.embedding AS DOUBLE[])', 'c.centroid')},
+                    c.centroid_id) AS rn
+  FROM embeddings e CROSS JOIN c),
+assign AS (SELECT vec_id, centroid_id FROM a0 WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS q_id, centroid_id, rn AS prn
+  FROM a0 WHERE vec_id IN (10, 11, 12) AND rn <= {_NPROBE_MAX}),
+q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id IN (10, 11, 12)),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY round({V.cosine_sql('CAST(e.embedding AS DOUBLE[])', 'q.qe')}, 6) DESC,
+                      e.vec_id) AS rank
+    FROM embeddings e, q) WHERE rank <= 10),
+m AS (
+  SELECT x.q_id, x.vec_id, p.prn
+  FROM exact x
+  JOIN assign a ON a.vec_id = x.vec_id
+  LEFT JOIN probes p ON p.q_id = x.q_id AND p.centroid_id = a.centroid_id)
+SELECT m.q_id, g.p AS nprobe,
+       count(*) FILTER (WHERE m.prn IS NOT NULL AND m.prn <= g.p) AS n_hit,
+       CAST(count(*) FILTER (WHERE m.prn IS NOT NULL AND m.prn <= g.p)
+            * 100000 AS BIGINT) AS recall_micro
+FROM m CROSS JOIN (SELECT unnest(range(1, {_NPROBE_MAX + 1})) AS p) g
+GROUP BY m.q_id, g.p
+"""
+
+
+@register("ann_nprobe_curve", _NPROBE_CURVE_SQL)
+def ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF tuning curve: recall@10 as a function of nprobe (1–4) in ONE
+    plan — the measurement that picks the probe budget before a fleet
+    rollout (recall@10 of probing p cells = fraction of the exact
+    top-10 whose assigned cell ranks ≤ p among the query's nearest
+    centroids; exact in-cell scoring means no further loss). The cell
+    assignment and probe ranking reuse the IVF machinery; the sweep is
+    an explode over p, not four plans. At 100 TB ground truth comes
+    from a held-out sample; the curve table is |queries|×|p| rows."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("ve")
+    )
+    c = emb.filter(F.col("vec_id") < _IVFPQ_NCELLS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("ve").alias("centroid")
+    )
+    a0 = (
+        emb.crossJoin(F.broadcast(c))
+        .select(
+            "vec_id",
+            "ve",
+            "centroid_id",
+            V.euclidean2(F.col("ve"), F.col("centroid")).alias("__d2"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("__d2", "centroid_id")
+            ),
+        )
+    )
+    assign = a0.filter(F.col("rn") == 1).select("vec_id", "centroid_id")
+    probes = a0.filter(
+        F.col("vec_id").isin(10, 11, 12) & (F.col("rn") <= _NPROBE_MAX)
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        "centroid_id",
+        F.col("rn").alias("prn"),
+    )
+    q = emb.filter(F.col("vec_id").isin(10, 11, 12)).select(
+        F.col("vec_id").alias("q_id"), F.col("ve").alias("qe")
+    )
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(V.cosine(F.col("ve"), F.col("qe")), 6).alias("cos"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.col("cos").desc(), "vec_id"
+                )
+            ),
+        )
+        .filter(F.col("rank") <= 10)
+        .select("q_id", "vec_id")
+    )
+    m = exact.join(assign, "vec_id").join(
+        probes, ["q_id", "centroid_id"], "left"
+    )
+    g = spark.range(1, _NPROBE_MAX + 1).select(F.col("id").alias("p"))
+    hit = F.col("prn").isNotNull() & (F.col("prn") <= F.col("p"))
+    return (
+        m.crossJoin(F.broadcast(g))
+        .groupBy("q_id", F.col("p").alias("nprobe"))
+        .agg(
+            F.count_if(hit).alias("n_hit"),
+            (F.count_if(hit) * 100000).cast("bigint").alias("recall_micro"),
+        )
+    )
+
+
+@register(
+    "emb_dim_stats",
+    """
+    WITH comp AS (
+      SELECT unnest(generate_series(0, len(embedding) - 1)) AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+               AS q
+      FROM embeddings),
+    s AS (
+      SELECT pos, count(*) AS n,
+             CAST(sum(q) AS BIGINT) AS s1,
+             CAST(sum(q * q) AS BIGINT) AS s2
+      FROM comp GROUP BY pos)
+    SELECT pos, n,
+           CAST(floor(CAST(s1 AS DOUBLE) / n) AS BIGINT) AS mean_micro,
+           round((CAST(s2 AS DOUBLE) / n
+                  - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                 / 1e12, 6) AS var_unit
+    FROM s
+    """,
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (mean + variance) — the
+    whitening/pruning screen run before quantization or dimensionality
+    cuts (a near-zero-variance dimension carries no information and
+    wastes index bytes; ann_matryoshka_recall measures the serving side
+    of the same decision). Components quantize to integer micro units
+    FIRST, so the distributed power sums are exact BIGINTs (the
+    a7_moments discipline applied along the vector axis); the variance
+    double is derived once per dimension from identical integers. At
+    100 TB: explode to (pos, q) → one map-side-combinable aggregate,
+    64 output rows."""
+    emb = table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        F.posexplode(F.expr("CAST(embedding AS ARRAY<DOUBLE>)")).alias(
+            "pos", "v"
+        )
+    ).select(
+        "pos", F.floor(F.col("v") * 1e6).cast("bigint").alias("q")
+    )
+    s = comp.groupBy("pos").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    return s.select(
+        "pos",
+        "n",
+        F.floor(s1 / n).cast("bigint").alias("mean_micro"),
+        F.round(
+            (
+                s2.cast("double") / n
+                - (s1.cast("double") / n) * (s1.cast("double") / n)
+            )
+            / 1e12,
+            6,
+        ).alias("var_unit"),
+    )
+
+
+_FRESH_SLA_S = 86400
+
+
+@register(
+    "dq_freshness_sla",
+    f"""
+    WITH per AS (
+      SELECT event_type,
+             CAST(floor(epoch(max(CAST(ts AS TIMESTAMP)))) AS BIGINT)
+               AS last_epoch,
+             count(*) AS n
+      FROM events GROUP BY event_type),
+    g AS (SELECT max(last_epoch) AS global_last FROM per)
+    SELECT event_type, n, last_epoch,
+           global_last - last_epoch AS lag_s,
+           global_last - last_epoch > {_FRESH_SLA_S} AS sla_breach
+    FROM per CROSS JOIN g
+    ORDER BY event_type
+    """,
+)
+def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness SLA monitor: per feed (event_type), the latest event
+    time, its lag behind the freshest feed, and a breach flag when the
+    lag passes the SLA window — the first data-quality page an
+    ingestion on-call looks at (a silently stalled upstream shows up
+    here before any value-level check fires). Lag stays integer epoch
+    seconds; the global watermark is a one-row broadcast. One
+    map-side-combinable aggregate at any scale."""
+    ev = table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.floor(F.unix_timestamp(F.max("ts")))
+        .cast("bigint")
+        .alias("last_epoch"),
+        F.count("*").alias("n"),
+    )
+    g = per.agg(F.max("last_epoch").alias("global_last"))
+    lag = F.col("global_last") - F.col("last_epoch")
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "n",
+            "last_epoch",
+            lag.alias("lag_s"),
+            (lag > _FRESH_SLA_S).alias("sla_breach"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_PHRASE = ("value", "table")
+
+
+@register(
+    "text_phrase_search",
+    f"""
+    WITH d AS (
+      SELECT doc_id, list_filter(
+               string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents),
+    post AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             unnest(range(1, len(toks) + 1)) AS pos
+      FROM d),
+    hits AS (
+      SELECT a.doc_id, count(*) AS n_occurrences
+      FROM post a JOIN post b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      WHERE a.tok = '{_PHRASE[0]}' AND b.tok = '{_PHRASE[1]}'
+      GROUP BY a.doc_id)
+    SELECT doc_id, n_occurrences FROM hits
+    """,
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase search: find documents containing the
+    exact phrase 'value table' by joining the two terms' postings lists on
+    adjacent positions — the retrieval surface BM25's bag-of-words
+    ranking cannot express (phrase and proximity queries need token
+    POSITIONS in the index). The posting explode filters to the two
+    query terms immediately, so the position join touches only their
+    postings — inverted-index probe shape, never a corpus scan. At
+    100 TB the postings join is an equi-join on (doc_id, pos),
+    shuffle-partitionable by doc."""
+    docs = table(spark, sf_dir, "documents")
+    d = spread(docs, "doc_id").select(
+        "doc_id", H.tokens(F.col("text")).alias("toks")
+    )
+    post = d.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    a = post.filter(F.col("tok") == _PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("pos_a")
+    )
+    b = post.filter(F.col("tok") == _PHRASE[1]).select(
+        "doc_id", F.col("pos").alias("pos_b")
+    )
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("pos_b") == F.col("pos_a") + 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_occurrences"))
     )
 
 
