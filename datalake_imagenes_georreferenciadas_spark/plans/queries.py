@@ -12618,6 +12618,311 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MODULARITY_SQL = (
+    _near_pairs_cte()
+    + """,
+src AS (SELECT doc_id, source FROM documents),
+lab AS (
+  SELECT p.a_id, p.b_id, sa.source AS src_a, sb.source AS src_b
+  FROM pairs p
+  JOIN src sa ON sa.doc_id = p.a_id
+  JOIN src sb ON sb.doc_id = p.b_id),
+m AS (SELECT count(*) AS m FROM lab),
+ec AS (
+  SELECT src_a AS source, count(*) AS intra_edges
+  FROM lab WHERE src_a = src_b GROUP BY src_a),
+dc AS (
+  SELECT source, count(*) AS degree_sum FROM (
+    SELECT src_a AS source FROM lab
+    UNION ALL SELECT src_b FROM lab) GROUP BY source)
+SELECT dc.source,
+       CAST(coalesce(ec.intra_edges, 0) AS BIGINT) AS intra_edges,
+       CAST(dc.degree_sum AS BIGINT) AS degree_sum,
+       CAST(floor(CAST(4 * m.m * coalesce(ec.intra_edges, 0)
+                       - dc.degree_sum * dc.degree_sum AS DOUBLE)
+                  * 1e6 / (4 * m.m * m.m)) AS BIGINT) AS contrib_micro
+FROM dc LEFT JOIN ec USING (source) CROSS JOIN m
+"""
+)
+
+
+@register("graph_modularity", _MODULARITY_SQL)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of a labeling over the near-dup graph: score
+    how strongly MinHash-LSH duplicate pairs concentrate WITHIN document
+    sources (Q = Σ_c e_c/m − (d_c/2m)² — per-source contributions here;
+    a high sum means dup clusters are source-internal, so per-source
+    dedup sharding is safe; a low one means cross-source dedup is
+    required). The edge list is the production band-join pair output —
+    never all-pairs; modularity itself needs only two grouped counts
+    over the (tiny) edge set and one broadcast edge total; the single
+    division is floored micro fixed point from exact integers."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4,
+                                jaccard_threshold=0.1).select("a_id", "b_id")
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("a_id"), F.col("source").alias("src_a")
+            ),
+            "a_id",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("b_id"), F.col("source").alias("src_b")
+            ),
+            "b_id",
+        )
+    )
+    m = lab.agg(F.count("*").alias("m"))
+    ec = (
+        lab.filter(F.col("src_a") == F.col("src_b"))
+        .groupBy(F.col("src_a").alias("source"))
+        .agg(F.count("*").alias("intra_edges"))
+    )
+    dc = (
+        lab.select(F.col("src_a").alias("source"))
+        .unionAll(lab.select(F.col("src_b").alias("source")))
+        .groupBy("source")
+        .agg(F.count("*").alias("degree_sum"))
+    )
+    j = dc.join(ec, "source", "left").crossJoin(F.broadcast(m))
+    e_c = F.coalesce(F.col("intra_edges"), F.lit(0)).cast("bigint")
+    d_c = F.col("degree_sum").cast("bigint")
+    return j.select(
+        "source",
+        e_c.alias("intra_edges"),
+        d_c.alias("degree_sum"),
+        F.floor(
+            (4 * F.col("m") * e_c - d_c * d_c).cast("double")
+            * 1e6
+            / (4 * F.col("m") * F.col("m"))
+        )
+        .cast("bigint")
+        .alias("contrib_micro"),
+    )
+
+
+import math as _math
+
+_NDCG_W = [int(_math.floor(1e9 / _math.log2(r + 1))) for r in range(1, 11)]
+_NDCG_W_SQL = "[" + ", ".join(str(w) for w in _NDCG_W) + "]"
+
+
+_NDCG_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe, label AS q_lab
+  FROM embeddings WHERE vec_id IN (10, 11, 12)),
+cand AS (
+  SELECT q.q_id,
+         e.vec_id,
+         round({V.cosine_sql('CAST(e.embedding AS DOUBLE[])', 'q.qe')}, 6)
+           AS cos,
+         CASE WHEN e.label = q.q_lab THEN 3
+              WHEN abs(e.label - q.q_lab) = 1 THEN 1 ELSE 0 END AS gain
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.q_id),
+ranked AS (
+  SELECT q_id, gain,
+         row_number() OVER (PARTITION BY q_id
+           ORDER BY cos DESC, vec_id) AS rank
+  FROM cand),
+ideal AS (
+  SELECT q_id, gain,
+         row_number() OVER (PARTITION BY q_id
+           ORDER BY gain DESC, vec_id) AS rank
+  FROM cand),
+dcg AS (
+  SELECT q_id,
+         CAST(sum(CAST(gain AS BIGINT) * ({_NDCG_W_SQL})[rank]) AS BIGINT)
+           AS dcg_nano
+  FROM ranked WHERE rank <= 10 GROUP BY q_id),
+idcg AS (
+  SELECT q_id,
+         CAST(sum(CAST(gain AS BIGINT) * ({_NDCG_W_SQL})[rank]) AS BIGINT)
+           AS idcg_nano
+  FROM ideal WHERE rank <= 10 GROUP BY q_id)
+SELECT dcg.q_id, dcg.dcg_nano, idcg.idcg_nano,
+       CAST(floor(CAST(dcg.dcg_nano AS DOUBLE) * 1e6
+                  / greatest(idcg.idcg_nano, 1)) AS BIGINT) AS ndcg_micro
+FROM dcg JOIN idcg USING (q_id)
+"""
+
+
+@register("ml_ndcg_at10", _NDCG_SQL)
+def ml_ndcg_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 ranking evaluation: score the cosine retrieval ranking
+    against graded label relevance (same label = gain 3, adjacent = 1)
+    with the standard log-position discount, normalized by the ideal
+    ordering — the metric that grades ANN/hybrid rankers beyond binary
+    recall (completing the eval suite: recall for coverage, AUC for
+    classification, NDCG for ranking quality). Discount weights are
+    precomputed integer nano literals (⌊1e9/log2(r+1)⌋), so DCG and
+    IDCG are exact BIGINT sums and the single normalization is floored
+    micro fixed point. At scale ground truth runs on a labeled sample;
+    both rankings are windows over the per-query candidate set."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(10, 11, 12)).select(
+        F.col("vec_id").alias("q_id"),
+        F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("qe"),
+        F.col("label").alias("q_lab"),
+    )
+    cand = (
+        emb.select(
+            "vec_id",
+            F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("ve"),
+            "label",
+        )
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(V.cosine(F.col("ve"), F.col("qe")), 6).alias("cos"),
+            F.when(F.col("label") == F.col("q_lab"), 3)
+            .when(F.abs(F.col("label") - F.col("q_lab")) == 1, 1)
+            .otherwise(0)
+            .alias("gain"),
+        )
+    )
+    weights = F.array(*[F.lit(w) for w in _NDCG_W])
+    ranked = cand.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+        ),
+    ).filter(F.col("rank") <= 10)
+    ideal = cand.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.col("gain").desc(), "vec_id")
+        ),
+    ).filter(F.col("rank") <= 10)
+    w_at = F.element_at(weights, F.col("rank")).cast("bigint")
+    dcg = ranked.groupBy("q_id").agg(
+        F.sum(F.col("gain") * w_at).alias("dcg_nano")
+    )
+    idcg = ideal.groupBy("q_id").agg(
+        F.sum(F.col("gain") * w_at).alias("idcg_nano")
+    )
+    return dcg.join(idcg, "q_id").select(
+        "q_id",
+        "dcg_nano",
+        "idcg_nano",
+        F.floor(
+            F.col("dcg_nano").cast("double")
+            * 1e6
+            / F.greatest(F.col("idcg_nano"), F.lit(1).cast("bigint"))
+        )
+        .cast("bigint")
+        .alias("ndcg_micro"),
+    )
+
+
+@register(
+    "ivm_join_delta",
+    f"""
+    SELECT c.c_mktsegment, count(*) AS n,
+           {_dsum_sql('o.o_totalprice')} AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of a join-aggregate: with base and
+    delta partitions on BOTH join sides, the maintained view updates as
+    V ⊎ Δ(A⋈B) where Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — the classic IVM
+    delta rule, so the base⋈base join (the 100 TB part) is NEVER
+    re-executed on refresh; only delta-sided joins run. All four
+    grouped partials merge by re-aggregation (counts add; decimal
+    partial sums add exactly — the same mergeability that powers
+    incremental_agg_merge). The oracle recomputes the view from
+    scratch; equality proves the delta rule lost nothing."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        (F.col("o_orderkey") % 7 == 0).alias("o_delta"),
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment",
+        (F.col("c_custkey") % 5 == 0).alias("c_delta"),
+    )
+
+    def part(df, flag, is_delta):
+        return df.filter(F.col(flag) == is_delta)
+
+    def grouped(orders_df, cust_df):
+        return (
+            orders_df.join(
+                cust_df, orders_df.o_custkey == cust_df.c_custkey
+            )
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias(
+                    "rev_partial"
+                ),
+            )
+        )
+
+    v_base = grouped(part(o, "o_delta", False), part(c, "c_delta", False))
+    d1 = grouped(part(o, "o_delta", True), part(c, "c_delta", False))
+    d2 = grouped(part(o, "o_delta", False), part(c, "c_delta", True))
+    d3 = grouped(part(o, "o_delta", True), part(c, "c_delta", True))
+    merged = (
+        v_base.unionByName(d1).unionByName(d2).unionByName(d3)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("rev_partial").cast("double").alias("revenue"),
+        )
+    )
+    return merged
+
+
+@register(
+    "s26_dynamic_overwrite",
+    f"""
+    SELECT o_orderpriority, count(*) AS n,
+           {_dsum_sql(
+               "o_totalprice + CASE WHEN o_orderpriority = '1-URGENT' "
+               "THEN 100.0 ELSE 0.0 END"
+           )} AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def s26_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite: INSERT OVERWRITE replaces ONLY the
+    partitions present in the incoming batch (here: a corrected
+    1-URGENT feed re-publishes with +100 per order), leaving all other
+    partitions' files untouched — the idempotent partition-level
+    restatement every partitioned lake needs (static overwrite mode
+    would have deleted the other four priorities). The read-back
+    aggregate must equal the oracle's expected post-restatement state.
+    At 100 TB only the restated partition is rewritten; the others are
+    never opened."""
+    dest = os.path.join(tempfile.mkdtemp(prefix="dynover_"), "orders_by_prio")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    orders.write.partitionBy("o_orderpriority").parquet(dest)
+    upd = orders.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "o_totalprice", F.col("o_totalprice") + 100.0
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        upd.write.mode("overwrite").partitionBy("o_orderpriority").parquet(
+            dest
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(dest)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), _dsum(F.col("o_totalprice")).alias("total")
+    )
+
+
 # The external verify driver samples the FIRST 50 entries of ``queries()``
 # each round. Rotation is SELF-MAINTAINING: any query that already has a
 # fully-green row (rows+schema+hash) in some CORRECTNESS_r{N}.json — or a
