@@ -12438,8 +12438,8 @@ def ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("q_id", "vec_id")
     )
-    m = exact.join(assign, "vec_id").join(
-        probes, ["q_id", "centroid_id"], "left"
+    m = F.broadcast(exact).join(assign, "vec_id").join(
+        F.broadcast(probes), ["q_id", "centroid_id"], "left"
     )
     g = spark.range(1, _NPROBE_MAX + 1).select(F.col("id").alias("p"))
     hit = F.col("prn").isNotNull() & (F.col("prn") <= F.col("p"))
@@ -12806,7 +12806,7 @@ def ml_ndcg_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
     idcg = ideal.groupBy("q_id").agg(
         F.sum(F.col("gain") * w_at).alias("idcg_nano")
     )
-    return dcg.join(idcg, "q_id").select(
+    return dcg.join(F.broadcast(idcg), "q_id").select(
         "q_id",
         "dcg_nano",
         "idcg_nano",

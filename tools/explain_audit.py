@@ -244,6 +244,50 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # drift monitor: ONE scan split by period (no self-join of the
     # table), per-period totals broadcast as one-row sides
     "dq_distribution_drift": (5, ["HashAggregate", "BroadcastNestedLoopJoin", "!SortMergeJoin", "!CartesianProduct"]),
+    # OHLC bars: ONE map-side-combinable aggregate (AQE pair), no
+    # window, no join — min_by/max_by carry open/close through partials
+    # struct-keyed min_by/max_by compile to SortAggregate (not hash-
+    # aggregable) — still partial+final with map-side combine, which is
+    # the property that matters at scale
+    "ts_ohlc_resample": (2, ["SortAggregate", "!SortMergeJoin", "!Window"]),
+    # DSIR: bucket λ-table broadcast into the per-doc weight join; the
+    # corpus shuffles only by (doc_id, bucket) — never a sort-merge
+    "pipeline_dsir_weights": (16, ["BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct", "!BatchEvalPython"]),
+    # χ² tokens: doc-label totals are a one-row broadcast; the token
+    # table aggregates map-side — no join of corpus-sized sides
+    "ml_chi2_tokens": (10, ["BroadcastNestedLoopJoin", "TakeOrderedAndProject", "!SortMergeJoin", "!CartesianProduct"]),
+    # CUSUM: per-user stats broadcast back; the recursion is two
+    # stacked windows, not an iterative loop
+    "ts_cusum_alerts": (6, ["BroadcastHashJoin", "Window", "!SortMergeJoin", "!CartesianProduct"]),
+    # token entropy: two map-side-combinable aggregates + TakeOrdered —
+    # no join anywhere
+    "text_entropy_quality": (2, ["HashAggregate", "TakeOrderedAndProject", "!SortMergeJoin", "!BroadcastHashJoin"]),
+    # IVF-PQ: both codebooks broadcast (one row each); the probe is an
+    # EQUI join on the cell — never a cartesian of queries × corpus
+    "ann_ivfpq_topk": (26, ["BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin", "!BatchEvalPython"]),
+    # exact AUC: the ordered window runs over the DISTINCT-SCORE
+    # aggregate (post-groupBy), never a global sort of raw orders
+    "ml_auc_exact": (4, ["Window", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    # geohash encode is map-only bit math; density is one agg +
+    # TakeOrdered — no join, no Python
+    "geo_geohash_cells": (2, ["HashAggregate", "TakeOrderedAndProject", "!BatchEvalPython", "!SortMergeJoin"]),
+    # sketch-accuracy eval: candidate pairs broadcast onto the
+    # signature/shingle sides — band-join machinery, no cartesian
+    "dedup_minhash_accuracy": (22, ["BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
+    # NDCG: queries broadcast (BNLJ over the candidate scan), rank and
+    # ideal windows per query, final 3-row join broadcast
+    "ml_ndcg_at10": (8, ["BroadcastNestedLoopJoin", "Window", "!SortMergeJoin", "!CartesianProduct"]),
+    # nprobe curve: exact-top10 and probe tables broadcast into the
+    # assignment join — the corpus-sized side never shuffles for them
+    "ann_nprobe_curve": (22, ["BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
+    # per-dimension stats: posexplode + ONE map-side-combined aggregate
+    "emb_dim_stats": (2, ["Generate", "HashAggregate", "!SortMergeJoin", "!BroadcastHashJoin"]),
+    # phrase search: postings filtered to the two terms BEFORE the
+    # position join — inverted-index probe, both sides tiny
+    "text_phrase_search": (6, ["BroadcastHashJoin", "Generate", "!CartesianProduct", "!SortMergeJoin"]),
+    # IVM: all four delta-rule joins broadcast the dimension; merge is
+    # re-aggregation of mergeable partials
+    "ivm_join_delta": (16, ["BroadcastHashJoin", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
 }
 
 
