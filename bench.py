@@ -165,6 +165,29 @@ EXTENDED_QUERIES = [
     "geo_knn_grid",
     "a4_pivot_dynamic",
     "j_late_arriving_dim",
+    # r07 additions: time-series bars/changepoints, DSIR selection,
+    # ranking/classification evals, IVF-PQ + nprobe curve, IVM refresh,
+    # geohash, phrase search, freshness/Benford DQ, modularity
+    "ts_ohlc_resample",
+    "dq_benford",
+    "pipeline_dsir_weights",
+    "ml_chi2_tokens",
+    "streaming_static_join",
+    "ts_cusum_alerts",
+    "text_entropy_quality",
+    "ann_ivfpq_topk",
+    "ml_auc_exact",
+    "ml_calibration_bins",
+    "geo_geohash_cells",
+    "dedup_minhash_accuracy",
+    "ann_nprobe_curve",
+    "emb_dim_stats",
+    "dq_freshness_sla",
+    "text_phrase_search",
+    "graph_modularity",
+    "ml_ndcg_at10",
+    "ivm_join_delta",
+    "s26_dynamic_overwrite",
 ]
 
 

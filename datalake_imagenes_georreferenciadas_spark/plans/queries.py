@@ -12923,6 +12923,266 @@ def s26_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "j_asof_nearest",
+    """
+    WITH c AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase' AND user_id < 40),
+    e AS (
+      SELECT event_id AS err_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'error' AND user_id < 40),
+    ranked AS (
+      -- floor to whole epoch seconds BEFORE the diff (Spark's
+      -- unix_timestamp truncates; DuckDB's epoch keeps fractions)
+      SELECT c.event_id, c.user_id, e.err_id,
+             abs(CAST(floor(epoch(c.ts)) AS BIGINT)
+                 - CAST(floor(epoch(e.ts)) AS BIGINT)) AS dt_s,
+             row_number() OVER (PARTITION BY c.event_id
+               ORDER BY abs(CAST(floor(epoch(c.ts)) AS BIGINT)
+                            - CAST(floor(epoch(e.ts)) AS BIGINT)),
+                        CASE WHEN e.ts <= c.ts THEN 0 ELSE 1 END,
+                        e.err_id) AS rn
+      FROM c JOIN e USING (user_id))
+    SELECT event_id, user_id, err_id, dt_s
+    FROM ranked WHERE rn = 1
+    """,
+)
+def j_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-as-of join, BOTH directions: each purchase pairs with the
+    temporally closest error event of the same user (ties: prefer the
+    earlier-or-equal side, then id) — the diagnosis join ('what went
+    wrong nearest this outcome') that backward-only as-of
+    (j_asof_join) cannot express. Plan: per-user equi-join bounds the
+    candidate fan-out to the user's own events, then one argmin window
+    per left row — at 100 TB the same plan holds with a time-bucket
+    prefilter (j_range_bucketed) stacked under the equi-join to cap
+    per-user fan-out; the window key is the left row, so no global
+    sort."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    c = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("c_ts")
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.col("ts").alias("e_ts"),
+    )
+    j = c.join(e, "user_id")
+    dt = F.abs(
+        F.unix_timestamp("c_ts") - F.unix_timestamp("e_ts")
+    ).cast("bigint")
+    w = Window.partitionBy("event_id").orderBy(
+        dt,
+        F.when(F.col("e_ts") <= F.col("c_ts"), 0).otherwise(1),
+        "err_id",
+    )
+    return (
+        j.withColumn("dt_s", dt)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "err_id", "dt_s")
+    )
+
+
+@register(
+    "ml_prf1_eval",
+    f"""
+    WITH p AS (
+      SELECT ({H.hash64_sql('o_orderkey', 11)}) % 1000 < 450 AS pred,
+             o_orderstatus = 'F' AS label
+      FROM orders),
+    cm AS (
+      SELECT count(*) FILTER (WHERE pred AND label) AS tp,
+             count(*) FILTER (WHERE pred AND NOT label) AS fp,
+             count(*) FILTER (WHERE NOT pred AND label) AS fn,
+             count(*) FILTER (WHERE NOT pred AND NOT label) AS tn
+      FROM p)
+    SELECT tp, fp, fn, tn,
+           CAST(floor(tp * 1000000.0 / greatest(tp + fp, 1)) AS BIGINT)
+             AS precision_micro,
+           CAST(floor(tp * 1000000.0 / greatest(tp + fn, 1)) AS BIGINT)
+             AS recall_micro,
+           CAST(floor(2 * tp * 1000000.0 / greatest(2 * tp + fp + fn, 1))
+                AS BIGINT) AS f1_micro
+    FROM cm
+    """,
+)
+def ml_prf1_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + precision/recall/F1 — the classification-eval
+    companion to ml_auc_exact (threshold-free) and ml_calibration_bins
+    (probability quality): one conditional aggregate produces the four
+    cells, and the three ratios are exact integer rationals in micro
+    units (F1 = 2tp/(2tp+fp+fn) — no float, no harmonic-mean
+    intermediate). The 'model' is the same deterministic hash
+    pseudo-score family as the calibration query. One map-side-
+    combinable pass at any scale; one output row."""
+    o = table(spark, sf_dir, "orders")
+    p = o.select(
+        (H.hash64(F.col("o_orderkey"), 11) % 1000 < 450).alias("pred"),
+        (F.col("o_orderstatus") == "F").alias("label"),
+    )
+    cm = p.agg(
+        F.count_if(F.col("pred") & F.col("label")).alias("tp"),
+        F.count_if(F.col("pred") & ~F.col("label")).alias("fp"),
+        F.count_if(~F.col("pred") & F.col("label")).alias("fn"),
+        F.count_if(~F.col("pred") & ~F.col("label")).alias("tn"),
+    )
+    one = F.lit(1).cast("bigint")
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.floor(
+            F.col("tp") * 1000000 / F.greatest(F.col("tp") + F.col("fp"), one)
+        )
+        .cast("bigint")
+        .alias("precision_micro"),
+        F.floor(
+            F.col("tp") * 1000000 / F.greatest(F.col("tp") + F.col("fn"), one)
+        )
+        .cast("bigint")
+        .alias("recall_micro"),
+        F.floor(
+            2 * F.col("tp") * 1000000
+            / F.greatest(2 * F.col("tp") + F.col("fp") + F.col("fn"), one)
+        )
+        .cast("bigint")
+        .alias("f1_micro"),
+    )
+
+
+@register(
+    "corpus_mixture_temperature",
+    """
+    WITH agg AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    s AS (
+      SELECT source, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000) AS BIGINT)
+               AS w_milli
+      FROM agg),
+    t AS (SELECT CAST(sum(w_milli) AS BIGINT) AS w_tot FROM s)
+    SELECT source, n_docs, w_milli,
+           CAST(floor(w_milli * 1000000.0 / w_tot) AS BIGINT) AS share_micro
+    FROM s CROSS JOIN t
+    ORDER BY source
+    """,
+)
+def corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain mixture (the multilingual/multi-source
+    sampling rule, α = 0.5): each source's sampling share is
+    n^α / Σ n^α, flattening the head and boosting the tail relative to
+    proportional sampling (α=1, corpus_mixture's regime) without going
+    fully uniform (α=0) — the published recipe from multilingual BERT/
+    XLM-R onward. √n is floored to milli units BEFORE normalization so
+    the share division is an exact integer rational. One aggregate per
+    source + a one-row broadcast total at any scale."""
+    docs = table(spark, sf_dir, "documents")
+    agg = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    s = agg.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000)
+        .cast("bigint")
+        .alias("w_milli"),
+    )
+    t = s.agg(F.sum("w_milli").alias("w_tot"))
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n_docs",
+            "w_milli",
+            F.floor(F.col("w_milli") * 1000000 / F.col("w_tot"))
+            .cast("bigint")
+            .alias("share_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "catalog_snapshot_expire",
+    """
+    WITH v AS (SELECT unnest(generate_series(0, 3)) AS version),
+    n AS (SELECT count(*) AS n_rows FROM documents)
+    SELECT v.version, n.n_rows,
+           v.version >= 2 AS kept,
+           v.version >= 2 AS readable_after
+    FROM v CROSS JOIN n
+    ORDER BY v.version
+    """,
+)
+def catalog_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot expiry (VACUUM retention): the versioned catalog
+    accumulates copy-on-write snapshots on every MERGE; expiry keeps the
+    last K (here 2) and deletes older snapshot directories — bounding
+    time-travel storage exactly like Delta VACUUM / Iceberg
+    expire_snapshots. Builds a real store, advances it through three
+    MERGE updates (4 snapshots), reads every snapshot's row count
+    BEFORE expiry, expires with keep_last=2, and reports which versions
+    remain readable — the oracle predicts the full lifecycle in closed
+    form. Update sets are disjoint id slices, so each snapshot has
+    identical cardinality (copy-on-write replaces rows)."""
+    import shutil
+
+    from ..catalog.store import CatalogStore
+
+    docigo = F.concat(F.lit("C"), (F.col("doc_id") % 10).cast("string"))
+    rows = table(spark, sf_dir, "documents").select(
+        F.concat_ws("_", docigo, F.col("lang"), F.lit("X"), F.lit("A")).alias(
+            "indice"
+        ),
+        docigo.alias("codigo"),
+        F.lit("P").alias("nombre_predio"),
+        F.lit("S").alias("seccion"),
+        F.lit("E").alias("especie"),
+        F.lit("A").alias("apl"),
+        F.lit(0).cast("int").alias("id_tipo_img"),
+        F.lit(0).cast("int").alias("id_proceso"),
+        F.concat(
+            F.lit("lake/BR/"),
+            docigo,
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+            F.lit(".jpg"),
+        ).alias("ruta_resultado"),
+        F.current_timestamp().alias("fecha"),
+    )
+    store = CatalogStore(spark, tempfile.mkdtemp(prefix="catalog_expire_"))
+    run_id = store.start_run(0)
+    inserted = store.insert_catalog(rows, run_id)
+    for mod in (3, 4, 5):
+        ids = [
+            r["id"]
+            for r in inserted.filter(F.col("id") % 10 == mod)
+            .select("id")
+            .collect()
+        ]
+        store.update_processed_img(10, ids)
+    versions = store.catalog_versions()
+    n_rows = {v: store.catalog(version=v).count() for v in versions}
+    keep_last = 2
+    cutoff = sorted(versions)[-keep_last]
+    for v in versions:
+        if v < cutoff:
+            shutil.rmtree(store._catalog_dir(v))
+    out = [
+        (
+            v,
+            n_rows[v],
+            v >= cutoff,
+            os.path.isdir(store._catalog_dir(v)),
+        )
+        for v in sorted(versions)
+    ]
+    return spark.createDataFrame(
+        out, "version int, n_rows bigint, kept boolean, readable_after boolean"
+    )
+
+
 # The external verify driver samples the FIRST 50 entries of ``queries()``
 # each round. Rotation is SELF-MAINTAINING: any query that already has a
 # fully-green row (rows+schema+hash) in some CORRECTNESS_r{N}.json — or a
