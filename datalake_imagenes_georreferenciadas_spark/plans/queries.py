@@ -13183,6 +13183,350 @@ def catalog_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "f19_url_parse",
+    r"""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/'
+               || CAST(doc_id AS VARCHAR) || '?lang=' || lang
+               || '&v=' || CAST(doc_id % 5 AS VARCHAR) AS url
+      FROM documents WHERE doc_id % 37 = 0)
+    SELECT doc_id,
+           regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+           regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, 'lang=([^&]*)', 1) AS lang_param,
+           CAST(regexp_extract(url, 'v=([0-9]+)', 1) AS BIGINT) AS v_param
+    FROM u
+    """,
+)
+def f19_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition — host/path/query-parameter extraction with one
+    shared regex family (the log-analytics / web-corpus canonicalization
+    primitive; the reference parses object paths the same way at
+    download_list_images.py:44-55). Spark's parse_url is JVM-only and
+    DuckDB has none, so BOTH engines run the identical anchored
+    regexes — no dialect drift, pure codegen'd projection, no shuffle
+    at all."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 37 == 0)
+    u = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?lang="),
+            F.col("lang"),
+            F.lit("&v="),
+            (F.col("doc_id") % 5).cast("string"),
+        ).alias("url"),
+    )
+    return u.select(
+        "doc_id",
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+        F.regexp_extract("url", r"^https?://[^/]+(/[^?]*)", 1).alias("path"),
+        F.regexp_extract("url", r"lang=([^&]*)", 1).alias("lang_param"),
+        F.regexp_extract("url", r"v=([0-9]+)", 1)
+        .cast("bigint")
+        .alias("v_param"),
+    )
+
+
+_CIDRS = (("10.0.0.0", 8), ("172.16.0.0", 12), ("192.168.0.0", 16))
+
+
+def _ip_int(dotted: str) -> int:
+    a, b, c, d = (int(x) for x in dotted.split("."))
+    return (a << 24) | (b << 16) | (c << 8) | d
+
+
+@register(
+    "f20_ip_cidr",
+    f"""
+    WITH ips AS (
+      SELECT ({H.hash64_sql('event_id', 13)}) % 4294967296 AS ip
+      FROM events),
+    tagged AS (
+      SELECT ip,
+             CASE
+               WHEN ip >> 24 = {_ip_int(_CIDRS[0][0]) >> 24}
+                 THEN '10.0.0.0/8'
+               WHEN ip >> 20 = {_ip_int(_CIDRS[1][0]) >> 20}
+                 THEN '172.16.0.0/12'
+               WHEN ip >> 16 = {_ip_int(_CIDRS[2][0]) >> 16}
+                 THEN '192.168.0.0/16'
+               ELSE 'public'
+             END AS subnet,
+             ((ip >> 24) & 255) || '.' || ((ip >> 16) & 255) || '.'
+               || ((ip >> 8) & 255) || '.' || (ip & 255) AS dotted
+      FROM ips),
+    rt AS (
+      SELECT subnet,
+             CAST(string_split(dotted, '.')[1] AS BIGINT) * 16777216
+             + CAST(string_split(dotted, '.')[2] AS BIGINT) * 65536
+             + CAST(string_split(dotted, '.')[3] AS BIGINT) * 256
+             + CAST(string_split(dotted, '.')[4] AS BIGINT) AS back,
+             ip
+      FROM tagged)
+    SELECT subnet, count(*) AS n,
+           count(*) FILTER (WHERE back = ip) AS n_roundtrip_ok
+    FROM rt GROUP BY subnet ORDER BY subnet
+    """,
+)
+def f20_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IP/CIDR analytics: classify addresses into RFC-1918 subnets by
+    prefix shift-compare (membership in a /n block is one right-shift
+    equality — no string matching), render dotted-quad, and prove the
+    parse/format round trip en masse — the security/access-log
+    enrichment layer a datalake ingesting service logs needs. Addresses
+    derive deterministically from the event stream via the cross-engine
+    hash family. Pure integer bit math; one aggregate; map-side
+    combined."""
+    ev = table(spark, sf_dir, "events")
+    ip = (H.hash64(F.col("event_id"), 13) % 4294967296).alias("ip")
+    ips = ev.select(ip)
+    subnet = (
+        F.when(
+            F.shiftright(F.col("ip"), 32 - _CIDRS[0][1])
+            == _ip_int(_CIDRS[0][0]) >> (32 - _CIDRS[0][1]),
+            "10.0.0.0/8",
+        )
+        .when(
+            F.shiftright(F.col("ip"), 32 - _CIDRS[1][1])
+            == _ip_int(_CIDRS[1][0]) >> (32 - _CIDRS[1][1]),
+            "172.16.0.0/12",
+        )
+        .when(
+            F.shiftright(F.col("ip"), 32 - _CIDRS[2][1])
+            == _ip_int(_CIDRS[2][0]) >> (32 - _CIDRS[2][1]),
+            "192.168.0.0/16",
+        )
+        .otherwise("public")
+    )
+    octet = lambda s: (F.shiftright(F.col("ip"), s) % 256).cast("string")  # noqa: E731
+    tagged = ips.select(
+        "ip",
+        subnet.alias("subnet"),
+        F.concat_ws(
+            ".", octet(24), octet(16), octet(8), (F.col("ip") % 256).cast("string")
+        ).alias("dotted"),
+    )
+    parts = F.split(F.col("dotted"), r"\.")
+    back = (
+        F.element_at(parts, 1).cast("bigint") * 16777216
+        + F.element_at(parts, 2).cast("bigint") * 65536
+        + F.element_at(parts, 3).cast("bigint") * 256
+        + F.element_at(parts, 4).cast("bigint")
+    )
+    return (
+        tagged.withColumn("back", back)
+        .groupBy("subnet")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_if(F.col("back") == F.col("ip")).alias("n_roundtrip_ok"),
+        )
+        .orderBy("subnet")
+    )
+
+
+_DEGREE_DIST_SQL = (
+    _near_pairs_cte()
+    + """,
+deg AS (
+  SELECT id, count(*) AS degree FROM (
+    SELECT a_id AS id FROM pairs UNION ALL SELECT b_id FROM pairs)
+  GROUP BY id)
+SELECT CAST(floor(log2(degree)) AS BIGINT) AS degree_bin,
+       count(*) AS n_nodes,
+       CAST(min(degree) AS BIGINT) AS min_degree,
+       CAST(max(degree) AS BIGINT) AS max_degree
+FROM deg GROUP BY degree_bin ORDER BY degree_bin
+"""
+)
+
+
+@register("graph_degree_distribution", _DEGREE_DIST_SQL)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-binned degree distribution of the near-dup graph — the
+    skew diagnostic read BEFORE running components/pagerank at fleet
+    scale (a heavy-tailed bin histogram says 'salt the hubs or cap
+    per-template fan-out'; dedup_cluster_sizes reports the aftermath,
+    this predicts it from the edge list alone). Two grouped counts over
+    the band-join pair output; log2 runs on small exact integers only."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, k=3, num_hashes=16, bands=4, jaccard_threshold=0.1
+    ).select("a_id", "b_id")
+    deg = (
+        pairs.select(F.col("a_id").alias("id"))
+        .unionAll(pairs.select(F.col("b_id").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        deg.groupBy(
+            F.floor(F.log2("degree")).cast("bigint").alias("degree_bin")
+        )
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("degree").cast("bigint").alias("min_degree"),
+            F.max("degree").cast("bigint").alias("max_degree"),
+        )
+        .orderBy("degree_bin")
+    )
+
+
+_AHASH_BLOCKS = 64
+_AHASH_MAX_HAMMING = 6
+
+
+def _ahash_duck() -> str:
+    block = (
+        "('0x' || substring(md5(substring(t, "
+        f"1 + CAST(floor(b * L / {_AHASH_BLOCKS}.0) AS INT), "
+        f"CAST(greatest(floor(L / {_AHASH_BLOCKS}.0), 1) AS INT)"
+        ")), 1, 2))::BIGINT"
+    )
+    return f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         substring(text, 1, 9) || 'ZZZ' || substring(text, 13)
+  FROM documents WHERE doc_id % 50 = 0 AND length(text) >= 12),
+px AS (
+  SELECT doc_id,
+         [ {block} FOR b IN range({_AHASH_BLOCKS}) ] AS p
+  FROM (SELECT doc_id, text AS t, greatest(length(text), 1) AS L
+        FROM src)),
+h AS (
+  SELECT doc_id,
+         list_sum([ CASE WHEN p[b + 1] * {_AHASH_BLOCKS} > list_sum(p)
+                         THEN 1 << b ELSE 0 END
+                    FOR b IN range({_AHASH_BLOCKS - 1}) ]) AS ahash
+  FROM px),
+bands AS (
+  SELECT doc_id, ahash, b AS band_idx, (ahash >> (b * 9)) & 511 AS band_val
+  FROM h, (SELECT unnest(range(7)) AS b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id),
+ham AS (
+  SELECT c.a_id, c.b_id,
+         bit_count(xor(ha.ahash, hb.ahash)) AS hamming
+  FROM cand c
+  JOIN h ha ON ha.doc_id = c.a_id
+  JOIN h hb ON hb.doc_id = c.b_id)
+SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming
+FROM ham WHERE hamming <= {_AHASH_MAX_HAMMING}
+"""
+
+
+@register("multimodal_ahash_pairs", _ahash_duck())
+def multimodal_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash near-dup pairs for binary assets: the
+    payload is tiled into 64 length-proportional blocks (the 8×8 resize
+    analogue), each block reduced to one 8-bit intensity (digest stub —
+    PIL absent from the container; with it, the block reduction becomes
+    a real luma downsample and NOTHING else changes), bits set by
+    compare-to-mean (the aHash construction), and near-duplicates found
+    by 9-bit pigeonhole band join + exact Hamming verify — image dedup
+    joining the text (simhash) and embedding (cosine) families. 7 bands
+    over 63 bits GUARANTEE recall at Hamming ≤ 6 (pigeonhole: some band
+    is untouched); candidates are an equi-join, never all-pairs. The
+    corpus is augmented with deterministic same-length perturbed copies
+    (every 50th doc, 3 chars overwritten) so the pair channel is
+    exercised end-to-end. Codegen'd column math throughout — one md5
+    per block, integer bit ops, no Python."""
+    base = table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = (
+        base.filter((F.col("doc_id") % 50 == 0) & (F.length("text") >= 12))
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(
+                F.substring("text", 1, 9),
+                F.lit("ZZZ"),
+                F.expr("substring(text, 13)"),
+            ).alias("text"),
+        )
+    )
+    docs = base.unionByName(variants).select(
+        "doc_id",
+        F.col("text").alias("t"),
+        F.greatest(F.length("text"), F.lit(1)).alias("L"),
+    )
+    block = (
+        f"transform(sequence(0, {_AHASH_BLOCKS - 1}), b -> "
+        "CAST(conv(substring(md5(substring(t, "
+        f"1 + CAST(floor(b * L / {_AHASH_BLOCKS}.0) AS INT), "
+        f"CAST(greatest(floor(L / {_AHASH_BLOCKS}.0), 1) AS INT)"
+        ")), 1, 2), 16, 10) AS BIGINT))"
+    )
+    # localCheckpoint: the per-doc hash table is consumed THREE times
+    # (band explode + both verify sides); without the barrier, projection
+    # collapse inlines the 64-md5 block array into the per-bit lambda —
+    # O(blocks²) md5 per row per consumer (measured 48 s vs 4 s here).
+    # Materializing the (tiny) index is also what production does.
+    px = docs.select("doc_id", F.expr(block).alias("p")).localCheckpoint()
+    h = px.select(
+        "doc_id",
+        F.expr("aggregate(p, CAST(0 AS BIGINT), (a, x) -> a + x)").alias(
+            "psum"
+        ),
+        "p",
+    ).select(
+        "doc_id",
+        F.expr(
+            f"aggregate(sequence(0, {_AHASH_BLOCKS - 2}), CAST(0 AS BIGINT), "
+            f"(acc, b) -> acc + CASE WHEN element_at(p, b + 1) * {_AHASH_BLOCKS} "
+            "> psum THEN shiftleft(CAST(1 AS BIGINT), b) "
+            "ELSE CAST(0 AS BIGINT) END)"
+        ).alias("ahash"),
+    )
+    bands = h.select(
+        "doc_id",
+        "ahash",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("band_idx"),
+    ).select(
+        "doc_id",
+        "ahash",
+        "band_idx",
+        F.expr("shiftright(ahash, band_idx * 9) % 512").alias("band_val"),
+    )
+    cand = (
+        bands.select(
+            F.col("doc_id").alias("a_id"), "band_idx", "band_val"
+        )
+        .join(
+            bands.select(
+                F.col("doc_id").alias("b_id"), "band_idx", "band_val"
+            ),
+            ["band_idx", "band_val"],
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    ha = h.select(F.col("doc_id").alias("a_id"), F.col("ahash").alias("h_a"))
+    hb = h.select(F.col("doc_id").alias("b_id"), F.col("ahash").alias("h_b"))
+    return (
+        F.broadcast(cand)
+        .join(ha, "a_id")
+        .join(hb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _AHASH_MAX_HAMMING)
+    )
+
+
 # The external verify driver samples the FIRST 50 entries of ``queries()``
 # each round. Rotation is SELF-MAINTAINING: any query that already has a
 # fully-green row (rows+schema+hash) in some CORRECTNESS_r{N}.json — or a
