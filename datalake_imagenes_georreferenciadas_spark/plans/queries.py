@@ -13527,6 +13527,323 @@ def multimodal_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _soundex_sql(name_expr: str) -> str:
+    """American-Soundex-style code as ONE shared SQL expression evaluated
+    identically by Spark and DuckDB (neither dialect's builtin is used:
+    DuckDB has none, and sharing the text guarantees bit-equality).
+    H/W adjacency is simplified to vowel treatment — a deterministic,
+    documented variant; blocking only needs both engines to agree."""
+    letters = f"regexp_replace(upper({name_expr}), '[^A-Z]', '')"
+    coded = letters
+    mapping = {
+        "1": "BFPV",
+        "2": "CGJKQSXZ",
+        "3": "DT",
+        "4": "L",
+        "5": "MN",
+        "6": "R",
+        "0": "AEIOUYHW",
+    }
+    for digit, chars in mapping.items():
+        for ch in chars:
+            coded = f"replace({coded}, '{ch}', '{digit}')"
+    for _ in range(4):  # collapse runs up to length 16
+        for d in "123456":
+            coded = f"replace({coded}, '{d}{d}', '{d}')"
+    coded = f"replace({coded}, '0', '')"
+    return (
+        f"(substring({letters}, 1, 1) || "
+        f"rpad(substring({coded}, 2, 3), 3, '0'))"
+    )
+
+
+_ER_SDX = _soundex_sql("nm")
+
+
+@register(
+    "er_fuzzy_match",
+    f"""
+    WITH clean AS (
+      SELECT p_partkey AS id, p_name AS nm, 'master' AS side FROM part),
+    dirty AS (
+      SELECT p_partkey + 1000000 AS id,
+             substring(p_name, 1, 3) || 'a' || substring(p_name, 4) AS nm,
+             'feed' AS side
+      FROM part WHERE p_partkey % 20 = 0),
+    allr AS (SELECT * FROM clean UNION ALL SELECT * FROM dirty),
+    keyed AS (SELECT id, nm, side, {_ER_SDX} AS sdx FROM allr),
+    cand AS (
+      SELECT m.id AS master_id, f.id AS feed_id, m.nm AS master_nm,
+             f.nm AS feed_nm
+      FROM keyed m JOIN keyed f
+        ON m.sdx = f.sdx AND m.side = 'master' AND f.side = 'feed'),
+    verified AS (
+      SELECT master_id, feed_id,
+             CAST(levenshtein(master_nm, feed_nm) AS BIGINT) AS lev
+      FROM cand)
+    SELECT master_id, feed_id, lev
+    FROM verified WHERE lev <= 2
+    """,
+)
+def er_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution / record linkage: match a dirty feed (part
+    names with a deterministic typo — a vowel inserted at position 4)
+    back to the master by BLOCKING on a phonetic soundex key and
+    verifying candidates with bounded Levenshtein — the MDM dedup
+    pattern that never compares all pairs: the quadratic step runs only
+    within phonetic blocks (an equi-join on the code), and the O(n·m)
+    edit-distance DP touches candidates alone. The soundex is one
+    shared SQL expression both engines evaluate identically (a vowel
+    inserted between different-code letters preserves the key, so this
+    perturbation family blocks correctly; same-code neighbors would
+    need a second blocking pass, as production linkage runs do). At
+    100 TB: blocking key = shuffle key; hot blocks salt like any
+    skewed join."""
+    part = table(spark, sf_dir, "part")
+    clean = part.select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_name").alias("nm"),
+        F.lit("master").alias("side"),
+    )
+    dirty = part.filter(F.col("p_partkey") % 20 == 0).select(
+        (F.col("p_partkey") + 1000000).alias("id"),
+        F.concat(
+            F.substring("p_name", 1, 3),
+            F.lit("a"),
+            F.expr("substring(p_name, 4)"),
+        ).alias("nm"),
+        F.lit("feed").alias("side"),
+    )
+    keyed = clean.unionByName(dirty).withColumn("sdx", F.expr(_ER_SDX))
+    m = keyed.filter(F.col("side") == "master").select(
+        F.col("id").alias("master_id"),
+        F.col("nm").alias("master_nm"),
+        "sdx",
+    )
+    f_ = keyed.filter(F.col("side") == "feed").select(
+        F.col("id").alias("feed_id"), F.col("nm").alias("feed_nm"), "sdx"
+    )
+    return (
+        m.join(F.broadcast(f_), "sdx")
+        .select(
+            "master_id",
+            "feed_id",
+            F.levenshtein("master_nm", "feed_nm").cast("bigint").alias("lev"),
+        )
+        .filter(F.col("lev") <= 2)
+    )
+
+
+@register(
+    "a24_seq_motifs",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM events WHERE user_id < 100),
+    tri AS (
+      SELECT user_id,
+             event_type || '>' ||
+             lead(event_type, 1) OVER w || '>' ||
+             lead(event_type, 2) OVER w AS motif
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT motif, n, rank FROM (
+      SELECT motif, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, motif) AS rank
+      FROM tri WHERE motif IS NOT NULL
+      GROUP BY motif)
+    WHERE rank <= 10
+    """,
+)
+def a24_seq_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent behavioral 3-motifs: the top event-type trigrams across
+    user streams (two stacked leads over ONE per-user window — the
+    sequence-mining upgrade of seq_transitions' bigrams; the journeys
+    that dominate tell you what to optimize or what a bot loop looks
+    like). The window shuffles once by user; the motif count is
+    map-side-combinable; top-10 is TakeOrdered. NULL-tailed partials
+    (streams shorter than 3) drop before counting."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        F.concat_ws(
+            ">",
+            "event_type",
+            F.lead("event_type", 1).over(w),
+            F.lead("event_type", 2).over(w),
+        ).alias("motif"),
+        F.lead("event_type", 2).over(w).alias("__guard"),
+    ).filter(F.col("__guard").isNotNull())
+    counts = tri.groupBy("motif").agg(F.count("*").alias("n"))
+    return (
+        counts.orderBy(F.col("n").desc(), "motif")
+        .limit(10)
+        .select(
+            "motif",
+            "n",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), "motif"))
+            .alias("rank"),
+        )
+    )
+
+
+_TRACK_N = 200
+_TRACK_STEP = 10
+
+
+@register(
+    "geo_track_resample",
+    f"""
+    WITH pts AS (
+      SELECT i // {_TRACK_N} AS track_id,
+             (i % {_TRACK_N}) * 7 + (i % {_TRACK_N}) * 13 % 5 AS t,
+             (i % {_TRACK_N}) * 31 % 1000 AS x,
+             (i % {_TRACK_N}) * 57 % 1000 AS y
+      FROM (SELECT unnest(generate_series(0, {5 * _TRACK_N - 1})) AS i)),
+    seg AS (
+      SELECT track_id, t AS t0, x AS x0, y AS y0,
+             lead(t) OVER w AS t1, lead(x) OVER w AS x1,
+             lead(y) OVER w AS y1
+      FROM pts WINDOW w AS (PARTITION BY track_id ORDER BY t)),
+    tgt AS (
+      SELECT track_id, g.k * {_TRACK_STEP} AS tt
+      FROM (SELECT DISTINCT track_id FROM pts),
+           (SELECT unnest(generate_series(0, {_TRACK_N * 7 // _TRACK_STEP}))
+              AS k) g),
+    j AS (
+      SELECT s.track_id, g.tt,
+             CAST(floor((CAST(s.x0 AS DOUBLE) * (s.t1 - s.t0)
+                         + (s.x1 - s.x0) * (g.tt - s.t0))
+                        * 1e6 / (s.t1 - s.t0)) AS BIGINT) AS x_micro,
+             CAST(floor((CAST(s.y0 AS DOUBLE) * (s.t1 - s.t0)
+                         + (s.y1 - s.y0) * (g.tt - s.t0))
+                        * 1e6 / (s.t1 - s.t0)) AS BIGINT) AS y_micro
+      FROM seg s JOIN tgt g
+        ON g.track_id = s.track_id AND g.tt >= s.t0 AND g.tt < s.t1
+      WHERE s.t1 IS NOT NULL AND s.t1 > s.t0)
+    SELECT track_id, tt, x_micro, y_micro FROM j
+    """,
+)
+def geo_track_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory resampling: linearly interpolate each GPS track onto a
+    fixed time grid (the normalization every fleet/mobility pipeline
+    runs before map-matching or stay-point detection — irregular pings
+    become comparable fixed-step positions). Segments come from one
+    lead window per track; each grid instant joins its bracketing
+    segment and interpolates with exact integer-rational arithmetic,
+    floored to micro units. The bracketing join is per-track with a
+    bounded time predicate — at 100 TB it stacks on the
+    j_range_bucketed time-cell rewrite so the planner gets an
+    equi-join, and the grid side is generated, never stored."""
+    pts = spark.range(5 * _TRACK_N).select(
+        (F.col("id") / _TRACK_N).cast("bigint").alias("track_id"),
+        (
+            (F.col("id") % _TRACK_N) * 7 + ((F.col("id") % _TRACK_N) * 13) % 5
+        ).alias("t"),
+        ((F.col("id") % _TRACK_N) * 31 % 1000).alias("x"),
+        ((F.col("id") % _TRACK_N) * 57 % 1000).alias("y"),
+    )
+    w = Window.partitionBy("track_id").orderBy("t")
+    seg = pts.select(
+        "track_id",
+        F.col("t").alias("t0"),
+        F.col("x").alias("x0"),
+        F.col("y").alias("y0"),
+        F.lead("t").over(w).alias("t1"),
+        F.lead("x").over(w).alias("x1"),
+        F.lead("y").over(w).alias("y1"),
+    ).filter(F.col("t1").isNotNull() & (F.col("t1") > F.col("t0")))
+    tgt = (
+        pts.select("track_id")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(_TRACK_N * 7 // _TRACK_STEP + 1).select(
+                    (F.col("id") * _TRACK_STEP).alias("tt")
+                )
+            )
+        )
+    )
+    j = seg.join(
+        F.broadcast(tgt),
+        (F.col("tt") >= F.col("t0"))
+        & (F.col("tt") < F.col("t1"))
+        & (seg.track_id == tgt.track_id),
+    )
+
+    def interp(c0, c1):
+        return (
+            F.floor(
+                (
+                    F.col(c0).cast("double") * (F.col("t1") - F.col("t0"))
+                    + (F.col(c1) - F.col(c0)) * (F.col("tt") - F.col("t0"))
+                )
+                * 1e6
+                / (F.col("t1") - F.col("t0"))
+            )
+            .cast("bigint")
+        )
+
+    return j.select(
+        seg.track_id.alias("track_id"),
+        "tt",
+        interp("x0", "x1").alias("x_micro"),
+        interp("y0", "y1").alias("y_micro"),
+    )
+
+
+_DOC_CONTRACT = [
+    ("doc_id", "bigint"),
+    ("text", "string"),
+    ("lang", "string"),
+    ("source", "string"),
+    ("n_chars", "bigint"),
+    ("embedding_dim", "int"),  # deliberately absent: contract violation
+]
+
+_CONTRACT_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS col_name, '{t}' AS expected_type, "
+    + (
+        f"'{t}' AS actual_type, true AS ok"
+        if c != "embedding_dim"
+        else "'<missing>' AS actual_type, false AS ok"
+    )
+    for c, t in _DOC_CONTRACT
+)
+
+
+@register("dq_schema_contract", _CONTRACT_SQL + "\nORDER BY col_name")
+def dq_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-contract gate: assert a dataset's ACTUAL parquet schema
+    against the declared contract column-by-column (name + Spark type),
+    reporting per-column verdicts — the producer/consumer handshake
+    that catches upstream type drift (int→bigint widenings, dropped
+    columns) BEFORE a 100 TB backfill bakes it in. One deliberately
+    missing contract column ('embedding_dim') exercises the violation
+    path; the oracle pins the expected verdict table. Schema comes from
+    file-footer metadata only — zero data rows are read."""
+    actual = {
+        f.name: f.dataType.simpleString()
+        for f in spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).schema.fields
+    }
+    rows = [
+        (
+            c,
+            t,
+            actual.get(c, "<missing>"),
+            actual.get(c) == t,
+        )
+        for c, t in _DOC_CONTRACT
+    ]
+    return spark.createDataFrame(
+        rows,
+        "col_name string, expected_type string, actual_type string, ok boolean",
+    ).orderBy("col_name")
+
+
 # The external verify driver samples the FIRST 50 entries of ``queries()``
 # each round. Rotation is SELF-MAINTAINING: any query that already has a
 # fully-green row (rows+schema+hash) in some CORRECTNESS_r{N}.json — or a
