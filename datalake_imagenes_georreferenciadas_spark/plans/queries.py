@@ -13844,6 +13844,324 @@ def dq_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("col_name")
 
 
+@register(
+    "j_shuffle_hash_hint",
+    f"""
+    SELECT p.p_brand, count(*) AS n, {_dsum_sql('l.l_extendedprice')} AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def j_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLE_HASH-hinted fact join: when the build side fits one
+    partition's memory but not a broadcast, a shuffled hash join beats
+    sort-merge by skipping BOTH sort passes entirely — the right
+    physical strategy for medium-dimension × huge-fact at 100 TB where
+    broadcast is too big and SMJ pays two O(n log n) sorts plus spill.
+    The hint pins the strategy (audited: ShuffledHashJoin, no Sort
+    above the scans); results are identical to the plain join, so the
+    plain SQL is the oracle. Decimal partials keep the revenue sum
+    order-independent across the hash partitioning."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice"
+    )
+    part = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = li.join(part.hint("SHUFFLE_HASH"), "l_partkey")
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        _dsum(F.col("l_extendedprice")).alias("revenue"),
+    )
+
+
+_KNN_HELDOUT = (400, 450)
+_KNN_K = 5
+
+
+_KNN_SQL = f"""
+WITH tr AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve, label
+  FROM embeddings
+  WHERE vec_id < {_KNN_HELDOUT[0]} OR vec_id >= {_KNN_HELDOUT[1]}),
+q AS (
+  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe,
+         label AS true_label
+  FROM embeddings
+  WHERE vec_id >= {_KNN_HELDOUT[0]} AND vec_id < {_KNN_HELDOUT[1]}),
+nn AS (
+  SELECT q_id, true_label, label AS n_label FROM (
+    SELECT q.q_id, q.true_label, tr.label,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY round({V.cosine_sql('tr.ve', 'q.qe')}, 6) DESC,
+                      tr.vec_id) AS rank
+    FROM tr CROSS JOIN q) WHERE rank <= {_KNN_K}),
+votes AS (
+  SELECT q_id, true_label, n_label, count(*) AS votes
+  FROM nn GROUP BY q_id, true_label, n_label),
+pred AS (
+  SELECT q_id, true_label, n_label AS pred_label FROM (
+    SELECT q_id, true_label, n_label, votes,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY votes DESC, n_label) AS r
+    FROM votes) WHERE r = 1)
+SELECT true_label, count(*) AS n,
+       count(*) FILTER (WHERE pred_label = true_label) AS n_correct,
+       CAST(floor(count(*) FILTER (WHERE pred_label = true_label)
+                  * 1000000.0 / count(*)) AS BIGINT) AS acc_micro
+FROM pred GROUP BY true_label
+"""
+
+
+@register("ml_knn_classifier", _KNN_SQL)
+def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification accuracy on the embedding table: hold out a
+    50-vector slice, predict each held-out label by majority vote of
+    its 5 nearest training neighbors (cosine; ties → more votes, then
+    smaller label), and report per-class accuracy — the standard
+    embedding-quality probe (a space where k-NN can't classify won't
+    retrieve either; complements recall/NDCG which grade ranking, not
+    label structure). Queries broadcast over the training scan; one
+    ranking window + one vote argmax window per query; accuracies are
+    floored micro rationals."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("ve"), "label"
+    )
+    lo, hi = _KNN_HELDOUT
+    tr = emb.filter((F.col("vec_id") < lo) | (F.col("vec_id") >= hi))
+    q = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("ve").alias("qe"),
+        F.col("label").alias("true_label"),
+    )
+    nn = (
+        tr.crossJoin(F.broadcast(q))
+        .select(
+            "q_id",
+            "true_label",
+            F.col("label").alias("n_label"),
+            "vec_id",
+            F.round(V.cosine(F.col("ve"), F.col("qe")), 6).alias("cos"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.col("cos").desc(), "vec_id"
+                )
+            ),
+        )
+        .filter(F.col("rank") <= _KNN_K)
+    )
+    votes = nn.groupBy("q_id", "true_label", "n_label").agg(
+        F.count("*").alias("votes")
+    )
+    pred = (
+        votes.withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.col("votes").desc(), "n_label"
+                )
+            ),
+        )
+        .filter(F.col("r") == 1)
+        .select("q_id", "true_label", F.col("n_label").alias("pred_label"))
+    )
+    correct = F.col("pred_label") == F.col("true_label")
+    return pred.groupBy("true_label").agg(
+        F.count("*").alias("n"),
+        F.count_if(correct).alias("n_correct"),
+        F.floor(F.count_if(correct) * 1000000.0 / F.count("*"))
+        .cast("bigint")
+        .alias("acc_micro"),
+    )
+
+
+@register(
+    "dq_quarantine_reasons",
+    """
+    WITH feed AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      UNION ALL
+      SELECT o_orderkey + 10000000, -o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 97 = 0
+      UNION ALL
+      SELECT o_orderkey + 20000000, o_totalprice, 'X'
+      FROM orders WHERE o_orderkey % 89 = 0),
+    checked AS (
+      SELECT o_orderkey,
+             list_filter([
+               CASE WHEN o_totalprice <= 0 THEN 'nonpositive_price' END,
+               CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                    THEN 'invalid_status' END,
+               CASE WHEN o_orderkey >= 10000000 THEN 'synthetic_id_range' END
+             ], r -> r IS NOT NULL) AS reasons
+      FROM feed),
+    bad AS (
+      SELECT o_orderkey, unnest(reasons) AS reason
+      FROM checked WHERE len(reasons) > 0)
+    SELECT reason, count(*) AS n,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM bad GROUP BY reason ORDER BY reason
+    """,
+)
+def dq_quarantine_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level quarantine with reason codes: every incoming row is
+    checked against the full rule set at once (an ARRAY of fired rules,
+    not first-failure — triage needs to know ALL reasons), violating
+    rows explode into a (row, reason) quarantine feed, and the report
+    aggregates per reason with key ranges for debugging — the row
+    detail layer under dq_constraints' table-level gate and
+    catalog_wap_publish's batch gate. Dirty rows are seeded
+    deterministically (negated prices, invalid status). One pass, one
+    explode, one aggregate at any scale."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    feed = (
+        o.unionByName(
+            o.filter(F.col("o_orderkey") % 97 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                (-F.col("o_totalprice")).alias("o_totalprice"),
+                "o_orderstatus",
+            )
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 89 == 0).select(
+                (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
+                "o_totalprice",
+                F.lit("X").alias("o_orderstatus"),
+            )
+        )
+    )
+    reasons = F.filter(
+        F.array(
+            F.when(F.col("o_totalprice") <= 0, "nonpositive_price"),
+            F.when(
+                ~F.col("o_orderstatus").isin("F", "O", "P"), "invalid_status"
+            ),
+            F.when(F.col("o_orderkey") >= 10000000, "synthetic_id_range"),
+        ),
+        lambda r: r.isNotNull(),
+    )
+    checked = feed.select("o_orderkey", reasons.alias("reasons"))
+    bad = checked.filter(F.size("reasons") > 0).select(
+        "o_orderkey", F.explode("reasons").alias("reason")
+    )
+    return (
+        bad.groupBy("reason")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("reason")
+    )
+
+
+_SPAN_LEN = 3
+_SPAN_SEED = 17
+
+
+@register(
+    "pipeline_span_corruption",
+    f"""
+    WITH d AS (
+      SELECT doc_id, list_filter(
+               string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p
+      FROM d),
+    starts AS (
+      SELECT doc_id, p AS s FROM pos
+      WHERE ({H.hash64_sql("doc_id::VARCHAR || ':' || p::VARCHAR", _SPAN_SEED)}) % 7 = 0),
+    masked AS (
+      SELECT DISTINCT pos.doc_id, pos.p
+      FROM pos JOIN starts
+        ON starts.doc_id = pos.doc_id
+       AND pos.p >= starts.s AND pos.p < starts.s + {_SPAN_LEN}),
+    agg AS (
+      SELECT d.doc_id, len(d.toks) AS n_tokens,
+             coalesce(st.n_spans, 0) AS n_spans,
+             coalesce(mk.n_masked, 0) AS n_masked
+      FROM d
+      LEFT JOIN (SELECT doc_id, count(*) AS n_spans
+                 FROM starts GROUP BY doc_id) st USING (doc_id)
+      LEFT JOIN (SELECT doc_id, count(*) AS n_masked
+                 FROM masked GROUP BY doc_id) mk USING (doc_id))
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(n_masked AS BIGINT) AS n_masked,
+           CAST(floor(n_masked * 1000000.0 / greatest(n_tokens, 1))
+                AS BIGINT) AS corruption_micro
+    FROM agg WHERE doc_id % 11 = 0
+    """,
+)
+def pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption mask planning (the T5/UL2 denoising objective):
+    deterministic hash-seeded span starts (rate 1/7), fixed span length
+    3, overlapping spans merged by position-distinct — reporting per
+    document the span count, masked-token count and corruption rate
+    the batch builder needs BEFORE materializing targets (~15% here ≈
+    T5's default). Mask positions derive from the cross-engine hash
+    family, so the whole plan — position explode, start filter,
+    coverage join, distinct — is exactly reproducible; at 100 TB the
+    coverage join is per-doc position-bounded, never cross-doc."""
+    docs = table(spark, sf_dir, "documents")
+    d = spread(docs, "doc_id").select(
+        "doc_id", H.tokens(F.col("text")).alias("toks")
+    )
+    pos = d.select(
+        "doc_id", F.posexplode("toks").alias("p0", "__t")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"))
+    starts = pos.filter(
+        H.hash64(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("p").cast("string"),
+            ),
+            _SPAN_SEED,
+        )
+        % 7
+        == 0
+    ).select("doc_id", F.col("p").alias("s"))
+    masked = (
+        pos.join(starts, "doc_id")
+        .filter(
+            (F.col("p") >= F.col("s"))
+            & (F.col("p") < F.col("s") + _SPAN_LEN)
+        )
+        .select("doc_id", "p")
+        .distinct()
+    )
+    st = starts.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    mk = masked.groupBy("doc_id").agg(F.count("*").alias("n_masked"))
+    agg = (
+        d.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
+        .join(st, "doc_id", "left")
+        .join(mk, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("n_masked", F.lit(0)).cast("bigint").alias("n_masked"),
+        )
+    )
+    return agg.filter(F.col("doc_id") % 11 == 0).select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        "n_masked",
+        F.floor(
+            F.col("n_masked") * 1000000.0 / F.greatest(F.col("n_tokens"), F.lit(1))
+        )
+        .cast("bigint")
+        .alias("corruption_micro"),
+    )
 # The external verify driver samples the FIRST 50 entries of ``queries()``
 # each round. Rotation is SELF-MAINTAINING: any query that already has a
 # fully-green row (rows+schema+hash) in some CORRECTNESS_r{N}.json — or a

@@ -288,6 +288,19 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # IVM: all four delta-rule joins broadcast the dimension; merge is
     # re-aggregation of mergeable partials
     "ivm_join_delta": (16, ["BroadcastHashJoin", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    # SHUFFLE_HASH hint: the medium-dim × fact join must compile to a
+    # shuffled hash join — no sort pass on either side
+    "j_shuffle_hash_hint": (4, ["ShuffledHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
+    # k-NN eval: queries broadcast over the training scan (BNLJ), vote
+    # and rank windows per query — no shuffle of the training side by
+    # anything but the final per-class aggregate
+    "ml_knn_classifier": (8, ["BroadcastNestedLoopJoin", "Window", "!CartesianProduct", "!SortMergeJoin"]),
+    # quarantine: one pass + explode + aggregate, reason array built
+    # row-side — no join at all
+    "dq_quarantine_reasons": (2, ["Generate", "HashAggregate", "!SortMergeJoin", "!BroadcastHashJoin"]),
+    # span corruption: position/start join is per-doc equi (+ bounded
+    # residual), distinct + aggregates map-side combined
+    "pipeline_span_corruption": (14, ["HashAggregate", "!CartesianProduct", "!BatchEvalPython"]),
 }
 
 
