@@ -14162,6 +14162,254 @@ def pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("corruption_micro"),
     )
+@register(
+    "pipeline_padding_waste",
+    """
+    WITH d AS (
+      SELECT doc_id, len(list_filter(
+               string_split_regex(lower(text), '\\s+'), t -> t <> ''))
+               AS n_tok
+      FROM documents),
+    b AS (
+      SELECT doc_id, n_tok,
+             CAST(power(2, ceil(log2(greatest(n_tok, 1)))) AS BIGINT)
+               AS bucket_len
+      FROM d)
+    SELECT bucket_len, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS real_tokens,
+           CAST(count(*) * bucket_len - sum(n_tok) AS BIGINT) AS pad_tokens,
+           CAST(floor((count(*) * bucket_len - sum(n_tok)) * 1000000.0
+                      / (count(*) * bucket_len)) AS BIGINT) AS waste_micro
+    FROM b GROUP BY bucket_len ORDER BY bucket_len
+    """,
+)
+def pipeline_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste report for length-bucketed batching: docs bucket to
+    the next power-of-two sequence length and each bucket reports how
+    many pad tokens a rectangular batch would burn — the measurement
+    that decides between plain padding, length-grouped batching, and
+    sequence packing (pack_sequences is the fix; this quantifies the
+    problem it fixes). log2/ceil run on small exact integers; waste
+    ratios are floored micro rationals. One aggregate, map-side
+    combined."""
+    docs = table(spark, sf_dir, "documents")
+    d = spread(docs, "doc_id").select(
+        "doc_id", F.size(H.tokens(F.col("text"))).alias("n_tok")
+    )
+    b = d.select(
+        "n_tok",
+        F.pow(2.0, F.ceil(F.log2(F.greatest(F.col("n_tok"), F.lit(1)))))
+        .cast("bigint")
+        .alias("bucket_len"),
+    )
+    g = b.groupBy("bucket_len").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("real_tokens")
+    )
+    pad = F.col("n_docs") * F.col("bucket_len") - F.col("real_tokens")
+    return g.select(
+        "bucket_len",
+        "n_docs",
+        "real_tokens",
+        pad.alias("pad_tokens"),
+        F.floor(pad * 1000000.0 / (F.col("n_docs") * F.col("bucket_len")))
+        .cast("bigint")
+        .alias("waste_micro"),
+    ).orderBy("bucket_len")
+
+
+@register(
+    "ts_business_days",
+    """
+    WITH ship AS (
+      SELECT l_orderkey, min(CAST(l_shipdate AS TIMESTAMP)) AS first_ship
+      FROM lineitem GROUP BY l_orderkey),
+    lag AS (
+      SELECT o.o_orderpriority,
+             CAST(floor(epoch(CAST(o.o_orderdate AS TIMESTAMP)) / 86400)
+                  AS BIGINT) AS d0,
+             CAST(floor(epoch(s.first_ship) / 86400) AS BIGINT) AS d1
+      FROM orders o JOIN ship s ON s.l_orderkey = o.o_orderkey),
+    biz AS (
+      SELECT o_orderpriority,
+             (5 * ((d1 + 4) // 7) + least((d1 + 4) % 7, 5))
+             - (5 * ((d0 + 4) // 7) + least((d0 + 4) % 7, 5)) AS bdays
+      FROM lag WHERE d1 >= d0)
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(bdays) AS BIGINT) AS total_bdays,
+           CAST(floor(sum(bdays) * 1000000.0 / count(*)) AS BIGINT)
+             AS avg_bdays_micro
+    FROM biz GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def ts_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day SLA latency: weekdays between order placement and
+    first shipment, per priority — the calendar-aware lag every ops
+    dashboard needs (7 calendar days spanning a weekend is 5 business
+    days). Weekday counting is a pure integer closed form on epoch day
+    numbers (validated against a date-walk oracle: g(d) = 5·⌊(d+4)/7⌋ +
+    min((d+4) mod 7, 5) counts weekdays below d; the difference counts
+    (d0, d1]) — no dayofweek() builtin, whose week-start convention
+    differs between engines. One join + one aggregate; at 100 TB the
+    per-order min-shipdate is map-side combined before the join."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
+    lag = orders.join(
+        ship, orders.o_orderkey == ship.l_orderkey
+    ).select(
+        "o_orderpriority",
+        F.floor(F.unix_timestamp("o_orderdate") / 86400)
+        .cast("bigint")
+        .alias("d0"),
+        F.floor(F.unix_timestamp("first_ship") / 86400)
+        .cast("bigint")
+        .alias("d1"),
+    )
+
+    def wk(d):
+        m = F.col(d) + 4
+        return 5 * F.floor(m / 7).cast("bigint") + F.least(
+            m % 7, F.lit(5).cast("bigint")
+        )
+
+    biz = lag.filter(F.col("d1") >= F.col("d0")).select(
+        "o_orderpriority", (wk("d1") - wk("d0")).alias("bdays")
+    )
+    return (
+        biz.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("bdays").alias("total_bdays"),
+        )
+        .select(
+            "o_orderpriority",
+            "n",
+            "total_bdays",
+            F.floor(F.col("total_bdays") * 1000000.0 / F.col("n"))
+            .cast("bigint")
+            .alias("avg_bdays_micro"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "ab_test_zscore",
+    f"""
+    WITH assign AS (
+      SELECT ({H.hash64_sql('o_orderkey', 21)}) % 2 = 0 AS variant_a,
+             o_orderstatus = 'F' AS converted
+      FROM orders),
+    g AS (
+      SELECT count(*) FILTER (WHERE variant_a) AS n_a,
+             count(*) FILTER (WHERE variant_a AND converted) AS c_a,
+             count(*) FILTER (WHERE NOT variant_a) AS n_b,
+             count(*) FILTER (WHERE NOT variant_a AND converted) AS c_b
+      FROM assign)
+    SELECT n_a, c_a, n_b, c_b,
+           round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+    FROM g
+    """,
+)
+def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment: deterministic
+    hash-bucketed assignment (the same salted-split discipline as
+    p10_train_val_test), pooled-variance z-score for the conversion
+    delta — the experimentation readout layered on the engine's eval
+    suite. One conditional aggregate produces the four counts; the only
+    float math is the final z from identical exact integers in both
+    engines, rounded to 6 decimals. A |z| < 1.96 here is the expected
+    null result: the hash split is independent of order status by
+    construction."""
+    o = table(spark, sf_dir, "orders")
+    a = o.select(
+        (H.hash64(F.col("o_orderkey"), 21) % 2 == 0).alias("variant_a"),
+        (F.col("o_orderstatus") == "F").alias("converted"),
+    )
+    g = a.agg(
+        F.count_if("variant_a").alias("n_a"),
+        F.count_if(F.col("variant_a") & F.col("converted")).alias("c_a"),
+        F.count_if(~F.col("variant_a")).alias("n_b"),
+        F.count_if(~F.col("variant_a") & F.col("converted")).alias("c_b"),
+    )
+    p_a = F.col("c_a").cast("double") / F.col("n_a")
+    p_b = F.col("c_b").cast("double") / F.col("n_b")
+    p_pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (p_a - p_b) / F.sqrt(
+        p_pool * (1 - p_pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return g.select(
+        "n_a", "c_a", "n_b", "c_b", F.round(z, 6).alias("z_score")
+    )
+
+
+@register(
+    "geo_snap_simplify",
+    f"""
+    SELECT id_predio, ring_idx,
+           count(*) AS n_edges,
+           count(*) FILTER (WHERE floor(x1 * 4) = floor(x2 * 4)
+                              AND floor(y1 * 4) = floor(y2 * 4))
+             AS n_collapsed,
+           CAST(floor(count(*) FILTER (WHERE floor(x1 * 4) = floor(x2 * 4)
+                                         AND floor(y1 * 4) = floor(y2 * 4))
+                      * 1000000.0 / count(*)) AS BIGINT) AS collapse_micro
+    FROM {GF.ring_edges_values_sql()}
+    GROUP BY id_predio, ring_idx
+    """,
+)
+def geo_snap_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snap-to-grid simplification planning: quantize every ring vertex
+    to a quarter-unit grid and count edges that collapse (both endpoints
+    in one cell) — the vertex-budget estimate run before rendering or
+    coarse-zoom tiling (geo_tile_pyramid picks the zoom; this says how
+    much geometry each zoom can drop). The edge walk is the same
+    higher-order traversal as geo_ring_areas — pure column math, one
+    aggregate, no UDF, no join."""
+    polys = GF.spark_polys(spark)
+    ring = F.col("__r")
+    n = F.size(ring)
+    snapped_same = lambda i: (  # noqa: E731
+        (
+            F.floor(F.element_at(ring, i)["x"] * 4)
+            == F.floor(F.element_at(ring, (i % n) + 1)["x"] * 4)
+        )
+        & (
+            F.floor(F.element_at(ring, i)["y"] * 4)
+            == F.floor(F.element_at(ring, (i % n) + 1)["y"] * 4)
+        )
+    )
+    collapsed = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc + F.when(snapped_same(i), 1).otherwise(0),
+    )
+    out = polys.select(
+        "id_predio", F.posexplode("rings").alias("ring_idx", "__r")
+    ).select(
+        "id_predio",
+        "ring_idx",
+        n.cast("bigint").alias("n_edges"),
+        collapsed.alias("n_collapsed"),
+    )
+    return out.select(
+        "id_predio",
+        "ring_idx",
+        "n_edges",
+        "n_collapsed",
+        F.floor(F.col("n_collapsed") * 1000000.0 / F.col("n_edges"))
+        .cast("bigint")
+        .alias("collapse_micro"),
+    )
+
+
 # The external verify driver samples the FIRST 50 entries of ``queries()``
 # each round. Rotation is SELF-MAINTAINING: any query that already has a
 # fully-green row (rows+schema+hash) in some CORRECTNESS_r{N}.json — or a
