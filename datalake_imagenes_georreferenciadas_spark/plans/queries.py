@@ -14410,6 +14410,325 @@ def geo_snap_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "j_mark_join_flags",
+    """
+    WITH f AS (
+      SELECT o_custkey,
+             bool_or(o_orderpriority = '1-URGENT') AS has_urgent,
+             bool_or(o_orderstatus = 'O') AS has_open,
+             count(*) FILTER (WHERE o_totalprice > 300000) AS n_big
+      FROM orders GROUP BY o_custkey)
+    SELECT coalesce(f.has_urgent, false) AS has_urgent,
+           coalesce(f.has_open, false) AS has_open,
+           count(*) AS n_customers,
+           CAST(sum(coalesce(f.n_big, 0)) AS BIGINT) AS total_big_orders
+    FROM customer c LEFT JOIN f ON f.o_custkey = c.c_custkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def j_mark_join_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mark-join rewrite: three correlated EXISTS predicates computed as
+    ONE grouped pass over the fact table (bool_or flags + a conditional
+    count), then a single left join back to the dimension — the
+    optimizer transformation that turns N existence subqueries into one
+    scan (a naive plan runs three semi-joins over the same 100 TB
+    fact). Customers with no orders land in the (false, false) segment
+    via coalesce — the LEFT join preserves them where a semi-join chain
+    would not. One fact aggregate + one broadcast-joinable flag table."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    f = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderpriority") == "1-URGENT").alias("has_urgent"),
+        F.max(F.col("o_orderstatus") == "O").alias("has_open"),
+        F.count_if(F.col("o_totalprice") > 300000).alias("n_big"),
+    )
+    j = c.join(F.broadcast(f), c.c_custkey == f.o_custkey, "left")
+    return (
+        j.groupBy(
+            F.coalesce("has_urgent", F.lit(False)).alias("has_urgent"),
+            F.coalesce("has_open", F.lit(False)).alias("has_open"),
+        )
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.coalesce("n_big", F.lit(0))).alias("total_big_orders"),
+        )
+        .orderBy("has_urgent", "has_open")
+    )
+
+
+@register(
+    "emb_outlier_zscore",
+    """
+    WITH comp AS (
+      SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+               AS q
+      FROM embeddings),
+    s AS (
+      SELECT pos, count(*) AS n, CAST(sum(q) AS BIGINT) AS s1,
+             CAST(sum(q * q) AS BIGINT) AS s2
+      FROM comp GROUP BY pos),
+    z AS (
+      SELECT c.vec_id,
+             CAST(floor(CAST((c.q * s.n - s.s1) AS DOUBLE)
+                        * (c.q * s.n - s.s1)
+                        / greatest(CAST(s.n AS DOUBLE)
+                                   * (s.n * s.s2 - s.s1 * s.s1), 1)
+                        * 1e9 + 0.5) AS BIGINT) AS z2_nano
+      FROM comp c JOIN s USING (pos)),
+    v AS (SELECT vec_id, CAST(sum(z2_nano) AS BIGINT) AS maha_nano
+          FROM z GROUP BY vec_id)
+    SELECT vec_id, maha_nano, rank FROM (
+      SELECT vec_id, maha_nano,
+             row_number() OVER (ORDER BY maha_nano DESC, vec_id) AS rank
+      FROM v)
+    WHERE rank <= 10
+    """,
+)
+def emb_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier detection by diagonal Mahalanobis distance:
+    per-dimension standardized deviations squared and summed — the
+    cheap anomaly screen that catches corrupted vectors (wrong scale,
+    truncated writes, NaN-zeroed dims) before they poison an ANN index
+    or a semantic-dedup pass. Components quantize to integer micro
+    units (emb_dim_stats discipline), z² terms are exact-integer
+    numerators over exact-integer variances fixed-pointed to nano, and
+    the per-vector sum is pure BIGINT. Stats are 64 rows broadcast back
+    onto the component stream; top-10 is TakeOrdered."""
+    emb = table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id",
+        F.posexplode(F.expr("CAST(embedding AS ARRAY<DOUBLE>)")).alias(
+            "pos", "v"
+        ),
+    ).select(
+        "vec_id", "pos", F.floor(F.col("v") * 1e6).cast("bigint").alias("q")
+    )
+    s = comp.groupBy("pos").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).alias("s2"),
+    )
+    num = F.col("q") * F.col("n") - F.col("s1")
+    den = F.greatest(
+        F.col("n").cast("double")
+        * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")),
+        F.lit(1.0),
+    )
+    z = comp.join(F.broadcast(s), "pos").select(
+        "vec_id",
+        F.floor(num.cast("double") * num / den * 1e9 + F.lit(0.5))
+        .cast("bigint")
+        .alias("z2_nano"),
+    )
+    v = z.groupBy("vec_id").agg(F.sum("z2_nano").alias("maha_nano"))
+    return (
+        v.orderBy(F.col("maha_nano").desc(), "vec_id")
+        .limit(10)
+        .select(
+            "vec_id",
+            "maha_nano",
+            F.row_number()
+            .over(Window.orderBy(F.col("maha_nano").desc(), "vec_id"))
+            .alias("rank"),
+        )
+    )
+
+
+@register(
+    "ml_lift_table",
+    f"""
+    WITH p AS (
+      SELECT ({H.hash64_sql('o_orderkey', 31)}) % 1000000 AS score,
+             o_orderstatus = 'F' AS is_pos
+      FROM orders),
+    b AS (
+      SELECT 9 - score // 100000 AS decile, count(*) AS n,
+             count(*) FILTER (WHERE is_pos) AS pos
+      FROM p GROUP BY decile),
+    t AS (SELECT sum(n) AS n_tot, sum(pos) AS pos_tot FROM b),
+    c AS (
+      SELECT decile, n, pos,
+             sum(pos) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+             sum(n) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+      FROM b)
+    SELECT c.decile, c.n, c.pos,
+           CAST(floor(c.cum_pos * 1000000.0 / t.pos_tot) AS BIGINT)
+             AS capture_micro,
+           CAST(floor(c.cum_pos * t.n_tot * 1000000.0
+                      / (c.cum_n * t.pos_tot)) AS BIGINT) AS lift_micro
+    FROM c CROSS JOIN t ORDER BY c.decile
+    """,
+)
+def ml_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table: rank the population by model score, split into
+    deciles (0 = highest-scored), and report cumulative capture rate
+    and lift vs the base rate — the targeting readout (with AUC, PR/F1,
+    calibration and NDCG this completes the eval suite; lift is what a
+    campaign owner actually reads). Deciles come from integer score
+    buckets so there is no global sort of raw rows; the cumulative
+    window runs over 10 aggregated rows; capture and lift are floored
+    micro rationals from exact integers. Near-1.0 lifts everywhere are
+    the expected null: the hash score is independent of the label."""
+    o = table(spark, sf_dir, "orders")
+    p = o.select(
+        (H.hash64(F.col("o_orderkey"), 31) % 1000000).alias("score"),
+        (F.col("o_orderstatus") == "F").alias("is_pos"),
+    )
+    b = p.groupBy(
+        (9 - F.floor(F.col("score") / 100000)).cast("bigint").alias("decile")
+    ).agg(F.count("*").alias("n"), F.count_if("is_pos").alias("pos"))
+    t = b.agg(F.sum("n").alias("n_tot"), F.sum("pos").alias("pos_tot"))
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = b.withColumn("cum_pos", F.sum("pos").over(w)).withColumn(
+        "cum_n", F.sum("n").over(w)
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "decile",
+            "n",
+            "pos",
+            F.floor(F.col("cum_pos") * 1000000.0 / F.col("pos_tot"))
+            .cast("bigint")
+            .alias("capture_micro"),
+            F.floor(
+                F.col("cum_pos")
+                * F.col("n_tot")
+                * 1000000.0
+                / (F.col("cum_n") * F.col("pos_tot"))
+            )
+            .cast("bigint")
+            .alias("lift_micro"),
+        )
+        .orderBy("decile")
+    )
+
+
+_RAKE_STOP = ("a", "the", "to", "of", "and", "in", "is", "on")
+_RAKE_STOP_SQL = "('" + "', '".join(_RAKE_STOP) + "')"
+
+
+@register(
+    "text_keyphrase_rake",
+    f"""
+    WITH d AS (
+      SELECT doc_id, list_filter(
+               string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             unnest(range(1, len(toks) + 1)) AS p
+      FROM d),
+    cw AS (
+      SELECT doc_id, tok, p,
+             p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+      FROM pos WHERE tok NOT IN {_RAKE_STOP_SQL}),
+    phr AS (
+      SELECT doc_id, grp,
+             string_agg(tok, ' ' ORDER BY p) AS phrase,
+             count(*) AS plen
+      FROM cw GROUP BY doc_id, grp),
+    wstat AS (
+      SELECT tok, count(*) AS freq,
+             CAST(sum(plen) AS BIGINT) AS degree
+      FROM cw JOIN phr USING (doc_id, grp)
+      GROUP BY tok),
+    wscore AS (
+      SELECT tok, CAST(floor(degree * 1000000.0 / freq) AS BIGINT)
+               AS wscore_micro
+      FROM wstat),
+    pscore AS (
+      SELECT p.phrase, CAST(sum(w.wscore_micro) AS BIGINT) AS score_micro
+      FROM cw c
+      JOIN phr p USING (doc_id, grp)
+      JOIN wscore w ON w.tok = c.tok
+      GROUP BY p.doc_id, p.grp, p.phrase),
+    best AS (
+      SELECT phrase, CAST(max(score_micro) AS BIGINT) AS score_micro,
+             count(*) AS n_occurrences
+      FROM pscore GROUP BY phrase)
+    SELECT phrase, score_micro, n_occurrences, rank FROM (
+      SELECT phrase, score_micro, n_occurrences,
+             row_number() OVER (ORDER BY score_micro DESC, phrase) AS rank
+      FROM best)
+    WHERE rank <= 15
+    """,
+)
+def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs (the islands trick — position
+    minus dense rank — finds runs without iteration), each word scores
+    degree/frequency (degree = Σ lengths of phrases containing it), and
+    a phrase scores the sum of its word scores — the unsupervised
+    keyphrase baseline that beats TF-IDF on multi-word terms
+    (text_tfidf_topk is the unigram sibling). Word scores are floored
+    micro rationals, phrase sums exact BIGINT. Per-doc islands window,
+    three vocabulary-sized aggregates, one broadcast word-score join —
+    nothing scales beyond (doc, position)."""
+    docs = table(spark, sf_dir, "documents")
+    d = spread(docs, "doc_id").select(
+        "doc_id", H.tokens(F.col("text")).alias("toks")
+    )
+    pos = d.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).select("doc_id", "tok", (F.col("p0") + 1).alias("p"))
+    w_doc = Window.partitionBy("doc_id").orderBy("p")
+    cw = pos.filter(~F.col("tok").isin(*_RAKE_STOP)).withColumn(
+        "grp", F.col("p") - F.row_number().over(w_doc)
+    )
+    phr = cw.groupBy("doc_id", "grp").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("p"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count("*").alias("plen"),
+    )
+    wstat = (
+        cw.join(phr, ["doc_id", "grp"])
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"), F.sum("plen").alias("degree"))
+    )
+    wscore = wstat.select(
+        "tok",
+        F.floor(F.col("degree") * 1000000.0 / F.col("freq"))
+        .cast("bigint")
+        .alias("wscore_micro"),
+    )
+    pscore = (
+        cw.join(phr, ["doc_id", "grp"])
+        .join(F.broadcast(wscore), "tok")
+        .groupBy("doc_id", "grp", "phrase")
+        .agg(F.sum("wscore_micro").alias("score_micro"))
+    )
+    best = pscore.groupBy("phrase").agg(
+        F.max("score_micro").alias("score_micro"),
+        F.count("*").alias("n_occurrences"),
+    )
+    return (
+        best.orderBy(F.col("score_micro").desc(), "phrase")
+        .limit(15)
+        .select(
+            "phrase",
+            "score_micro",
+            "n_occurrences",
+            F.row_number()
+            .over(Window.orderBy(F.col("score_micro").desc(), "phrase"))
+            .alias("rank"),
+        )
+    )
+
+
 # The external verify driver samples the FIRST 50 entries of ``queries()``
 # each round. Rotation is SELF-MAINTAINING: any query that already has a
 # fully-green row (rows+schema+hash) in some CORRECTNESS_r{N}.json — or a
