@@ -14729,6 +14729,268 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("graph_incremental_components", _COMPONENTS_SQL)
+def graph_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL connected components by graph contraction: components
+    over the old edge set are computed once (the expensive pass), and a
+    new edge batch refreshes labels by mapping its endpoints through
+    the OLD labels and running components on the CONTRACTED graph —
+    whose size is O(new edges + touched clusters), not O(all edges).
+    Because labels are min-ids, contraction composes exactly: the
+    refreshed label is the global min id, bit-identical to a full
+    recompute (the oracle IS the full-graph recursive closure — the
+    same one dedup_components answers — so equality proves the
+    incremental refresh lost nothing). This is IVM for graphs: at
+    100 TB the nightly dedup-cluster refresh touches only the delta's
+    neighborhood; the historical edge set is never re-joined."""
+    from ..operators.dedup import components_from_edges
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, k=3, num_hashes=16, bands=4, jaccard_threshold=0.1
+    ).select("a_id", "b_id")
+    split = 400
+    old_e = pairs.filter(
+        (F.col("a_id") < split) & (F.col("b_id") < split)
+    ).select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    new_e = pairs.filter(
+        (F.col("a_id") >= split) | (F.col("b_id") >= split)
+    ).select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    old_lab = components_from_edges(old_e)
+
+    def relabel(e, col):
+        lab = old_lab.select(
+            F.col("id").alias(col), F.col("component").alias(f"__{col}_lab")
+        )
+        return e.join(F.broadcast(lab), col, "left").withColumn(
+            col, F.coalesce(f"__{col}_lab", F.col(col))
+        ).drop(f"__{col}_lab")
+
+    edges2 = relabel(relabel(new_e, "src"), "dst")
+    comp2 = components_from_edges(edges2)
+    all_ids = docs.select(F.col("doc_id").alias("id"))
+    with_old = all_ids.join(old_lab, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("label0")
+    )
+    final = with_old.join(
+        F.broadcast(
+            comp2.select(
+                F.col("id").alias("label0"),
+                F.col("component").alias("label1"),
+            )
+        ),
+        "label0",
+        "left",
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.coalesce("label1", "label0").cast("long").alias("component"),
+    )
+    return final
+
+
+_AUTOCORR_SQL = """
+WITH s AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x,
+         CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events),
+p AS (
+  SELECT event_type, x,
+         lead(x) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS y
+  FROM s),
+m AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM p WHERE y IS NOT NULL GROUP BY event_type)
+SELECT event_type, n,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             6) AS autocorr_lag1
+FROM m ORDER BY event_type
+"""
+
+
+@register("ts_autocorrelation", _AUTOCORR_SQL)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation per stream: Pearson correlation between
+    consecutive observations — the seriality diagnostic that separates
+    white noise from trending/mean-reverting feeds (and calibrates how
+    much ts_ewma smoothing is defensible). Values fix to integer cents,
+    the five power sums are exact BIGINTs shuffled as map-side partials
+    (the a8_corr discipline applied along the time axis via one lead
+    window), and the single float expression runs once per group on
+    identical integers in both engines."""
+    ev = table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("x"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    p = s.select(
+        "event_type", "x", F.lead("x").over(w).alias("y")
+    ).filter(F.col("y").isNotNull())
+    m = p.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return m.select(
+        "event_type", "n", F.round(num / den, 6).alias("autocorr_lag1")
+    ).orderBy("event_type")
+
+
+_ATTR_WINDOW_S = 7 * 86400
+
+
+@register(
+    "attribution_last_touch",
+    f"""
+    WITH conv AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'purchase'),
+    touch AS (
+      SELECT event_id AS t_id, user_id, event_type AS channel,
+             CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type IN ('click', 'view')),
+    ranked AS (
+      SELECT c.event_id, c.value, t.channel,
+             row_number() OVER (PARTITION BY c.event_id
+               ORDER BY t.ts DESC, t.t_id DESC) AS rn
+      FROM conv c JOIN touch t
+        ON t.user_id = c.user_id
+       AND t.ts <= c.ts
+       AND t.ts >= c.ts - INTERVAL {_ATTR_WINDOW_S} SECOND),
+    attr AS (SELECT event_id, value, channel FROM ranked WHERE rn = 1)
+    SELECT channel, count(*) AS n_conversions,
+           {_dsum_sql('value')} AS attributed_value
+    FROM attr GROUP BY channel ORDER BY channel
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase credits the most recent
+    click/view by the same user inside a 7-day lookback — the
+    single-touch model every marketing warehouse starts from (the
+    backward as-of join wearing its business hat; multi-touch models
+    change only the window aggregation). Per-user equi-join bounds
+    fan-out, one argmax window per conversion, decimal partials for the
+    credited revenue. At 100 TB the j_range_bucketed time-cell rewrite
+    stacks under the lookback predicate."""
+    ev = table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("c_ts"), "value"
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("t_id"),
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("t_ts"),
+    )
+    j = conv.join(
+        touch,
+        (conv.user_id == touch.user_id)
+        & (F.col("t_ts") <= F.col("c_ts"))
+        & (
+            F.col("t_ts")
+            >= F.col("c_ts") - F.expr(f"INTERVAL {_ATTR_WINDOW_S} SECOND")
+        ),
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("t_ts").desc(), F.col("t_id").desc()
+    )
+    attr = (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "value", "channel")
+    )
+    return (
+        attr.groupBy("channel")
+        .agg(
+            F.count("*").alias("n_conversions"),
+            _dsum(F.col("value")).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+@register(
+    "s27_csv_badrecords",
+    """
+    WITH rows0 AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus,
+             o_orderkey % 53 = 0 AS is_bad
+      FROM orders WHERE o_orderkey < 3000)
+    SELECT count(*) FILTER (WHERE NOT is_bad) AS n_good,
+           count(*) FILTER (WHERE is_bad) AS n_bad,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                FILTER (WHERE NOT is_bad) AS DOUBLE) AS good_total
+    FROM rows0
+    """,
+)
+def s27_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV corrupt-record channel (the CSV twin of s6_features_corrupt):
+    a feed where every 53rd line is malformed (wrong arity / non-numeric
+    price) is read in PERMISSIVE mode with an explicit schema and a
+    _corrupt_record column — bad lines land in the quarantine channel
+    with their raw text preserved instead of failing the job or
+    silently nulling (the ingest posture the reference's CSV loader
+    lacks, mysql_process.py:94-100). The oracle predicts the good/bad
+    split and the parsed aggregate in closed form."""
+    import csv
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 3000)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .collect()
+    )
+    d = tempfile.mkdtemp(prefix="csv_bad_")
+    path = os.path.join(d, "feed.csv")
+    with open(path, "w", newline="") as fh:
+        w = csv.writer(fh)
+        for r in o:
+            if r["o_orderkey"] % 53 == 0:
+                fh.write(f"{r['o_orderkey']},not_a_price\n")
+            else:
+                w.writerow(
+                    [r["o_orderkey"], r["o_totalprice"], r["o_orderstatus"]]
+                )
+    schema = (
+        "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING, "
+        "_corrupt_record STRING"
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    df = df.cache()  # one pass feeds both channels (SPARK-21610 posture)
+    bad = F.col("_corrupt_record").isNotNull()
+    return df.agg(
+        F.count_if(~bad).alias("n_good"),
+        F.count_if(bad).alias("n_bad"),
+        F.sum(
+            F.when(~bad, F.col("o_totalprice").cast("decimal(18,4)"))
+        )
+        .cast("double")
+        .alias("good_total"),
+    )
+
+
 # The external verify driver samples the FIRST 50 entries of ``queries()``
 # each round. Rotation is SELF-MAINTAINING: any query that already has a
 # fully-green row (rows+schema+hash) in some CORRECTNESS_r{N}.json — or a
