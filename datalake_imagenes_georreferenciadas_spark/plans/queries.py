@@ -14991,6 +14991,221 @@ def s27_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mmr_sql() -> str:
+    cos = V.cosine_sql("a.v", "b.v")
+    head = f"""
+WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, t, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS t FROM d)
+  WHERE t IN {_HYBRID_TERMS_SQL} GROUP BY doc_id, t),
+df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+             * tf.tf * ({_BM25_K1} + 1)
+             / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))
+         ) AS score
+  FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id),
+cand AS (
+  SELECT doc_id,
+         CAST(floor(round(score, 6) * 1e6 + 0.5) AS BIGINT) AS rel_micro
+  FROM (SELECT doc_id, score,
+               row_number() OVER (ORDER BY round(score, 6) DESC, doc_id)
+                 AS rnk
+        FROM scored)
+  WHERE rnk <= 8),
+emb8 AS (
+  SELECT c.doc_id, c.rel_micro, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id),
+sim AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         CAST(floor(round({cos}, 6) * 1e6 + 0.5) AS BIGINT) AS s
+  FROM emb8 a JOIN emb8 b ON a.doc_id <> b.doc_id),
+p1 AS (
+  SELECT doc_id, rel_micro, CAST(7 * rel_micro AS BIGINT) AS score_micro,
+         1 AS rank
+  FROM emb8 ORDER BY rel_micro DESC, doc_id LIMIT 1),
+sel1 AS (SELECT doc_id FROM p1)"""
+    steps = []
+    for k in range(2, 6):
+        prev_sel = f"sel{k - 1}"
+        steps.append(f""",
+c{k} AS (
+  SELECT e.doc_id, e.rel_micro, max(s.s) AS ms
+  FROM emb8 e JOIN sim s ON s.a = e.doc_id
+  WHERE s.b IN (SELECT doc_id FROM {prev_sel})
+    AND e.doc_id NOT IN (SELECT doc_id FROM {prev_sel})
+  GROUP BY e.doc_id, e.rel_micro),
+p{k} AS (
+  SELECT doc_id, rel_micro,
+         CAST(7 * rel_micro - 3 * ms AS BIGINT) AS score_micro, {k} AS rank
+  FROM c{k} ORDER BY 7 * rel_micro - 3 * ms DESC, doc_id LIMIT 1),
+sel{k} AS (SELECT doc_id FROM {prev_sel} UNION ALL SELECT doc_id FROM p{k})""")
+    tail = "\n" + "\nUNION ALL\n".join(
+        f"SELECT rank, doc_id, rel_micro, score_micro FROM p{k}"
+        for k in range(1, 6)
+    )
+    return head + "".join(steps) + tail
+
+
+@register("hybrid_mmr_topk", _mmr_sql())
+def hybrid_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified re-ranking (Carbonell & Goldstein 1998): greedily
+    pick 5 of the top-8 BM25 candidates maximizing λ·relevance −
+    (1−λ)·max-similarity-to-selected (λ=0.7, embedding cosine as the
+    redundancy signal) — the serving-layer answer to near-duplicate
+    result lists that pure relevance ranking (bm25_topk) and fusion
+    (hybrid_rrf_topk) both exhibit. The greedy recursion unrolls into 5
+    plan steps over an 8-row candidate set — each an anti-join +
+    max-sim aggregate + argmin-window — so nothing iterative touches
+    the executors; λ-weights are exact integer tenths (7·rel − 3·sim in
+    micro units). At 100 TB only candidate generation scales; MMR
+    always runs on k² similarities."""
+    emb = table(spark, sf_dir, "embeddings")
+    cand = (
+        bm25_topk(spark, sf_dir)
+        .filter(F.col("rank") <= 8)
+        .select(
+            "doc_id",
+            F.floor(F.col("bm25") * 1e6 + F.lit(0.5))
+            .cast("bigint")
+            .alias("rel_micro"),
+        )
+    )
+    emb8 = cand.join(
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v"),
+        ),
+        "doc_id",
+    ).localCheckpoint()
+    ea = emb8.select(
+        F.col("doc_id").alias("a"),
+        F.col("v").alias("va"),
+    )
+    eb = emb8.select(F.col("doc_id").alias("b"), F.col("v").alias("vb"))
+    sim = (
+        ea.join(eb, F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.floor(
+                F.round(V.cosine(F.col("va"), F.col("vb")), 6) * 1e6
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("s"),
+        )
+        .localCheckpoint()
+    )
+    selected = (
+        emb8.orderBy(F.col("rel_micro").desc(), "doc_id")
+        .limit(1)
+        .select(
+            F.lit(1).alias("rank"),
+            "doc_id",
+            "rel_micro",
+            (7 * F.col("rel_micro")).cast("bigint").alias("score_micro"),
+        )
+    )
+    for k in range(2, 6):
+        sel_ids = selected.select("doc_id")
+        rem = emb8.join(sel_ids, "doc_id", "left_anti")
+        ms = (
+            rem.join(sim, rem.doc_id == sim.a)
+            .join(
+                F.broadcast(sel_ids.select(F.col("doc_id").alias("b"))), "b"
+            )
+            .groupBy(rem.doc_id, "rel_micro")
+            .agg(F.max("s").alias("ms"))
+        )
+        pick = (
+            ms.select(
+                F.lit(k).alias("rank"),
+                "doc_id",
+                "rel_micro",
+                (7 * F.col("rel_micro") - 3 * F.col("ms"))
+                .cast("bigint")
+                .alias("score_micro"),
+            )
+            .orderBy(F.col("score_micro").desc(), "doc_id")
+            .limit(1)
+        )
+        # checkpoint per pick: step k's plan otherwise embeds steps
+        # 1..k-1 and re-executes the whole prefix at every level
+        selected = selected.unionByName(pick).localCheckpoint()
+    return selected
+
+
+@register(
+    "ts_local_peaks",
+    """
+    WITH s AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x,
+             CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM events),
+    n AS (
+      SELECT event_type, x,
+             lag(x) OVER w AS xp, lead(x) OVER w AS xn
+      FROM s
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+    pk AS (
+      SELECT event_type, x - greatest(xp, xn) AS prom
+      FROM n WHERE xp IS NOT NULL AND xn IS NOT NULL
+        AND x > xp AND x > xn)
+    SELECT event_type,
+           count(*) AS n_peaks,
+           count(*) FILTER (WHERE prom >= 200) AS n_prominent,
+           CAST(max(prom) AS BIGINT) AS max_prominence_cents
+    FROM pk GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ts_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-peak detection with a prominence floor: a sample is a peak
+    when it exceeds both neighbors, and 'prominent' when it clears them
+    by ≥ 2.00 — the spike census behind alert tuning (ts_cusum_alerts
+    finds sustained shifts; this counts instantaneous spikes, and the
+    prominence floor is what separates signal from jitter). One
+    lag+lead window per stream over integer cents, then a conditional
+    aggregate — no joins, map-side combined."""
+    ev = table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("x"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    n = s.select(
+        "event_type",
+        "x",
+        F.lag("x").over(w).alias("xp"),
+        F.lead("x").over(w).alias("xn"),
+    )
+    pk = n.filter(
+        F.col("xp").isNotNull()
+        & F.col("xn").isNotNull()
+        & (F.col("x") > F.col("xp"))
+        & (F.col("x") > F.col("xn"))
+    ).select(
+        "event_type",
+        (F.col("x") - F.greatest("xp", "xn")).alias("prom"),
+    )
+    return (
+        pk.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_peaks"),
+            F.count_if(F.col("prom") >= 200).alias("n_prominent"),
+            F.max("prom").alias("max_prominence_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # The external verify driver samples the FIRST 50 entries of ``queries()``
 # each round. Rotation is SELF-MAINTAINING: any query that already has a
 # fully-green row (rows+schema+hash) in some CORRECTNESS_r{N}.json — or a
