@@ -188,6 +188,38 @@ EXTENDED_QUERIES = [
     "ml_ndcg_at10",
     "ivm_join_delta",
     "s26_dynamic_overwrite",
+    # r07 late additions: ER/linkage, retrieval diversity, graph IVM,
+    # attribution, trajectory, eval-suite completions, DQ channels
+    "j_asof_nearest",
+    "ml_prf1_eval",
+    "corpus_mixture_temperature",
+    "catalog_snapshot_expire",
+    "f19_url_parse",
+    "f20_ip_cidr",
+    "graph_degree_distribution",
+    "multimodal_ahash_pairs",
+    "er_fuzzy_match",
+    "a24_seq_motifs",
+    "geo_track_resample",
+    "dq_schema_contract",
+    "j_shuffle_hash_hint",
+    "ml_knn_classifier",
+    "dq_quarantine_reasons",
+    "pipeline_span_corruption",
+    "pipeline_padding_waste",
+    "ts_business_days",
+    "ab_test_zscore",
+    "geo_snap_simplify",
+    "j_mark_join_flags",
+    "emb_outlier_zscore",
+    "ml_lift_table",
+    "text_keyphrase_rake",
+    "graph_incremental_components",
+    "ts_autocorrelation",
+    "attribution_last_touch",
+    "s27_csv_badrecords",
+    "hybrid_mmr_topk",
+    "ts_local_peaks",
 ]
 
 

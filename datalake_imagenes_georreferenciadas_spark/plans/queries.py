@@ -15206,6 +15206,221 @@ def ts_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a25_skyline_2d",
+    """
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+             CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP)) / 86400)
+                  AS BIGINT) AS day_n
+      FROM orders WHERE o_custkey < 300),
+    per_price AS (
+      SELECT price_c, CAST(max(day_n) AS BIGINT) AS best_day
+      FROM o GROUP BY price_c),
+    run AS (
+      SELECT price_c, best_day,
+             max(best_day) OVER (ORDER BY price_c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_best
+      FROM per_price),
+    sky_prices AS (
+      SELECT price_c, best_day FROM run
+      WHERE prev_best IS NULL OR best_day > prev_best)
+    SELECT o.o_orderkey, o.price_c, o.day_n
+    FROM o JOIN sky_prices s
+      ON o.price_c = s.price_c AND o.day_n = s.best_day
+    """,
+)
+def a25_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) operator: the orders not dominated in
+    (minimize price, maximize recency) — the multi-criteria shortlist
+    query (BNL/D&C in the OLAP literature) that no single ORDER BY can
+    answer. 2-D skylines reduce to ONE ordered window: group to
+    distinct prices (map-side), take the running max of best-date over
+    strictly cheaper prices, and a price level survives iff it beats
+    that prefix max — O(n log n) total, no pairwise domination join
+    (the naive skyline is quadratic). Ties on both axes all survive,
+    matching the standard weak-domination definition. Exact integer
+    cents/day numbers end-to-end."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("price_c"),
+        F.floor(F.unix_timestamp("o_orderdate") / 86400)
+        .cast("bigint")
+        .alias("day_n"),
+    )
+    per_price = o.groupBy("price_c").agg(F.max("day_n").alias("best_day"))
+    w = Window.orderBy("price_c").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    run = per_price.withColumn("prev_best", F.max("best_day").over(w))
+    sky = run.filter(
+        F.col("prev_best").isNull() | (F.col("best_day") > F.col("prev_best"))
+    ).select(
+        F.col("price_c").alias("sky_price"), F.col("best_day")
+    )
+    return o.join(
+        F.broadcast(sky),
+        (o.price_c == sky.sky_price) & (o.day_n == sky.best_day),
+    ).select("o_orderkey", "price_c", "day_n")
+
+
+_QT_THRESHOLD = 300
+_QT_N = 20000
+
+
+@register(
+    "geo_quadtree_cells",
+    f"""
+    WITH pts AS (
+      SELECT (i * 73 % 997) / 997.0 * 16.0 - 2.0 AS lon,
+             (i * 131 % 983) / 983.0 * 14.0 - 2.0 AS lat
+      FROM (SELECT unnest(generate_series(0, {_QT_N - 1})) AS i)),
+    q AS (
+      SELECT CAST(floor((lon + 2.0) / 16.0 * 8) AS BIGINT) AS cx3,
+             CAST(floor((lat + 2.0) / 16.0 * 8) AS BIGINT) AS cy3
+      FROM pts),
+    l3 AS (SELECT cx3, cy3, count(*) AS n3 FROM q GROUP BY cx3, cy3),
+    l2 AS (SELECT cx3 // 2 AS cx2, cy3 // 2 AS cy2,
+                  CAST(sum(n3) AS BIGINT) AS n2
+           FROM l3 GROUP BY cx2, cy2),
+    l1 AS (SELECT cx2 // 2 AS cx1, cy2 // 2 AS cy1,
+                  CAST(sum(n2) AS BIGINT) AS n1
+           FROM l2 GROUP BY cx1, cy1),
+    pick AS (
+      SELECT l3.cx3, l3.cy3, l3.n3, l2.n2, l1.n1,
+             CASE WHEN l1.n1 <= {_QT_THRESHOLD} THEN 1
+                  WHEN l2.n2 <= {_QT_THRESHOLD} THEN 2
+                  ELSE 3 END AS level
+      FROM l3
+      JOIN l2 ON l2.cx2 = l3.cx3 // 2 AND l2.cy2 = l3.cy3 // 2
+      JOIN l1 ON l1.cx1 = l3.cx3 // 4 AND l1.cy1 = l3.cy3 // 4)
+    SELECT level,
+           CASE level WHEN 1 THEN cx3 // 4 WHEN 2 THEN cx3 // 2
+                      ELSE cx3 END AS cell_x,
+           CASE level WHEN 1 THEN cy3 // 4 WHEN 2 THEN cy3 // 2
+                      ELSE cy3 END AS cell_y,
+           CAST(sum(n3) AS BIGINT) AS n_points
+    FROM pick GROUP BY level, cell_x, cell_y
+    """,
+)
+def geo_quadtree_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quadtree tiling: each region is served at the COARSEST
+    level whose cell stays under the occupancy threshold, and dense
+    regions subdivide (3 unrolled levels over an 8×8 finest grid) —
+    the density-adaptive partitioning that fixes what geo_grid_density
+    diagnoses and geo_contains_grid's fixed cells suffer: uniform grids
+    over skewed data give hot cells (salting territory) AND empty ones.
+    Counts aggregate bottom-up (each level from the one below, never a
+    rescan); level choice is a broadcast join of three cell-count
+    tables; everything is integer cell arithmetic."""
+    pts = spark.range(_QT_N).select(
+        ((F.col("id") * 73 % 997) / 997.0 * 16.0 - 2.0).alias("lon"),
+        ((F.col("id") * 131 % 983) / 983.0 * 14.0 - 2.0).alias("lat"),
+    )
+    q = pts.select(
+        F.floor((F.col("lon") + 2.0) / 16.0 * 8).cast("bigint").alias("cx3"),
+        F.floor((F.col("lat") + 2.0) / 16.0 * 8).cast("bigint").alias("cy3"),
+    )
+    l3 = q.groupBy("cx3", "cy3").agg(F.count("*").alias("n3"))
+    l2 = l3.groupBy(
+        F.floor(F.col("cx3") / 2).cast("bigint").alias("cx2"),
+        F.floor(F.col("cy3") / 2).cast("bigint").alias("cy2"),
+    ).agg(F.sum("n3").alias("n2"))
+    l1 = l2.groupBy(
+        F.floor(F.col("cx2") / 2).cast("bigint").alias("cx1"),
+        F.floor(F.col("cy2") / 2).cast("bigint").alias("cy1"),
+    ).agg(F.sum("n2").alias("n1"))
+    pick = (
+        l3.join(
+            F.broadcast(l2),
+            (F.floor(F.col("cx3") / 2) == F.col("cx2"))
+            & (F.floor(F.col("cy3") / 2) == F.col("cy2")),
+        )
+        .join(
+            F.broadcast(l1),
+            (F.floor(F.col("cx3") / 4) == F.col("cx1"))
+            & (F.floor(F.col("cy3") / 4) == F.col("cy1")),
+        )
+        .select(
+            "cx3",
+            "cy3",
+            "n3",
+            F.when(F.col("n1") <= _QT_THRESHOLD, 1)
+            .when(F.col("n2") <= _QT_THRESHOLD, 2)
+            .otherwise(3)
+            .alias("level"),
+        )
+    )
+    cell = lambda c: (  # noqa: E731
+        F.when(F.col("level") == 1, F.floor(F.col(c) / 4))
+        .when(F.col("level") == 2, F.floor(F.col(c) / 2))
+        .otherwise(F.col(c))
+        .cast("bigint")
+    )
+    return pick.groupBy(
+        "level", cell("cx3").alias("cell_x"), cell("cy3").alias("cell_y")
+    ).agg(F.sum("n3").alias("n_points"))
+
+
+@register(
+    "ts_wma",
+    """
+    WITH s AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS x,
+             CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM events WHERE user_id < 20),
+    l AS (
+      SELECT user_id, ts, event_id, x,
+             lag(x, 1) OVER w AS x1, lag(x, 2) OVER w AS x2,
+             lag(x, 3) OVER w AS x3
+      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+           x,
+           CAST((4 * x + 3 * x1 + 2 * x2 + 1 * x3) // 10 AS BIGINT)
+             AS wma_cents
+    FROM l WHERE x3 IS NOT NULL
+    """,
+)
+def ts_wma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-weighted moving average (WMA-4): the newest of 4 samples
+    weighs 4/10, the oldest 1/10 — the finite-window, integer-exact
+    smoother between the plain moving average and ts_ewma's infinite
+    tail (weights sum to 10, so the division is exact integer division
+    of a non-negative sum — zero float anywhere). One lag window per
+    key; rows without a full 4-sample history are excluded rather than
+    silently under-weighted."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    s = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("x"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    l = s.select(
+        "user_id",
+        "ts",
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 2).over(w).alias("x2"),
+        F.lag("x", 3).over(w).alias("x3"),
+    ).filter(F.col("x3").isNotNull())
+    return l.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("epoch_s"),
+        "x",
+        F.floor(
+            (4 * F.col("x") + 3 * F.col("x1") + 2 * F.col("x2") + F.col("x3"))
+            / 10
+        )
+        .cast("bigint")
+        .alias("wma_cents"),
+    )
+
+
 # The external verify driver samples the FIRST 50 entries of ``queries()``
 # each round. Rotation is SELF-MAINTAINING: any query that already has a
 # fully-green row (rows+schema+hash) in some CORRECTNESS_r{N}.json — or a
