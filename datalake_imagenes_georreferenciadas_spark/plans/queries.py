@@ -15421,6 +15421,229 @@ def ts_wma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_scene_cuts",
+    """
+    WITH fr AS (
+      SELECT doc_id, (i * 10) AS frame_idx,
+             ('0x' || substring(
+                md5(md5(text) || ':' || (i * 10)::VARCHAR), 1, 2))::BIGINT
+               AS intensity
+      FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS i)),
+    d AS (
+      SELECT doc_id, frame_idx, intensity,
+             lag(intensity) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+               AS prev
+      FROM fr)
+    SELECT doc_id,
+           count(*) FILTER (WHERE prev IS NOT NULL
+                              AND abs(intensity - prev) > 64) AS n_cuts,
+           CAST(max(abs(intensity - prev)) AS BIGINT) AS max_delta
+    FROM d GROUP BY doc_id HAVING count(*) FILTER (WHERE prev IS NOT NULL
+                              AND abs(intensity - prev) > 64) > 0
+    """,
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over sampled video frames: consecutive frame
+    intensities (digest stub — a real decoder swaps in per-frame luma
+    histograms, nothing else changes) compared per document, a cut
+    declared when the jump clears a threshold — the shot-boundary pass
+    that picks keyframes for captioning/embedding instead of wasting
+    compute on every frame. Frames come from the one-to-many Arrow
+    mapInPandas kernel (multimodal_frames' contract); the boundary
+    logic is one lag window per asset + a conditional aggregate. At
+    100 TB each asset's frames stay in one partition group — the
+    window never crosses assets."""
+    from ..sources.binary import sample_frames
+
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    frames = sample_frames(docs, every_n=10, max_frames=5)
+    fr = frames.select(
+        F.col("path").cast("long").alias("doc_id"),
+        "frame_idx",
+        F.conv(F.substring("frame_key", 1, 2), 16, 10)
+        .cast("bigint")
+        .alias("intensity"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    d = fr.withColumn("prev", F.lag("intensity").over(w))
+    cut = F.col("prev").isNotNull() & (
+        F.abs(F.col("intensity") - F.col("prev")) > 64
+    )
+    return (
+        d.groupBy("doc_id")
+        .agg(
+            F.count_if(cut).alias("n_cuts"),
+            F.max(F.abs(F.col("intensity") - F.col("prev"))).alias(
+                "max_delta"
+            ),
+        )
+        .filter(F.col("n_cuts") > 0)
+    )
+
+
+@register(
+    "graph_assoc_rules",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM li),
+    item AS (SELECT l_partkey, count(*) AS n_item FROM li GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_both
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY part_a, part_b
+      HAVING count(*) >= 3)
+    SELECT p.part_a, p.part_b, p.n_both,
+           CAST(floor(p.n_both * 1000000.0 / ia.n_item) AS BIGINT)
+             AS confidence_micro,
+           CAST(floor(p.n_both * t.n * 1000000.0
+                      / (ia.n_item * ib.n_item)) AS BIGINT) AS lift_micro
+    FROM pairs p
+    JOIN item ia ON ia.l_partkey = p.part_a
+    JOIN item ib ON ib.l_partkey = p.part_b
+    CROSS JOIN n_orders t
+    """,
+)
+def graph_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the co-purchase graph: support, confidence
+    (P(b|a)) and lift (observed/expected co-occurrence) for item pairs
+    sharing ≥3 baskets — the Apriori readout that turns
+    graph_copurchase's raw edges into ranked recommendations (lift > 1
+    is the signal; confidence alone favors popular items). Pair
+    generation rides the basket-bounded self-join; item supports are a
+    broadcast-sized table joined twice; the basket total is a one-row
+    broadcast. Metrics are floored micro rationals from exact counts."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.agg(F.countDistinct("l_orderkey").alias("n"))
+    item = li.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            F.floor(F.col("n_both") * 1000000.0 / F.col("n_a"))
+            .cast("bigint")
+            .alias("confidence_micro"),
+            F.floor(
+                F.col("n_both")
+                * F.col("n")
+                * 1000000.0
+                / (F.col("n_a") * F.col("n_b"))
+            )
+            .cast("bigint")
+            .alias("lift_micro"),
+        )
+    )
+
+
+@register(
+    "ts_spc_limits",
+    """
+    WITH s AS (
+      SELECT event_type,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT)
+               AS hr,
+             CAST(round(value * 100) AS BIGINT) AS x
+      FROM events),
+    sub AS (
+      SELECT event_type, hr, count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(max(x) - min(x) AS BIGINT) AS r
+      FROM s GROUP BY event_type, hr
+      HAVING count(*) >= 4),
+    g AS (
+      SELECT event_type, count(*) AS n_subgroups,
+             CAST(sum(sx) AS BIGINT) AS sxx,
+             CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(r) AS BIGINT) AS sr
+      FROM sub GROUP BY event_type)
+    SELECT event_type, n_subgroups,
+           CAST(sxx // nn AS BIGINT) AS xbar_cents,
+           CAST(sr // n_subgroups AS BIGINT) AS rbar_cents,
+           CAST(sxx // nn + 577 * (sr // n_subgroups) // 1000 AS BIGINT)
+             AS ucl_cents,
+           CAST(sxx // nn - 577 * (sr // n_subgroups) // 1000 AS BIGINT)
+             AS lcl_cents
+    FROM g ORDER BY event_type
+    """,
+)
+def ts_spc_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical process control (X̄-R chart) limits: hourly subgroups
+    per stream, center line = grand mean, control limits = X̄ ± A₂·R̄
+    with the n=4 Shewhart constant A₂ ≈ 0.577 as an exact integer
+    ratio (577/1000) — the manufacturing-grade alerting bands that
+    complement ts_cusum_alerts (CUSUM catches slow drifts; Shewhart
+    limits catch single excursions). All arithmetic is integer cents
+    with floor division on non-negative sums; two map-side-combinable
+    aggregates, no window, no join."""
+    ev = table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hr"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("x"),
+    )
+    sub = (
+        s.groupBy("event_type", "hr")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            (F.max("x") - F.min("x")).alias("r"),
+        )
+        .filter(F.col("n") >= 4)
+    )
+    g = sub.groupBy("event_type").agg(
+        F.count("*").alias("n_subgroups"),
+        F.sum("sx").alias("sxx"),
+        F.sum("n").alias("nn"),
+        F.sum("r").alias("sr"),
+    )
+    xbar = F.floor(F.col("sxx") / F.col("nn")).cast("bigint")
+    rbar = F.floor(F.col("sr") / F.col("n_subgroups")).cast("bigint")
+    band = F.floor(577 * rbar / 1000).cast("bigint")
+    return g.select(
+        "event_type",
+        "n_subgroups",
+        xbar.alias("xbar_cents"),
+        rbar.alias("rbar_cents"),
+        (xbar + band).alias("ucl_cents"),
+        (xbar - band).alias("lcl_cents"),
+    ).orderBy("event_type")
+
+
 # The external verify driver samples the FIRST 50 entries of ``queries()``
 # each round. Rotation is SELF-MAINTAINING: any query that already has a
 # fully-green row (rows+schema+hash) in some CORRECTNESS_r{N}.json — or a
