@@ -220,6 +220,12 @@ EXTENDED_QUERIES = [
     "s27_csv_badrecords",
     "hybrid_mmr_topk",
     "ts_local_peaks",
+    "a25_skyline_2d",
+    "geo_quadtree_cells",
+    "ts_wma",
+    "multimodal_scene_cuts",
+    "graph_assoc_rules",
+    "ts_spc_limits",
 ]
 
 
