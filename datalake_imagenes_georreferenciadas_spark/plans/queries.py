@@ -15644,6 +15644,197 @@ def ts_spc_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+@register(
+    "streaming_append_windows",
+    f"""
+    WITH m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mt FROM events),
+    w AS (
+      SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600 AS BIGINT)
+               AS window_start_epoch,
+             event_type, count(*) AS n, {_dsum_sql('value')} AS sum_value
+      FROM events GROUP BY 1, 2)
+    SELECT w.window_start_epoch, w.event_type, w.n, w.sum_value
+    FROM w CROSS JOIN m
+    WHERE to_timestamp(w.window_start_epoch + 3600)
+          <= m.mt - INTERVAL 30 MINUTE
+    """,
+)
+def streaming_append_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode windowed aggregation — the production streaming-agg
+    semantics the complete-mode twins (streaming_tumbling/sliding) do
+    not exercise: each hourly window emits EXACTLY ONCE, only after the
+    30-minute watermark passes its end, and late rows beyond the
+    watermark are dropped rather than restating published results (the
+    contract downstream consumers of an append sink rely on). The file
+    source is split into 4 time-ordered files with maxFilesPerTrigger=1
+    so the watermark actually advances across micro-batches; the final
+    availableNow flush emits every closed window. The oracle is the
+    batch aggregate restricted to windows closed by the terminal
+    watermark (max event time − 30 min) — open windows are withheld on
+    BOTH sides."""
+    import glob as _g
+    import shutil
+    import uuid
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    split_dir = tempfile.mkdtemp(prefix="append_split_")
+    src_dir = tempfile.mkdtemp(prefix="append_src_")
+    part = ev.withColumn(
+        "part", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    )
+    for p in range(1, 5):
+        part.filter(F.col("part") == p).drop("part").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(split_dir, f"f{p}"))
+        src = _g.glob(os.path.join(split_dir, f"f{p}", "*.parquet"))[0]
+        shutil.copy(src, os.path.join(src_dir, f"{p:02d}.parquet"))
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), _dsum(F.col("value")).alias("sum_value"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_epoch"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    name = f"append_windows_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "ts_seasonal_adjust",
+    """
+    WITH s AS (
+      SELECT event_type,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+               AS day_n,
+             CAST(round(value * 100) AS BIGINT) AS x,
+             event_id
+      FROM events),
+    dow AS (SELECT event_type, (day_n + 4) % 7 AS dw, x, event_id FROM s),
+    base AS (
+      SELECT event_type, dw, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx
+      FROM dow GROUP BY event_type, dw),
+    resid AS (
+      SELECT d.event_type, d.event_id,
+             d.x * b.n - b.sx AS r_scaled, b.n
+      FROM dow d JOIN base b ON b.event_type = d.event_type AND b.dw = d.dw)
+    SELECT event_type,
+           count(*) FILTER (WHERE abs(r_scaled) > 20000 * n) AS n_outliers,
+           CAST(max(abs(r_scaled) // n) AS BIGINT) AS max_resid_cents
+    FROM resid GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ts_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal adjustment by day-of-week profile: residual = value −
+    same-weekday mean (the simplest STL step — weekly seasonality is
+    the dominant cycle in ops metrics, and an 'anomaly' that is just
+    'it's Saturday' is the classic false page). Weekday comes from the
+    epoch-day closed form (ts_business_days' convention), means stay
+    exact rationals by scaling residuals with the group count, and the
+    outlier census (|residual| > 200.00) is pure integer compare. One
+    profile aggregate broadcast back onto the stream, one final
+    aggregate."""
+    ev = table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day_n"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("x"),
+        "event_id",
+    ).select(
+        "event_type",
+        ((F.col("day_n") + 4) % 7).alias("dw"),
+        "x",
+        "event_id",
+    )
+    base = s.groupBy("event_type", "dw").agg(
+        F.count("*").alias("n"), F.sum("x").alias("sx")
+    )
+    resid = s.join(F.broadcast(base), ["event_type", "dw"]).select(
+        "event_type",
+        (F.col("x") * F.col("n") - F.col("sx")).alias("r_scaled"),
+        "n",
+    )
+    return (
+        resid.groupBy("event_type")
+        .agg(
+            F.count_if(F.abs(F.col("r_scaled")) > 20000 * F.col("n")).alias(
+                "n_outliers"
+            ),
+            F.max(
+                F.floor(F.abs(F.col("r_scaled")) / F.col("n"))
+            )
+            .cast("bigint")
+            .alias("max_resid_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "s28_column_rename_evolution",
+    f"""
+    SELECT o_orderstatus AS status, count(*) AS n,
+           {_dsum_sql('o_totalprice')} AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def s28_column_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-rename schema evolution: half the table's files carry the
+    old column name (``price``), half the new (``amount``) — plain
+    parquet has no column-mapping metadata (the Delta/Iceberg feature),
+    so the engine-side fix is an explicit mapping read: scan each
+    vintage with its own schema, normalize names, union — never
+    mergeSchema (which would produce two half-null columns, silently).
+    The read-back aggregate must equal the original table's — proving
+    no rows or values were lost across the rename boundary. At 100 TB
+    the two vintage scans are partition-pruned by their directories."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="rename_evo_")
+    old_dir = os.path.join(root, "v_old")
+    new_dir = os.path.join(root, "v_new")
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").alias("price"),
+    ).write.parquet(old_dir)
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").alias("amount"),
+    ).write.parquet(new_dir)
+    old = spark.read.parquet(old_dir).select(
+        "o_orderkey", "o_orderstatus", F.col("price").alias("o_totalprice")
+    )
+    new = spark.read.parquet(new_dir).select(
+        "o_orderkey", "o_orderstatus", F.col("amount").alias("o_totalprice")
+    )
+    both = old.unionByName(new)
+    return both.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("n"), _dsum(F.col("o_totalprice")).alias("total")
+    )
+
+
 # The external verify driver samples the FIRST 50 entries of ``queries()``
 # each round. Rotation is SELF-MAINTAINING: any query that already has a
 # fully-green row (rows+schema+hash) in some CORRECTNESS_r{N}.json — or a
