@@ -301,6 +301,31 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # span corruption: position/start join is per-doc equi (+ bounded
     # residual), distinct + aggregates map-side combined
     "pipeline_span_corruption": (14, ["HashAggregate", "!CartesianProduct", "!BatchEvalPython"]),
+    # skyline: ONE ordered window over distinct price levels + a
+    # broadcast join back — no quadratic domination join
+    "a25_skyline_2d": (6, ["Window", "BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
+    # quadtree: levels aggregate bottom-up (each from the one below),
+    # level pick is two broadcast joins of cell-count tables
+    "geo_quadtree_cells": (8, ["HashAggregate", "BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
+    # association rules: pair fan-out rides the basket equi-join; item
+    # supports and the basket total broadcast
+    "graph_assoc_rules": (10, ["BroadcastHashJoin", "!CartesianProduct"]),
+    # SPC limits: two stacked map-side-combinable aggregates, no join
+    "ts_spc_limits": (4, ["HashAggregate", "!SortMergeJoin", "!BroadcastHashJoin"]),
+    # seasonal adjustment: weekday profile broadcast back, no SMJ
+    "ts_seasonal_adjust": (6, ["BroadcastHashJoin", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    # WMA: one per-key lag window, zero joins
+    "ts_wma": (2, ["Window", "!SortMergeJoin", "!BroadcastHashJoin"]),
+    # business days: per-order min-shipdate combined map-side BEFORE
+    # the join; orders side broadcastable
+    "ts_business_days": (6, ["HashAggregate", "!CartesianProduct"]),
+    # ER: soundex blocking key is the join key; dirty feed broadcast;
+    # never an all-pairs name comparison
+    "er_fuzzy_match": (6, ["BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
+    # perceptual hash: banded equi-join candidates, broadcast verify
+    "multimodal_ahash_pairs": (10, ["BroadcastHashJoin", "!CartesianProduct", "!BatchEvalPython"]),
+    # track resampling: targets and segments equi/broadcast, no cart
+    "geo_track_resample": (6, ["BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin"]),
 }
 
 
