@@ -11494,8 +11494,17 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_target",
         (H.hash64(F.col("bg"), _DSIR_SEED) % _DSIR_BUCKETS).alias("bucket"),
     )
-    bs = xb.groupBy("bucket").agg(
-        F.count_if("is_target").alias("t_b"), F.count("*").alias("r_b")
+    # ONE explode pass: per-(doc, bucket) counts first; the per-bucket
+    # target/raw totals then aggregate from this (vocabulary-sized)
+    # table instead of re-expanding the corpus explode a second time
+    dc_full = xb.groupBy("doc_id", "bucket").agg(
+        F.count("*").alias("cnt"), F.first("is_target").alias("is_target")
+    )
+    bs = dc_full.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), F.col("cnt")).otherwise(0)).alias(
+            "t_b"
+        ),
+        F.sum("cnt").alias("r_b"),
     )
     tot = bs.agg(F.sum("t_b").alias("t_tot"), F.sum("r_b").alias("r_tot"))
     half_b = _DSIR_BUCKETS / 2.0
@@ -11512,7 +11521,7 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lam_micro"),
     )
-    dc = xb.groupBy("doc_id", "bucket").agg(F.count("*").alias("cnt"))
+    dc = dc_full.select("doc_id", "bucket", "cnt")
     w = (
         dc.join(F.broadcast(lam), "bucket")
         .groupBy("doc_id")
