@@ -12298,7 +12298,9 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the verify stage, floor-divided to micro units so both engines
     hash identically."""
     docs = table(spark, sf_dir, "documents")
-    s = D.with_minhash(docs, "text", 3, 16, 4, keep_shingles=True)
+    # three consumers (band explode + both verify sides) — checkpoint
+    # the signature index once, as a production index store would
+    s = D.with_minhash(docs, "text", 3, 16, 4, keep_shingles=True).localCheckpoint()
     b = s.select("doc_id", F.explode("__bands").alias("band"))
     cand = (
         b.select(F.col("doc_id").alias("a_id"), "band")
@@ -12683,6 +12685,10 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "b_id",
         )
+        # the labeled edge list is tiny but its upstream is the whole
+        # MinHash band-join machinery — checkpoint so the three
+        # consumers (m, ec, dc) don't each recompute it
+        .localCheckpoint()
     )
     m = lab.agg(F.count("*").alias("m"))
     ec = (
@@ -13366,7 +13372,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(
         docs, k=3, num_hashes=16, bands=4, jaccard_threshold=0.1
-    ).select("a_id", "b_id")
+    ).select("a_id", "b_id").localCheckpoint()
     deg = (
         pairs.select(F.col("a_id").alias("id"))
         .unionAll(pairs.select(F.col("b_id").alias("id")))
@@ -14757,7 +14763,7 @@ def graph_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(
         docs, k=3, num_hashes=16, bands=4, jaccard_threshold=0.1
-    ).select("a_id", "b_id")
+    ).select("a_id", "b_id").localCheckpoint()
     split = 400
     old_e = pairs.filter(
         (F.col("a_id") < split) & (F.col("b_id") < split)
