@@ -15850,6 +15850,154 @@ def s28_column_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CELL_BAL_SQL = f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS centroid
+  FROM embeddings WHERE vec_id < {_IVFPQ_NCELLS}),
+a0 AS (
+  SELECT e.vec_id, c.centroid_id,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY {V.euclidean2_sql('CAST(e.embedding AS DOUBLE[])', 'c.centroid')},
+                    c.centroid_id) AS rn
+  FROM embeddings e CROSS JOIN c),
+sizes AS (
+  SELECT centroid_id, count(*) AS n
+  FROM a0 WHERE rn = 1 GROUP BY centroid_id),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot, count(*) AS n_cells
+        FROM sizes)
+SELECT s.centroid_id, s.n,
+       CAST(floor(s.n * t.n_cells * 1000000.0 / t.n_tot) AS BIGINT)
+         AS load_ratio_micro,
+       s.n * t.n_cells > 2 * t.n_tot AS is_hot
+FROM sizes s CROSS JOIN tot t
+ORDER BY s.centroid_id
+"""
+
+
+@register("ann_cell_balance", _CELL_BAL_SQL)
+def ann_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-balance report: posting-list sizes per coarse cell, the
+    load ratio vs a perfectly uniform split, and a hot-cell flag at 2×
+    — the skew diagnostic for the ANN probe join (a hot cell is a hot
+    shuffle key: the fix is salting the cell or re-training the coarse
+    codebook, and this report is what triggers either). One assignment
+    pass (the same argmin the index build runs), one aggregate, a
+    one-row total broadcast."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("ve")
+    )
+    c = emb.filter(F.col("vec_id") < _IVFPQ_NCELLS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("ve").alias("centroid")
+    )
+    a0 = (
+        emb.crossJoin(F.broadcast(c))
+        .select(
+            "vec_id",
+            "centroid_id",
+            V.euclidean2(F.col("ve"), F.col("centroid")).alias("__d2"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("__d2", "centroid_id")
+            ),
+        )
+    )
+    sizes = (
+        a0.filter(F.col("rn") == 1)
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = sizes.agg(
+        F.sum("n").alias("n_tot"), F.count("*").alias("n_cells")
+    )
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .select(
+            "centroid_id",
+            "n",
+            F.floor(
+                F.col("n") * F.col("n_cells") * 1000000.0 / F.col("n_tot")
+            )
+            .cast("bigint")
+            .alias("load_ratio_micro"),
+            (F.col("n") * F.col("n_cells") > 2 * F.col("n_tot")).alias(
+                "is_hot"
+            ),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+@register(
+    "ts_naive_forecast_mae",
+    """
+    WITH d AS (
+      SELECT event_type,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+               AS day_n,
+             count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_c
+      FROM events GROUP BY event_type, day_n),
+    j AS (
+      SELECT cur.event_type, cur.day_n,
+             cur.total_c AS actual_c, prev.total_c AS forecast_c
+      FROM d cur JOIN d prev
+        ON prev.event_type = cur.event_type
+       AND prev.day_n = cur.day_n - 7)
+    SELECT event_type, count(*) AS n_days,
+           CAST(sum(abs(actual_c - forecast_c)) AS BIGINT)
+             AS total_abs_err_c,
+           CAST(floor(sum(abs(actual_c - forecast_c)) * 1.0 / count(*))
+                AS BIGINT) AS mae_cents
+    FROM j GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ts_naive_forecast_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast baseline: predict each day's total as the
+    same weekday one week earlier and score MAE — the benchmark every
+    real forecasting model must beat before it ships (if your model
+    can't beat 'same as last Tuesday', it isn't a model; pairs with
+    ts_seasonal_adjust, which removes exactly the signal this forecast
+    exploits). Daily totals are one map-side-combined aggregate; the
+    t−7 join is a self equi-join on the shifted day number — no window,
+    no cross. All integer cents."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day_n"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias(
+            "total_c"
+        )
+    )
+    cur = d.select("event_type", "day_n", F.col("total_c").alias("actual_c"))
+    prev = d.select(
+        "event_type",
+        (F.col("day_n") + 7).alias("day_n"),
+        F.col("total_c").alias("forecast_c"),
+    )
+    j = cur.join(prev, ["event_type", "day_n"])
+    err = F.abs(F.col("actual_c") - F.col("forecast_c"))
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum(err).alias("total_abs_err_c"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "total_abs_err_c",
+            F.floor(F.col("total_abs_err_c") * 1.0 / F.col("n_days"))
+            .cast("bigint")
+            .alias("mae_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # The external verify driver samples the FIRST 50 entries of ``queries()``
 # each round. Rotation is SELF-MAINTAINING: any query that already has a
 # fully-green row (rows+schema+hash) in some CORRECTNESS_r{N}.json — or a
