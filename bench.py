@@ -226,6 +226,13 @@ EXTENDED_QUERIES = [
     "multimodal_scene_cuts",
     "graph_assoc_rules",
     "ts_spc_limits",
+    "streaming_append_windows",
+    "ts_seasonal_adjust",
+    "s28_column_rename_evolution",
+    "ann_cell_balance",
+    "ts_naive_forecast_mae",
+    "seq_regex_funnel",
+    "pipeline_dataset_card",
 ]
 
 

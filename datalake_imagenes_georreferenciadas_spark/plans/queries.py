@@ -15998,6 +15998,135 @@ def ts_naive_forecast_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "seq_regex_funnel",
+    """
+    WITH s AS (
+      SELECT user_id, substring(event_type, 1, 1) AS c,
+             CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM events WHERE user_id < 100),
+    seq AS (
+      SELECT user_id, string_agg(c, '' ORDER BY ts, event_id) AS journey
+      FROM s GROUP BY user_id)
+    SELECT count(*) AS n_users,
+           count(*) FILTER (WHERE regexp_matches(journey, 'v[^p]*c[^p]*p'))
+             AS n_funnel,
+           count(*) FILTER (WHERE regexp_matches(journey, 'ee'))
+             AS n_double_error,
+           count(*) FILTER (WHERE regexp_matches(journey, '^s'))
+             AS n_signup_first
+    FROM seq
+    """,
+)
+def seq_regex_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex pattern matching over event journeys — the MATCH_RECOGNIZE
+    stand-in: each user's ordered event-type initials collapse into one
+    journey string, and funnel questions become regexes (view → click →
+    purchase with no intervening purchase; an error immediately
+    retried; signup as first action) — strictly more expressive than
+    funnel_conversion's fixed stages (backtracking, negations, and
+    anchors come free). The per-user collapse is one ordered aggregate;
+    journeys are short strings, so the regex pass is map-only; both
+    engines run the identical pattern."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    s = ev.select(
+        "user_id",
+        F.substring("event_type", 1, 1).alias("c"),
+        "ts",
+        "event_id",
+    )
+    seq = s.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("ts"), F.col("event_id"), F.col("c"))
+                    )
+                ),
+                lambda r: r["c"],
+            ),
+            "",
+        ).alias("journey")
+    )
+    return seq.agg(
+        F.count("*").alias("n_users"),
+        F.count_if(F.col("journey").rlike("v[^p]*c[^p]*p")).alias("n_funnel"),
+        F.count_if(F.col("journey").rlike("ee")).alias("n_double_error"),
+        F.count_if(F.col("journey").rlike("^s")).alias("n_signup_first"),
+    )
+
+
+@register(
+    "pipeline_dataset_card",
+    """
+    WITH d AS (
+      SELECT source,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                 t -> t <> '')) AS n_tok,
+             n_chars,
+             md5(text) AS h
+      FROM documents),
+    g AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             count(DISTINCT h) AS n_unique,
+             CAST(min(n_tok) AS BIGINT) AS min_tokens,
+             CAST(max(n_tok) AS BIGINT) AS max_tokens
+      FROM d GROUP BY source)
+    SELECT source, n_docs, total_tokens, total_chars,
+           min_tokens, max_tokens,
+           CAST(n_docs - n_unique AS BIGINT) AS n_exact_dups,
+           CAST(floor(total_tokens * 1.0 / n_docs) AS BIGINT)
+             AS mean_tokens,
+           CAST(floor((n_docs - n_unique) * 1000000.0 / n_docs) AS BIGINT)
+             AS dup_rate_micro
+    FROM g ORDER BY source
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card, one pass: per source — document and token volumes,
+    length extremes, exact-duplicate counts and rate — the stat sheet
+    published alongside a training corpus (Datasheets for Datasets /
+    model-card practice) and the round-trip sanity check before and
+    after every pipeline stage. ONE scan computes everything: token
+    counts and content hashes are row-local projections; the aggregate
+    is map-side combined (count-distinct via the hash, not the text).
+    Derived ratios are floored integer rationals."""
+    docs = table(spark, sf_dir, "documents")
+    d = spread(docs, "doc_id").select(
+        "source",
+        F.size(H.tokens(F.col("text"))).alias("n_tok"),
+        "n_chars",
+        F.md5("text").alias("h"),
+    )
+    g = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("h").alias("n_unique"),
+        F.min("n_tok").cast("bigint").alias("min_tokens"),
+        F.max("n_tok").cast("bigint").alias("max_tokens"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        "min_tokens",
+        "max_tokens",
+        (F.col("n_docs") - F.col("n_unique")).alias("n_exact_dups"),
+        F.floor(F.col("total_tokens") * 1.0 / F.col("n_docs"))
+        .cast("bigint")
+        .alias("mean_tokens"),
+        F.floor(
+            (F.col("n_docs") - F.col("n_unique")) * 1000000.0 / F.col("n_docs")
+        )
+        .cast("bigint")
+        .alias("dup_rate_micro"),
+    ).orderBy("source")
+
+
 # The external verify driver samples the FIRST 50 entries of ``queries()``
 # each round. Rotation is SELF-MAINTAINING: any query that already has a
 # fully-green row (rows+schema+hash) in some CORRECTNESS_r{N}.json — or a
