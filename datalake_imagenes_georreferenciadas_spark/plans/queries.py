@@ -16127,6 +16127,156 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+@register(
+    "dq_duplicate_payments",
+    """
+    WITH p AS (
+      SELECT event_id, user_id,
+             CAST(floor(value) AS BIGINT) AS amount_d,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t_s
+      FROM events WHERE event_type = 'purchase'),
+    pairs AS (
+      SELECT a.user_id, a.amount_d,
+             a.event_id AS a_id, b.event_id AS b_id,
+             b.t_s - a.t_s AS dt_s
+      FROM p a JOIN p b
+        ON b.user_id = a.user_id AND b.amount_d = a.amount_d
+       AND a.event_id < b.event_id
+       AND abs(b.t_s - a.t_s) <= 86400)
+    SELECT user_id, amount_d, a_id, b_id, dt_s FROM pairs
+    """,
+)
+def dq_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-charge detection: purchase pairs by the same user for
+    the same whole-dollar amount within 24 hours — the double-submit /
+    retry-storm audit every payments lake runs nightly (exact dedup
+    misses these: the rows differ in id and timestamp; near-dedup text
+    tricks don't apply to amounts; the dollar bucket absorbs cent-level
+    fee jitter). The self-join is keyed on (user, amount bucket), so
+    fan-out is bounded by per-user same-amount multiplicity — never a
+    time-range scan; at 100 TB the j_range_bucketed day-cell rewrite
+    stacks under the |Δt| residual. Integer dollars and epoch seconds
+    end-to-end."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    p = ev.select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value")).cast("bigint").alias("amount_d"),
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("t_s"),
+    )
+    a = p.select(
+        "user_id",
+        "amount_d",
+        F.col("event_id").alias("a_id"),
+        F.col("t_s").alias("ta"),
+    )
+    b = p.select(
+        "user_id",
+        "amount_d",
+        F.col("event_id").alias("b_id"),
+        F.col("t_s").alias("tb"),
+    )
+    return (
+        a.join(b, ["user_id", "amount_d"])
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("tb") - F.col("ta")) <= 86400)
+        )
+        .select(
+            "user_id",
+            "amount_d",
+            "a_id",
+            "b_id",
+            (F.col("tb") - F.col("ta")).alias("dt_s"),
+        )
+    )
+
+
+@register(
+    "emb_centroid_drift",
+    """
+    WITH comp AS (
+      SELECT label, vec_id % 2 AS half,
+             unnest(generate_series(0, len(embedding) - 1)) AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+               AS q
+      FROM embeddings),
+    s AS (
+      SELECT label, half, pos, count(*) AS n,
+             CAST(sum(q) AS BIGINT) AS sq
+      FROM comp GROUP BY label, half, pos),
+    j AS (
+      SELECT a.label, a.pos,
+             a.n AS n0, b.n AS n1,
+             CAST(floor(
+               (CAST(a.sq * b.n - b.sq * a.n AS DOUBLE) / (a.n * b.n))
+               * (CAST(a.sq * b.n - b.sq * a.n AS DOUBLE) / (a.n * b.n))
+               / 1e12 * 1e9 + 0.5) AS BIGINT) AS term_nano
+      FROM s a JOIN s b
+        ON a.label = b.label AND a.pos = b.pos
+       AND a.half = 0 AND b.half = 1)
+    SELECT label, CAST(min(n0) AS BIGINT) AS n_half0,
+           CAST(min(n1) AS BIGINT) AS n_half1,
+           CAST(sum(term_nano) AS BIGINT) AS drift_nano
+    FROM j GROUP BY label ORDER BY label
+    """,
+)
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-centroid drift: per label, the squared L2 distance
+    between the class centroid computed on two dataset halves — the
+    drift monitor for VECTOR columns (dq_distribution_drift watches
+    scalars; a re-embedded or silently re-normalized upstream model
+    shows up here first, before ANN recall degrades). Components
+    quantize to integer micro units; per-dimension mean differences are
+    exact rationals (s₀n₁ − s₁n₀ over n₀n₁) fixed-pointed to nano
+    BEFORE the cross-dimension sum, so the reduction is pure BIGINT.
+    One explode + one aggregate + a self-join on (label, pos) — 64
+    rows per label per half."""
+    emb = table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.expr("CAST(embedding AS ARRAY<DOUBLE>)")).alias(
+            "pos", "v"
+        ),
+    ).select(
+        "label",
+        "half",
+        "pos",
+        F.floor(F.col("v") * 1e6).cast("bigint").alias("q"),
+    )
+    s = comp.groupBy("label", "half", "pos").agg(
+        F.count("*").alias("n"), F.sum("q").alias("sq")
+    )
+    a = s.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("n").alias("n0"), F.col("sq").alias("s0")
+    )
+    b = s.filter(F.col("half") == 1).select(
+        "label", "pos", F.col("n").alias("n1"), F.col("sq").alias("s1")
+    )
+    num = F.col("s0") * F.col("n1") - F.col("s1") * F.col("n0")
+    ratio = num.cast("double") / (F.col("n0") * F.col("n1"))
+    j = a.join(b, ["label", "pos"]).select(
+        "label",
+        "n0",
+        "n1",
+        F.floor(ratio * ratio / 1e12 * 1e9 + F.lit(0.5))
+        .cast("bigint")
+        .alias("term_nano"),
+    )
+    return (
+        j.groupBy("label")
+        .agg(
+            F.min("n0").alias("n_half0"),
+            F.min("n1").alias("n_half1"),
+            F.sum("term_nano").alias("drift_nano"),
+        )
+        .orderBy("label")
+    )
+
+
 # The external verify driver samples the FIRST 50 entries of ``queries()``
 # each round. Rotation is SELF-MAINTAINING: any query that already has a
 # fully-green row (rows+schema+hash) in some CORRECTNESS_r{N}.json — or a
