@@ -233,6 +233,8 @@ EXTENDED_QUERIES = [
     "ts_naive_forecast_mae",
     "seq_regex_funnel",
     "pipeline_dataset_card",
+    "dq_duplicate_payments",
+    "emb_centroid_drift",
 ]
 
 
