@@ -235,6 +235,10 @@ EXTENDED_QUERIES = [
     "pipeline_dataset_card",
     "dq_duplicate_payments",
     "emb_centroid_drift",
+    "ts_bollinger_breaches",
+    "ts_max_drawdown",
+    "corpus_token_apportion",
+    "f21_luhn_check",
 ]
 
 

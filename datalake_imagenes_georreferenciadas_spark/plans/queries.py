@@ -16277,6 +16277,331 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ts_bollinger_breaches",
+    """
+    WITH s AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS x,
+             CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM events WHERE user_id < 50),
+    w AS (
+      SELECT user_id, x,
+             count(*) OVER win AS n,
+             CAST(sum(x) OVER win AS BIGINT) AS sx,
+             CAST(sum(x * x) OVER win AS BIGINT) AS sxx
+      FROM s
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+    b AS (
+      -- breach iff n(x·n − sx)² > 4·n(n·sxx − sx²): the |x−μ| > 2σ
+      -- test cleared of divisions — pure integer compare
+      SELECT user_id,
+             (x * n - sx) * (x * n - sx) * n
+               > 4 * (n * sxx - sx * sx) * n AS breach
+      FROM w WHERE n = 20)
+    SELECT user_id, count(*) AS n_windows,
+           count(*) FILTER (WHERE breach) AS n_breaches
+    FROM b GROUP BY user_id
+    HAVING count(*) FILTER (WHERE breach) > 0
+    ORDER BY user_id
+    """,
+)
+def ts_bollinger_breaches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breaches: samples outside mean ± 2σ of their own
+    trailing 20-observation window — the volatility-normalized spike
+    detector (a fixed threshold pages on volatile streams and sleeps on
+    quiet ones; bands adapt). The breach test is cleared of every
+    division and square root: |x−μ| > 2σ rearranges to
+    n(xn−sx)² > 4n(n·sxx−sx²) over exact BIGINT window power sums — a
+    pure integer comparison, bit-identical cross-engine. One windowed
+    pass, one aggregate."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    s = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("x"),
+        "ts",
+        "event_id",
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    w = s.select(
+        "user_id",
+        "x",
+        F.count("*").over(win).alias("n"),
+        F.sum("x").over(win).alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(win).alias("sxx"),
+    ).filter(F.col("n") == 20)
+    dev = F.col("x") * F.col("n") - F.col("sx")
+    var_n2 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    b = w.select(
+        "user_id",
+        (dev * dev * F.col("n") > 4 * var_n2 * F.col("n")).alias("breach"),
+    )
+    return (
+        b.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count_if("breach").alias("n_breaches"),
+        )
+        .filter(F.col("n_breaches") > 0)
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "ts_max_drawdown",
+    """
+    WITH s AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CAST(round(value * 100) AS BIGINT) - 25000 AS pnl
+      FROM events WHERE user_id < 50),
+    c AS (
+      SELECT user_id, ts, event_id,
+             CAST(sum(pnl) OVER w AS BIGINT) AS equity
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    d AS (
+      SELECT user_id, equity,
+             CAST(max(equity) OVER w AS BIGINT) AS peak
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT user_id,
+           CAST(max(peak - equity) AS BIGINT) AS max_drawdown_cents,
+           CAST(max(peak) AS BIGINT) AS peak_equity_cents
+    FROM d GROUP BY user_id ORDER BY user_id
+    """,
+)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per stream: the deepest peak-to-trough fall of
+    the cumulative P&L curve — the risk statistic (and its cousin, the
+    high-water mark) that summarizes 'how bad did it get' where
+    variance can't. Two stacked running windows (cumulative sum, then
+    running max) and one aggregate — the same closed-form discipline as
+    ts_cusum_alerts (drawdown IS the CUSUM mirror: running-max minus
+    current), all integer cents with a constant drift offset so
+    equities actually go down as well as up."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.round(F.col("value") * 100, 0).cast("bigint") - 25000).alias(
+            "pnl"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = s.select(
+        "user_id", "ts", "event_id", F.sum("pnl").over(w).alias("equity")
+    )
+    d = c.select(
+        "user_id", "equity", F.max("equity").over(w).alias("peak")
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.max(F.col("peak") - F.col("equity")).alias(
+                "max_drawdown_cents"
+            ),
+            F.max("peak").alias("peak_equity_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "corpus_token_apportion",
+    """
+    WITH d AS (
+      SELECT source,
+             CAST(sum(len(list_filter(
+               string_split_regex(lower(text), '\\s+'), t -> t <> '')))
+               AS BIGINT) AS n_tok
+      FROM documents GROUP BY source),
+    t AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total FROM d),
+    q AS (
+      SELECT source, n_tok,
+             (n_tok * 1000000) // t.total AS base_alloc,
+             (n_tok * 1000000) % t.total AS remainder
+      FROM d CROSS JOIN t),
+    r AS (
+      SELECT source, n_tok, base_alloc, remainder,
+             row_number() OVER (ORDER BY remainder DESC, source) AS frac_rank
+      FROM q),
+    gap AS (
+      SELECT CAST(1000000 - sum(base_alloc) AS BIGINT) AS n_extra FROM r)
+    SELECT r.source, r.n_tok,
+           CAST(r.base_alloc
+                + CASE WHEN r.frac_rank <= g.n_extra THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_tokens
+    FROM r CROSS JOIN gap g
+    ORDER BY r.source
+    """,
+)
+def corpus_token_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget apportionment by largest remainder (Hamilton's
+    method): divide a 1M-token training budget across sources exactly
+    proportionally to their corpus sizes — floors first, then the
+    leftover tokens go to the largest fractional remainders, so the
+    allocations are integers that sum EXACTLY to the budget (naive
+    rounding over- or under-shoots; at fleet scale that error is whole
+    shards). Everything is integer division/modulo on exact token
+    counts; the remainder ranking is a window over #sources rows; the
+    leftover count is re-derived from the allocation table itself (one
+    row, broadcast)."""
+    docs = table(spark, sf_dir, "documents")
+    budget = 1000000
+    d = (
+        spread(docs, "doc_id")
+        .select("source", F.size(H.tokens(F.col("text"))).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").alias("n_tok"))
+    )
+    t = d.agg(F.sum("n_tok").alias("total"))
+    q = d.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_tok",
+        F.floor(F.col("n_tok") * budget / F.col("total"))
+        .cast("bigint")
+        .alias("base_alloc"),
+        ((F.col("n_tok") * budget) % F.col("total")).alias("remainder"),
+    )
+    r = q.withColumn(
+        "frac_rank",
+        F.row_number().over(
+            Window.orderBy(F.col("remainder").desc(), "source")
+        ),
+    )
+    gap = r.agg((budget - F.sum("base_alloc")).alias("n_extra"))
+    return (
+        r.crossJoin(F.broadcast(gap))
+        .select(
+            "source",
+            "n_tok",
+            (
+                F.col("base_alloc")
+                + F.when(F.col("frac_rank") <= F.col("n_extra"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("alloc_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+_LUHN_SQL_DIGITS = (
+    "list_transform(range(1, len(pan) + 1), "
+    "i -> CAST(substring(pan, len(pan) - i + 1, 1) AS BIGINT))"
+)
+
+
+@register(
+    "f21_luhn_check",
+    f"""
+    WITH c AS (
+      SELECT event_id,
+             lpad(CAST(({H.hash64_sql('event_id', 23)}) % 100000000 AS VARCHAR),
+                  8, '0') || lpad(CAST(({H.hash64_sql('event_id', 29)})
+                  % 10000000 AS VARCHAR), 7, '0') AS body
+      FROM events WHERE event_id % 101 = 0),
+    w AS (
+      -- body digit at right-position i sits at PAN right-position i+1,
+      -- so ODD body positions are the doubled ones
+      SELECT event_id, body,
+             CAST(list_sum(list_transform(range(1, 16),
+               i -> CASE WHEN i % 2 = 1 THEN
+                      CASE WHEN 2 * CAST(substring(body, 16 - i, 1) AS BIGINT) > 9
+                           THEN 2 * CAST(substring(body, 16 - i, 1) AS BIGINT) - 9
+                           ELSE 2 * CAST(substring(body, 16 - i, 1) AS BIGINT) END
+                    ELSE CAST(substring(body, 16 - i, 1) AS BIGINT) END))
+               AS BIGINT) AS s
+      FROM c),
+    pan AS (
+      SELECT event_id, body || CAST((10 - s % 10) % 10 AS VARCHAR) AS pan
+      FROM w),
+    v AS (
+      SELECT event_id, pan,
+             CAST(list_sum(list_transform(range(1, 17),
+               i -> CASE WHEN i % 2 = 0 THEN
+                      CASE WHEN 2 * CAST(substring(pan, 17 - i, 1) AS BIGINT) > 9
+                           THEN 2 * CAST(substring(pan, 17 - i, 1) AS BIGINT) - 9
+                           ELSE 2 * CAST(substring(pan, 17 - i, 1) AS BIGINT) END
+                    ELSE CAST(substring(pan, 17 - i, 1) AS BIGINT) END))
+               AS BIGINT) % 10 = 0 AS luhn_ok
+      FROM pan)
+    SELECT count(*) AS n, count(*) FILTER (WHERE luhn_ok) AS n_valid,
+           count(*) FILTER (WHERE NOT luhn_ok) AS n_invalid
+    FROM v
+    """,
+)
+def f21_luhn_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn checksum (mod-10) generation + validation en masse: build
+    16-digit card-like numbers from the hash family (15-digit body, the
+    16th digit computed so Luhn holds), then validate the full PAN —
+    the detector that turns text_pii_scrub's regex hits into CONFIRMED
+    card numbers (a 16-digit string that fails Luhn is a false
+    positive; this is the standard second-stage PII filter). The
+    double-every-second-digit fold is a higher-order transform over
+    digit positions — pure integer column math, no UDF; validation of
+    our own generated checks must return 100% valid, which the oracle
+    asserts from the same construction."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 101 == 0)
+    body = F.concat(
+        F.lpad(
+            (H.hash64(F.col("event_id"), 23) % 100000000).cast("string"),
+            8,
+            "0",
+        ),
+        F.lpad(
+            (H.hash64(F.col("event_id"), 29) % 10000000).cast("string"),
+            7,
+            "0",
+        ),
+    )
+    c = ev.select("event_id", body.alias("body"))
+
+    def luhn_sum(col: str, length: int, double_parity: int) -> str:
+        return (
+            f"aggregate(sequence(1, {length}), CAST(0 AS BIGINT), (acc, i) -> "
+            f"acc + CASE WHEN i % 2 = {double_parity} THEN "
+            f"CASE WHEN 2 * CAST(substring({col}, {length + 1} - i, 1) AS BIGINT) > 9 "
+            f"THEN 2 * CAST(substring({col}, {length + 1} - i, 1) AS BIGINT) - 9 "
+            f"ELSE 2 * CAST(substring({col}, {length + 1} - i, 1) AS BIGINT) END "
+            f"ELSE CAST(substring({col}, {length + 1} - i, 1) AS BIGINT) END)"
+        )
+
+    # body right-position i lands at PAN right-position i+1 → odd body
+    # positions double; in the final PAN the even positions double
+    w = c.select(
+        "event_id", "body", F.expr(luhn_sum("body", 15, 1)).alias("s")
+    )
+    pan = w.select(
+        "event_id",
+        F.concat(
+            F.col("body"), ((10 - F.col("s") % 10) % 10).cast("string")
+        ).alias("pan"),
+    )
+    v = pan.select(
+        "event_id",
+        (F.expr(luhn_sum("pan", 16, 0)) % 10 == 0).alias("luhn_ok"),
+    )
+    return v.agg(
+        F.count("*").alias("n"),
+        F.count_if("luhn_ok").alias("n_valid"),
+        F.count_if(~F.col("luhn_ok")).alias("n_invalid"),
+    )
+
+
 # The external verify driver samples the FIRST 50 entries of ``queries()``
 # each round. Rotation is SELF-MAINTAINING: any query that already has a
 # fully-green row (rows+schema+hash) in some CORRECTNESS_r{N}.json — or a
