@@ -16459,11 +16459,15 @@ def corpus_token_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
     row, broadcast)."""
     docs = table(spark, sf_dir, "documents")
     budget = 1000000
+    # the per-source token table is #sources rows but its upstream is
+    # the corpus token count — checkpoint so the four consumers
+    # (total, quotas, remainder ranking, gap) scan the corpus ONCE
     d = (
         spread(docs, "doc_id")
         .select("source", F.size(H.tokens(F.col("text"))).alias("nt"))
         .groupBy("source")
         .agg(F.sum("nt").alias("n_tok"))
+        .localCheckpoint()
     )
     t = d.agg(F.sum("n_tok").alias("total"))
     q = d.crossJoin(F.broadcast(t)).select(
@@ -16479,7 +16483,7 @@ def corpus_token_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(
             Window.orderBy(F.col("remainder").desc(), "source")
         ),
-    )
+    ).localCheckpoint()
     gap = r.agg((budget - F.sum("base_alloc")).alias("n_extra"))
     return (
         r.crossJoin(F.broadcast(gap))

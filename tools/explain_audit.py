@@ -326,6 +326,32 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     "multimodal_ahash_pairs": (10, ["BroadcastHashJoin", "!CartesianProduct", "!BatchEvalPython"]),
     # track resampling: targets and segments equi/broadcast, no cart
     "geo_track_resample": (6, ["BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin"]),
+    # Bollinger: one trailing window per key, integer compare — no
+    # join, no division/sqrt subtree
+    "ts_bollinger_breaches": (4, ["Window", "!SortMergeJoin", "!BroadcastHashJoin", "!CartesianProduct"]),
+    # drawdown: two stacked running windows share ONE exchange
+    "ts_max_drawdown": (2, ["Window", "!SortMergeJoin", "!BroadcastHashJoin"]),
+    # apportionment: the ranked allocation table is checkpointed (the
+    # window ran inside it, over #sources rows), so the final plan is
+    # just the gap broadcast re-joined — two exchanges total
+    "corpus_token_apportion": (4, ["BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin"]),
+    # Luhn: pure map-side column math + one aggregate, no join
+    "f21_luhn_check": (2, ["HashAggregate", "!SortMergeJoin", "!BroadcastHashJoin", "!BatchEvalPython"]),
+    # duplicate payments: equi-join on (user, amount bucket) with the
+    # time residual — never a cartesian or time-range scan
+    "dq_duplicate_payments": (4, ["!CartesianProduct", "!BroadcastNestedLoopJoin"]),
+    # centroid drift: explode + ONE aggregate + (label,pos) self-join
+    # of two 640-row sides
+    "emb_centroid_drift": (8, ["Generate", "HashAggregate", "!CartesianProduct"]),
+    # dataset card: ONE scan, map-side-combined aggregate, no join
+    "pipeline_dataset_card": (4, ["HashAggregate", "!SortMergeJoin", "!BroadcastHashJoin"]),
+    # regex funnel: ordered per-user collapse + one final aggregate
+    "seq_regex_funnel": (3, ["!SortMergeJoin", "!BroadcastHashJoin", "!CartesianProduct"]),
+    # naive forecast: daily totals combined map-side, t-7 self
+    # equi-join — no window
+    "ts_naive_forecast_mae": (6, ["HashAggregate", "!CartesianProduct", "!Window"]),
+    # cell balance: same broadcast-argmin assignment as the IVF build
+    "ann_cell_balance": (6, ["BroadcastNestedLoopJoin", "Window", "!CartesianProduct", "!SortMergeJoin"]),
 }
 
 
