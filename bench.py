@@ -198,6 +198,7 @@ EXTENDED_QUERIES = [
     "f20_ip_cidr",
     "graph_degree_distribution",
     "multimodal_ahash_pairs",
+    "multimodal_ahash_pairs_wide",
     "er_fuzzy_match",
     "a24_seq_motifs",
     "geo_track_resample",

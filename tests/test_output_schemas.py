@@ -75,3 +75,38 @@ def test_benched_names_are_registered():
     ]
     assert not missing, missing
     assert not set(bench.BENCH_QUERIES) & set(bench.EXTENDED_QUERIES)
+
+
+def test_all_oracles_emit_driver_safe_types():
+    """Bind every registered oracle SQL in DuckDB and reject any output
+    column whose DuckDB type the driver's pandas/Arrow fetch widens to
+    float64 (HUGEINT from sum(INTEGER/BIGINT), unsigned ints, DECIMAL)
+    — Spark emits int64 for the same value, so the value-hash mismatches
+    even when every cell is equal. This red-rowed ``a6_collect_sorted``
+    in round 5 and was latent in ``w12_reset_running_sum`` until round
+    8; CAST(... AS BIGINT) / AS DOUBLE in the oracle SQL fixes it.
+    Binding (not executing) resolves types, so the scan is cheap."""
+    import duckdb
+
+    from datalake_imagenes_georreferenciadas_spark.plans.queries import ORACLES
+
+    con = duckdb.connect()
+    tables = (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split()
+    for t in tables:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    bad: list[str] = []
+    for name, sql in ORACLES.items():
+        rel = con.sql(sql)  # binds and type-resolves; lazy, no execution
+        for c, t in zip(rel.columns, (str(t) for t in rel.types)):
+            base = t.split("(")[0]
+            if base in {"HUGEINT", "UHUGEINT", "UINTEGER", "UBIGINT"} or (
+                base == "DECIMAL"
+            ):
+                bad.append(f"{name}.{c}: {t}")
+    assert not bad, (
+        "oracle columns the driver's pandas fetch would widen "
+        "(CAST in the SQL): " + "; ".join(bad)
+    )

@@ -271,9 +271,10 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # geohash encode is map-only bit math; density is one agg +
     # TakeOrdered — no join, no Python
     "geo_geohash_cells": (2, ["HashAggregate", "TakeOrderedAndProject", "!BatchEvalPython", "!SortMergeJoin"]),
-    # sketch-accuracy eval: candidate pairs broadcast onto the
-    # signature/shingle sides — band-join machinery, no cartesian
-    "dedup_minhash_accuracy": (22, ["BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
+    # sketch-accuracy eval: candidate join UNHINTED (cand is corpus-
+    # derived, r07 VERDICT) — Catalyst still picks hash joins from the
+    # checkpointed index stats; must never degrade to cartesian/BNLJ
+    "dedup_minhash_accuracy": (22, ["BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin", "!BroadcastNestedLoopJoin"]),
     # NDCG: queries broadcast (BNLJ over the candidate scan), rank and
     # ideal windows per query, final 3-row join broadcast
     "ml_ndcg_at10": (8, ["BroadcastNestedLoopJoin", "Window", "!SortMergeJoin", "!CartesianProduct"]),
@@ -322,8 +323,16 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # ER: soundex blocking key is the join key; dirty feed broadcast;
     # never an all-pairs name comparison
     "er_fuzzy_match": (6, ["BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
-    # perceptual hash: banded equi-join candidates, broadcast verify
-    "multimodal_ahash_pairs": (10, ["BroadcastHashJoin", "!CartesianProduct", "!BatchEvalPython"]),
+    # perceptual hash: banded equi-join candidates; verify join
+    # UNHINTED (cand grows ~N²/512 per band, r07 VERDICT) — planner
+    # still picks hash joins at this SF; never cartesian/BNLJ
+    "multimodal_ahash_pairs": (10, ["BroadcastHashJoin", "!CartesianProduct", "!BatchEvalPython", "!BroadcastNestedLoopJoin"]),
+    # incremental components: relabel joins UNHINTED (old-label map is
+    # O(edge-incident nodes)); everything stays equi/hash-join shaped
+    "graph_incremental_components": (4, ["BroadcastHashJoin", "!CartesianProduct", "!BroadcastNestedLoopJoin"]),
+    # wide-band multiprobe aHash: probe fan-out is a Generate over the
+    # tiny index; candidate + verify joins hash-shaped, never cartesian
+    "multimodal_ahash_pairs_wide": (10, ["Generate", "!CartesianProduct", "!BroadcastNestedLoopJoin", "!BatchEvalPython"]),
     # track resampling: targets and segments equi/broadcast, no cart
     "geo_track_resample": (6, ["BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin"]),
     # Bollinger: one trailing window per key, integer compare — no
