@@ -203,14 +203,18 @@ def minhash_lsh_pairs(
         .dropDuplicates(["a_id", "b_id"])
     )
     # count-based exact-Jaccard verification: shingle arrays never cross a
-    # shuffle — candidates (tiny) broadcast against the exploded DISTINCT
-    # shingle rows, intersections counted, sizes joined in
+    # shuffle — candidates join against the exploded DISTINCT shingle
+    # rows, intersections counted, sizes joined in. The candidate set is
+    # corpus-derived (band collisions grow ~N²/2^bits), so it carries NO
+    # broadcast hint — AQE converts to broadcast at runtime iff it fits
+    # (r07 VERDICT: a forced hint removes AQE's fallback and OOMs the
+    # driver on a pathological corpus)
     ex = _exploded_shingles(df, id_col, text_col, k).distinct()
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("__n"))
     ex_a = ex.select(F.col(id_col).alias("a_id"), F.col("__sh"))
     ex_b = ex.select(F.col(id_col).alias("b_id"), F.col("__sh"))
     inter = (
-        F.broadcast(cand)
+        cand
         .join(ex_a, "a_id")
         .join(ex_b, ["b_id", "__sh"])
         .groupBy("a_id", "b_id")
