@@ -16,10 +16,12 @@ execution notes:
 
 - Declared as a DataFrame plan → Catalyst pushes all three predicates into
   the parquet scans (``PushedFilters``) and prunes columns (``ReadSchema``).
-- ``nation``/``customer`` are far below the broadcast threshold → both
-  joins compile to BroadcastHashJoin; zero shuffles at any scale — the
-  fact table streams through map-side joins, which is exactly the plan
-  you want at 100 TB (dimension tables stay small).
+- ``nation`` (25 rows at every SF) is hint-broadcast; ``customer``
+  scales linearly with SF, so it is UNHINTED — Catalyst's size stats
+  compile it to BroadcastHashJoin while it fits the threshold (true at
+  every test SF → zero shuffles, the fact table streams through
+  map-side joins) and fall back to a shuffle join at scales where a
+  15-billion-row junction can no longer ship to every executor.
 """
 
 from __future__ import annotations
@@ -37,7 +39,7 @@ def catalog_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = table(spark, sf_dir, "nation")
 
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .filter(
             F.col("o_orderstatus").isin("O", "F")

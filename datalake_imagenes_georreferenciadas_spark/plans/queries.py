@@ -135,7 +135,8 @@ def p7_left_join_null_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     intent — script_geo.py:198-202)."""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
-    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left").select(
+    # part is linear-in-SF — unhinted; size stats broadcast while it fits
+    return li.join(part, li.l_partkey == part.p_partkey, "left").select(
         "l_orderkey",
         "l_linenumber",
         F.coalesce(F.col("p_brand"), F.lit("IMAGEN NO CLASIFICABLE")).alias("brand"),
@@ -1676,7 +1677,9 @@ def geo_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vx").alias("b_vx"),
         F.col("vy").alias("b_vy"),
     )
-    return grid_nn.join(F.broadcast(brute), "img_id").select(
+    # brute is one row per image — corpus-sized, so the self-proving
+    # equi-join carries no broadcast hint (AQE decides)
+    return grid_nn.join(brute, "img_id").select(
         "img_id",
         "id_predio",
         "nombre",
@@ -3467,7 +3470,9 @@ def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer scales linearly with SF — no hint; Catalyst's size
+        # stats broadcast it while it fits and fall back above that
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
@@ -3512,7 +3517,7 @@ def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)  # linear-in-SF: stats decide
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -5511,8 +5516,9 @@ def j_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (H.hash64(F.col("o_custkey"), seed=s) % _BLOOM_M) == F.col(f"bit{s}"),
             "left_semi",
         )
+    # cust is linear-in-SF — unhinted; stats broadcast it while small
     exact = pref.join(
-        F.broadcast(cust), pref.o_custkey == cust.c_custkey, "left_semi"
+        cust, pref.o_custkey == cust.c_custkey, "left_semi"
     )
     return exact.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
 
@@ -5652,8 +5658,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)  # linear-in-SF
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)  # linear-in-SF
         .groupBy(
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )
@@ -5790,7 +5796,7 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orders_custkey_fk",
         F.count("*"),
         orders.join(
-            F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_anti"
+            cust, orders.o_custkey == cust.c_custkey, "left_anti"  # linear-in-SF: unhinted
         ),
     )
     return (
@@ -6043,7 +6049,7 @@ def a9_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     counts = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)  # linear-in-SF
         .groupBy("c_mktsegment", F.col("o_orderpriority").alias("modal_priority"))
         .agg(F.count("*").alias("n"))
     )
