@@ -8545,8 +8545,10 @@ def s22_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("doc_id")
     )
     catalog = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id")
-    orphans = listed.join(F.broadcast(catalog), "doc_id", "left_anti")
-    tracked = listed.join(F.broadcast(catalog), "doc_id", "left_semi")
+    # both sides are corpus-sized id lists — unhinted; at 100 TB the
+    # orphan sweep is a shuffled anti/semi join on doc_id
+    orphans = listed.join(catalog, "doc_id", "left_anti")
+    tracked = listed.join(catalog, "doc_id", "left_semi")
     return orphans.agg(F.count("*").alias("n_orphans")).crossJoin(
         tracked.agg(F.count("*").alias("n_tracked"))
     )
@@ -8868,7 +8870,7 @@ def a15_abc_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
     part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     p = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)  # linear-in-SF: stats decide
         .groupBy("l_partkey", "p_brand")
         .agg(_dsum(F.col("l_extendedprice")).alias("rev"))
     )
@@ -8927,7 +8929,7 @@ def a16_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region")
     n = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)  # linear-in-SF
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -11720,8 +11722,10 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.format("parquet").schema(raw_schema).load(stream_dir)
     stream = _norm_event_ts(stream)
     dim = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # the static dim is customer — linear-in-SF, so unhinted: per-batch
+    # planning broadcasts it while small and shuffles the batch when not
     joined = stream.join(
-        F.broadcast(dim), stream.user_id == dim.c_custkey, "inner"
+        dim, stream.user_id == dim.c_custkey, "inner"
     )
     agg = joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n"), _dsum(F.col("value")).alias("sum_value")
@@ -14639,7 +14643,8 @@ def j_mark_join_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("o_orderstatus") == "O").alias("has_open"),
         F.count_if(F.col("o_totalprice") > 300000).alias("n_big"),
     )
-    j = c.join(F.broadcast(f), c.c_custkey == f.o_custkey, "left")
+    # f is a per-customer aggregate — linear-in-SF, unhinted (AQE decides)
+    j = c.join(f, c.c_custkey == f.o_custkey, "left")
     return (
         j.groupBy(
             F.coalesce("has_urgent", F.lit(False)).alias("has_urgent"),
