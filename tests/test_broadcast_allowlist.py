@@ -1,0 +1,155 @@
+"""Broadcast-hint review gate (r07 VERDICT "What's wrong" #2, applied
+repo-wide in r08): a forced ``F.broadcast(x)`` removes AQE's ability to
+fall back to a shuffle join, so it is ONLY allowed when the operand is
+provably bounded — constant dimensions (nation/region, 25/5 rows at
+every SF), top-k / ``limit`` results, per-event-type or per-bucket
+aggregates over bounded domains, sketch/codebook tables, fixtures, or
+explicitly thresholded structures (the ≤250k-edge union-find result).
+
+Corpus-derived or linear-in-SF operands (candidate-pair sets, label
+maps, customer/supplier/part, per-customer aggregates, vector tables)
+must stay UNHINTED: Catalyst's size stats compile the same broadcast
+join while the operand fits and degrade gracefully when it doesn't.
+
+This test pins every existing call site by (module, enclosing
+function). Adding a new ``F.broadcast`` anywhere fails the suite until
+the site is added here — which is the review step: before adding an
+entry, state why the operand is bounded at 100 TB."""
+
+from __future__ import annotations
+
+import ast
+import collections
+from pathlib import Path
+
+PKG = Path(__file__).resolve().parent.parent / "datalake_imagenes_georreferenciadas_spark"
+
+# (module relative to the package, enclosing function) -> site count.
+# Every operand below is bounded: query/centroid/codebook/sketch tables,
+# top-k or limit() outputs, per-event-type aggregates (bounded domain),
+# constant dims, geo fixtures, or thresholded driver-side results.
+ALLOWED: dict[tuple[str, str], int] = {
+    ("catalog/store.py", "_with_ids"): 1,  # per-group offset aggregate
+    ("catalog/store.py", "filtered_paths"): 1,  # one process-run row set
+    ("operators/dedup.py", "components_from_edges"): 1,  # ≤250k-edge union-find result
+    ("operators/similarity.py", "brute_force_topk"): 1,  # query set
+    ("operators/similarity.py", "ivf_assign"): 1,  # k centroids
+    ("operators/similarity.py", "ivf_topk"): 1,  # k centroids
+    ("operators/similarity.py", "lsh_ann_topk"): 1,  # bucketed query set
+    ("operators/similarity.py", "rerank_crossencoder"): 1,  # top-k candidates
+    ("operators/spatial.py", "classify_points"): 1,  # polygon dim (grid twin is the scale path)
+    ("operators/spatial.py", "contains_join"): 1,  # polygon dim
+    ("operators/spatial.py", "nearest_vertex_join"): 1,  # polygon vertex dim
+    ("plans/flagship.py", "catalog_filtered_join"): 1,  # nation (25 rows)
+    ("plans/queries.py", "_tdigest_rank_check"): 2,  # digest centroids
+    ("plans/queries.py", "a10_mad"): 1,  # per-type medians
+    ("plans/queries.py", "a11_winsorized_mean"): 1,  # per-type quantiles
+    ("plans/queries.py", "a13_equifreq_bins"): 1,  # bin bounds
+    ("plans/queries.py", "a14_minmax_scale"): 1,  # per-type min/max
+    ("plans/queries.py", "a16_share_of_parent"): 3,  # nation/region dims + parent totals
+    ("plans/queries.py", "a17_hist_median"): 1,  # histogram counts
+    ("plans/queries.py", "a18_outlier_zscore"): 1,  # per-type moments
+    ("plans/queries.py", "a22_weighted_quantile"): 1,  # per-type totals
+    ("plans/queries.py", "a25_skyline_2d"): 1,  # skyline (≤ distinct price levels)
+    ("plans/queries.py", "a5_kmv_distinct"): 1,  # k-th minimum value row
+    ("plans/queries.py", "ann_cell_balance"): 2,  # centroids + cell counts
+    ("plans/queries.py", "ann_ivfpq_topk"): 2,  # centroids + codebooks
+    ("plans/queries.py", "ann_multiprobe_topk"): 1,  # probe buckets
+    ("plans/queries.py", "ann_nprobe_curve"): 5,  # centroids/probes/exact-topk
+    ("plans/queries.py", "ann_pq_topk"): 2,  # codebook + queries
+    ("plans/queries.py", "ann_sq8_topk"): 2,  # quant stats + queries
+    ("plans/queries.py", "bm25_topk"): 2,  # query terms + corpus stats row
+    ("plans/queries.py", "contamination_ngrams"): 1,  # eval-set shingles
+    ("plans/queries.py", "corpus_mixture_temperature"): 1,  # per-source totals
+    ("plans/queries.py", "corpus_token_apportion"): 2,  # per-source allocation + gap row
+    ("plans/queries.py", "dq_benford"): 1,  # total-count row
+    ("plans/queries.py", "dq_distribution_drift"): 1,  # baseline histogram
+    ("plans/queries.py", "dq_freshness_sla"): 1,  # per-feed max-ts
+    ("plans/queries.py", "dq_referential_integrity"): 1,  # nation dim
+    ("plans/queries.py", "emb_outlier_zscore"): 1,  # per-dim moments
+    ("plans/queries.py", "emb_quantile_clip"): 1,  # per-dim quantiles
+    ("plans/queries.py", "er_fuzzy_match"): 1,  # dirty feed batch
+    ("plans/queries.py", "f17_cosine_all"): 1,  # query vector row
+    ("plans/queries.py", "f17_cosine_pandas"): 1,  # query vector row
+    ("plans/queries.py", "geo_areal_weighted"): 1,  # polygon fixture
+    ("plans/queries.py", "geo_edge_crossings"): 1,  # road fixture
+    ("plans/queries.py", "geo_knn_grid"): 1,  # polygon vertex fixture
+    ("plans/queries.py", "geo_nearest_edge"): 1,  # road-segment fixture
+    ("plans/queries.py", "geo_quadtree_cells"): 2,  # per-level cell counts
+    ("plans/queries.py", "geo_track_resample"): 2,  # fixed target grid
+    ("plans/queries.py", "graph_assoc_rules"): 3,  # item supports above threshold + total row
+    ("plans/queries.py", "graph_bfs_distance"): 1,  # 3-hop frontier of ONE source
+    ("plans/queries.py", "graph_incremental_components"): 1,  # delta-batch label map
+    ("plans/queries.py", "graph_modularity"): 1,  # per-community degree sums
+    ("plans/queries.py", "graph_pagerank"): 4,  # |V|=25 nation rank tables
+    ("plans/queries.py", "hybrid_fused_topk"): 1,  # query set
+    ("plans/queries.py", "hybrid_maxsim_topk"): 1,  # query token vectors
+    ("plans/queries.py", "hybrid_mmr_topk"): 1,  # selected top-k ids
+    ("plans/queries.py", "hybrid_rrf_topk"): 1,  # per-list top-k
+    ("plans/queries.py", "j1_null_safe_join"): 1,  # tiny keyed build side
+    ("plans/queries.py", "j_bloom_prefilter"): 1,  # bloom bit set (≤ _BLOOM_M)
+    ("plans/queries.py", "j_late_arriving_dim"): 1,  # late-batch dim rows
+    ("plans/queries.py", "ml_chi2_tokens"): 1,  # class totals
+    ("plans/queries.py", "ml_knn_classifier"): 1,  # query points
+    ("plans/queries.py", "ml_lift_table"): 1,  # global base-rate row
+    ("plans/queries.py", "ml_ndcg_at10"): 2,  # per-query ideal DCG (3 rows)
+    ("plans/queries.py", "ml_negative_pairs"): 1,  # per-label counts
+    ("plans/queries.py", "ml_target_encoding"): 1,  # per-category means
+    ("plans/queries.py", "p11_dense_ids"): 1,  # per-shard offsets
+    ("plans/queries.py", "pipeline_dsir_weights"): 2,  # 512-row λ tables
+    ("plans/queries.py", "s21_targeted_delete"): 1,  # RTBF delete-request batch
+    ("plans/queries.py", "streaming_stateful_totals"): 1,  # per-type expected totals
+    ("plans/queries.py", "sub_all_rewrite"): 1,  # per-group max row
+    ("plans/queries.py", "text_keyphrase_rake"): 1,  # word scores (vocab-bounded)
+    ("plans/queries.py", "text_tfidf_topk"): 1,  # document-frequency table (vocab-bounded)
+    ("plans/queries.py", "tpch_q5_shape"): 2,  # nation + region
+    ("plans/queries.py", "ts_rolling_distinct"): 1,  # day list
+    ("plans/queries.py", "ts_seasonal_adjust"): 1,  # weekday profile (7 rows/type)
+    ("plans/queries.py", "vocab_oov_rate"): 1,  # limit(100) vocab
+}
+
+
+def _sites() -> dict[tuple[str, str], int]:
+    found: collections.Counter = collections.Counter()
+    for f in sorted(PKG.rglob("*.py")):
+        tree = ast.parse(f.read_text())
+        stack: list[str] = []
+
+        class V(ast.NodeVisitor):
+            def visit_FunctionDef(self, node):
+                stack.append(node.name)
+                self.generic_visit(node)
+                stack.pop()
+
+            visit_AsyncFunctionDef = visit_FunctionDef
+
+            def visit_Call(self, node):
+                fn = node.func
+                if isinstance(fn, ast.Attribute) and fn.attr == "broadcast":
+                    found[
+                        (str(f.relative_to(PKG)), stack[-1] if stack else "<module>")
+                    ] += 1
+                self.generic_visit(node)
+
+        V().visit(tree)
+    return dict(found)
+
+
+def test_every_broadcast_site_is_reviewed():
+    found = _sites()
+    new = {k: v for k, v in found.items() if k not in ALLOWED}
+    grown = {
+        k: (v, ALLOWED[k]) for k, v in found.items() if k in ALLOWED and v > ALLOWED[k]
+    }
+    assert not new and not grown, (
+        "unreviewed F.broadcast sites (add to ALLOWED only if the operand "
+        f"is provably bounded at 100 TB): new={new} grown={grown}"
+    )
+
+
+def test_allowlist_has_no_stale_entries():
+    """Removed sites must leave the allowlist too, so it stays the
+    exact current posture, not an accumulating grant."""
+    found = _sites()
+    stale = [k for k in ALLOWED if k not in found]
+    assert not stale, f"allowlist entries with no call site: {stale}"
