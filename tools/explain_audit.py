@@ -361,6 +361,32 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     "ts_naive_forecast_mae": (6, ["HashAggregate", "!CartesianProduct", "!Window"]),
     # cell balance: same broadcast-argmin assignment as the IVF build
     "ann_cell_balance": (6, ["BroadcastNestedLoopJoin", "Window", "!CartesianProduct", "!SortMergeJoin"]),
+    # SemDeDup: LSH pairs + union-find resolve eagerly (checkpoint/
+    # bounded collect); the residual plan is ONE label join back to the
+    # vector table — no shuffle at all
+    "dedup_semantic_components": (1, ["BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
+    # containment: inverted-index aggregative intersect, hash joins only
+    "dedup_containment": (12, ["HashAggregate", "BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
+    # simhash: banded equi-join candidates + Hamming verify, no SMJ
+    "dedup_simhash_pairs": (3, ["Generate", "BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
+    # modularity: community self-join of the per-community aggregate
+    # (tiny sides) + one total row — never a cartesian
+    "graph_modularity": (4, ["HashAggregate", "!CartesianProduct"]),
+    # matryoshka: prefix-sliced brute-force tiers (queries broadcast),
+    # per-tier rank windows
+    "ann_matryoshka_recall": (6, ["BroadcastNestedLoopJoin", "Window", "!CartesianProduct"]),
+    # padding waste: pure per-doc column math + map-side-combined aggs
+    "pipeline_padding_waste": (4, ["HashAggregate", "!SortMergeJoin", "!BroadcastHashJoin"]),
+    # mixture: one aggregate + one tiny window over per-source rows
+    "corpus_mixture": (2, ["Window", "HashAggregate", "!SortMergeJoin"]),
+    # HLL-class approx distinct: two-level aggregate, no join
+    "a5_approx_distinct": (2, ["HashAggregate", "!SortMergeJoin", "!BroadcastHashJoin"]),
+    # exact dedup: ONE digest-keyed aggregate shuffle, nothing else
+    "dedup_exact": (1, ["HashAggregate", "!SortMergeJoin", "!BroadcastHashJoin"]),
+    # P/R/F1: single conditional-aggregate pass over the score table
+    "ml_prf1_eval": (1, ["HashAggregate", "!SortMergeJoin", "!BroadcastHashJoin"]),
+    # k-anonymity: quasi-identifier groupBy + distribution aggregate
+    "dq_k_anonymity": (2, ["HashAggregate", "!SortMergeJoin", "!BroadcastHashJoin"]),
 }
 
 
