@@ -2621,21 +2621,37 @@ _COS_BAND_COLS = ",\n         ".join(
     + f" AS bucket{b}"
     for b in range(_COS_BANDS)
 )
-_COS_OR = " OR ".join(f"a.bucket{b} = b2.bucket{b}" for b in range(_COS_BANDS))
-# A pair appears at most once from the join (the OR is ONE predicate over
-# the vec_id-ordered pair), so no DISTINCT is needed — mirroring the
-# engine's dropDuplicates-before-verify.
-_COSINE_PAIRS_SQL = f"""
-WITH b AS (
+# One equi-join PER BAND unioned + DISTINCT, exactly the engine's
+# band-bucket join + dropDuplicates-before-verify. (An earlier OR-of-
+# band-equalities single join forced DuckDB into a nested-loop that
+# re-evaluated the un-materialized hyperplane signatures per pair —
+# ~14 s at sf0.01; the materialized equi-join form is ~10× cheaper and
+# is also the only shape that stays hash-joinable at scale.)
+_COS_BAND_UNION = "\n    UNION ALL\n".join(
+    f"    SELECT a.vec_id AS a_id, b2.vec_id AS b_id\n"
+    f"    FROM b a JOIN b b2\n"
+    f"      ON a.bucket{k} = b2.bucket{k} AND a.vec_id < b2.vec_id"
+    for k in range(_COS_BANDS)
+)
+_COSINE_CAND_CTE = f"""
+WITH b AS MATERIALIZED (
   SELECT vec_id, embedding,
          {_COS_BAND_COLS}
   FROM embeddings),
-cand AS (
-  SELECT a.vec_id AS a_id, b2.vec_id AS b_id,
-         round({V.cosine_sql('a.embedding', 'b2.embedding')}, 6) AS cos
-  FROM b a JOIN b b2 ON a.vec_id < b2.vec_id AND ({_COS_OR}))
-SELECT a_id, b_id, cos FROM cand WHERE cos >= 0.25
+cand AS MATERIALIZED (
+  SELECT DISTINCT a_id, b_id FROM (
+{_COS_BAND_UNION}
+  )),
+ver AS (
+  SELECT c.a_id, c.b_id,
+         round({V.cosine_sql('va.embedding', 'vb.embedding')}, 6) AS cos
+  FROM cand c
+  JOIN b va ON va.vec_id = c.a_id
+  JOIN b vb ON vb.vec_id = c.b_id)
 """
+_COSINE_PAIRS_SQL = (
+    _COSINE_CAND_CTE + "SELECT a_id, b_id, cos FROM ver WHERE cos >= 0.25"
+)
 
 
 @register("dedup_cosine_pairs", _COSINE_PAIRS_SQL)
@@ -2686,26 +2702,21 @@ lab{i} AS MATERIALIZED (
     return ",\n".join(parts)
 
 
-# The LSH candidate join MUST be materialized: an inlined CTE referenced
-# more than once is otherwise re-evaluated per consumer. Components run
-# over edge-incident nodes only — singletons (the vast majority) never
-# enter the label loop and get their self-label from the final left join.
+# Components run over edge-incident nodes only — singletons (the vast
+# majority) never enter the label loop and get their self-label from
+# the final left join.
 _SEMANTIC_COMPONENTS_SQL = (
-    _COSINE_PAIRS_SQL.replace("WITH b AS", "WITH b AS MATERIALIZED", 1)
-    .replace("cand AS (", "cand AS MATERIALIZED (", 1)
-    .replace(
-        "SELECT a_id, b_id, cos FROM cand WHERE cos >= 0.25",
-        """, pairs AS MATERIALIZED (SELECT a_id, b_id FROM cand WHERE cos >= 0.25),
+    _COSINE_CAND_CTE
+    + """, pairs AS MATERIALIZED (SELECT a_id, b_id FROM ver WHERE cos >= 0.25),
 edges AS MATERIALIZED (
   SELECT a_id AS src, b_id AS dst FROM pairs
   UNION ALL SELECT b_id, a_id FROM pairs),
 """
-        + _min_label_components_cte()
-        + """
+    + _min_label_components_cte()
+    + """
 SELECT emb.vec_id,
        CAST(coalesce(comp.component, emb.vec_id) AS BIGINT) AS component
-FROM embeddings emb LEFT JOIN comp ON comp.id = emb.vec_id""",
-    )
+FROM embeddings emb LEFT JOIN comp ON comp.id = emb.vec_id"""
 )
 
 
@@ -15219,7 +15230,7 @@ scored AS (
          ) AS score
   FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN stats s
   GROUP BY tf.doc_id),
-cand AS (
+cand AS MATERIALIZED (
   SELECT doc_id,
          CAST(floor(round(score, 6) * 1e6 + 0.5) AS BIGINT) AS rel_micro
   FROM (SELECT doc_id, score,
@@ -15227,23 +15238,23 @@ cand AS (
                  AS rnk
         FROM scored)
   WHERE rnk <= 8),
-emb8 AS (
+emb8 AS MATERIALIZED (
   SELECT c.doc_id, c.rel_micro, CAST(e.embedding AS DOUBLE[]) AS v
   FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id),
-sim AS (
+sim AS MATERIALIZED (
   SELECT a.doc_id AS a, b.doc_id AS b,
          CAST(floor(round({cos}, 6) * 1e6 + 0.5) AS BIGINT) AS s
   FROM emb8 a JOIN emb8 b ON a.doc_id <> b.doc_id),
-p1 AS (
+p1 AS MATERIALIZED (
   SELECT doc_id, rel_micro, CAST(7 * rel_micro AS BIGINT) AS score_micro,
          1 AS rank
   FROM emb8 ORDER BY rel_micro DESC, doc_id LIMIT 1),
-sel1 AS (SELECT doc_id FROM p1)"""
+sel1 AS MATERIALIZED (SELECT doc_id FROM p1)"""
     steps = []
     for k in range(2, 6):
         prev_sel = f"sel{k - 1}"
         steps.append(f""",
-c{k} AS (
+c{k} AS MATERIALIZED (
   SELECT e.doc_id, e.rel_micro, max(s.s) AS ms
   FROM emb8 e JOIN sim s ON s.a = e.doc_id
   WHERE s.b IN (SELECT doc_id FROM {prev_sel})
@@ -15253,7 +15264,7 @@ p{k} AS (
   SELECT doc_id, rel_micro,
          CAST(7 * rel_micro - 3 * ms AS BIGINT) AS score_micro, {k} AS rank
   FROM c{k} ORDER BY 7 * rel_micro - 3 * ms DESC, doc_id LIMIT 1),
-sel{k} AS (SELECT doc_id FROM {prev_sel} UNION ALL SELECT doc_id FROM p{k})""")
+sel{k} AS MATERIALIZED (SELECT doc_id FROM {prev_sel} UNION ALL SELECT doc_id FROM p{k})""")
     tail = "\n" + "\nUNION ALL\n".join(
         f"SELECT rank, doc_id, rel_micro, score_micro FROM p{k}"
         for k in range(1, 6)
