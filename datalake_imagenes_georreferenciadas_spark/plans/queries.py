@@ -2683,7 +2683,15 @@ def _min_label_components_cte(n_rounds: int = 12) -> str:
     component the Spark side's 20 plain rounds can resolve, at O(rounds
     × E) total cost. Invariant both steps preserve: comp(x) is the id
     of some node reachable from x, monotonically non-increasing — the
-    fixpoint is the component minimum."""
+    fixpoint is the component minimum.
+
+    The bound is ENFORCED, not assumed (ADVICE r08): a companion
+    ``nonconv`` CTE runs one more un-compressed min-label step over
+    ``lab{n}`` and counts labels that would still shrink; the final
+    projection raises via ``error()`` (CASE short-circuits, so the
+    branch costs nothing when converged) instead of silently emitting
+    unconverged labels as a confusing engine-vs-oracle hash mismatch.
+    One extra O(E) join, total cost still O(rounds × E)."""
     parts = ["lab0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS comp FROM edges)"]
     for i in range(1, n_rounds + 1):
         parts.append(
@@ -2697,7 +2705,22 @@ lab{i} AS MATERIALIZED (
   SELECT s.id, l.comp FROM step{i} s JOIN step{i} l ON l.id = s.comp)"""
         )
     parts.append(
-        f"comp AS (SELECT id, comp AS component FROM lab{n_rounds})"
+        f"""nonconv AS (
+  SELECT count(*) AS n FROM (
+    SELECT id, min(comp) AS comp FROM (
+      SELECT id, comp FROM lab{n_rounds}
+      UNION ALL
+      SELECT e.dst AS id, l.comp FROM lab{n_rounds} l JOIN edges e ON e.src = l.id
+    ) GROUP BY id
+  ) chk JOIN lab{n_rounds} cur ON cur.id = chk.id AND cur.comp <> chk.comp)"""
+    )
+    parts.append(
+        f"""comp AS (
+  SELECT id,
+         CASE WHEN (SELECT n FROM nonconv) > 0
+              THEN CAST(error('min-label contraction not converged in {n_rounds} rounds — raise n_rounds') AS BIGINT)
+              ELSE comp END AS component
+  FROM lab{n_rounds})"""
     )
     return ",\n".join(parts)
 
@@ -13570,8 +13593,18 @@ def multimodal_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pigeonhole guarantee but shrink collisions: wider bands with
     multi-probe (e.g. 4×16-bit bands probed at Hamming ≤ 1 per band
     guarantee overall Hamming ≤ 7), or a two-level (band, prefix)
-    scheme — see ``multimodal_ahash_pairs_wide`` for the registered
-    wide-band variant."""
+    scheme — ``multimodal_ahash_pairs_wide`` is the registered
+    wide-band variant and the PRODUCTION DEFAULT.
+
+    Crossover (when to switch): narrow pays ~7·N²/2/2⁹ random band
+    collisions for a cheap ×7 index explode; wide pays a fixed ×66
+    index explode (3 bands × 22 Hamming≤1 probes) for only
+    ~22·N²/2/2²¹ collisions — ~186× fewer. Both collision terms are
+    quadratic, so the decision is narrow's extra collisions vs wide's
+    extra ~59·N index rows: (7/2⁹ − 22/2²¹)·N²/2 > 59·N at
+    N ≳ 9·10³ distinct hashes. I.e. narrow wins only on toy corpora
+    (< ~10⁴ assets, where everything fits anyway); at any production
+    corpus size — let alone 100 TB — use the wide variant."""
     h = _ahash_table(spark, sf_dir)
     bands = h.select(
         "doc_id",

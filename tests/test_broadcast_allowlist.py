@@ -22,7 +22,8 @@ import ast
 import collections
 from pathlib import Path
 
-PKG = Path(__file__).resolve().parent.parent / "datalake_imagenes_georreferenciadas_spark"
+REPO = Path(__file__).resolve().parent.parent
+PKG = REPO / "datalake_imagenes_georreferenciadas_spark"
 
 # (module relative to the package, enclosing function) -> site count.
 # Every operand below is bounded: query/centroid/codebook/sketch tables,
@@ -109,9 +110,14 @@ ALLOWED: dict[tuple[str, str], int] = {
 }
 
 
-def _sites() -> dict[tuple[str, str], int]:
+def _scan(files, root: Path) -> dict[tuple[str, str], int]:
+    """Count every ``*.broadcast(...)`` call by (module, enclosing fn).
+    The Attribute-name match is deliberately conservative — it also
+    catches ``sparkContext.broadcast`` / ``sc.broadcast`` variables,
+    which are forced broadcasts too and need the same bounded-operand
+    review."""
     found: collections.Counter = collections.Counter()
-    for f in sorted(PKG.rglob("*.py")):
+    for f in files:
         tree = ast.parse(f.read_text())
         stack: list[str] = []
 
@@ -127,12 +133,16 @@ def _sites() -> dict[tuple[str, str], int]:
                 fn = node.func
                 if isinstance(fn, ast.Attribute) and fn.attr == "broadcast":
                     found[
-                        (str(f.relative_to(PKG)), stack[-1] if stack else "<module>")
+                        (str(f.relative_to(root)), stack[-1] if stack else "<module>")
                     ] += 1
                 self.generic_visit(node)
 
         V().visit(tree)
     return dict(found)
+
+
+def _sites() -> dict[tuple[str, str], int]:
+    return _scan(sorted(PKG.rglob("*.py")), PKG)
 
 
 def test_every_broadcast_site_is_reviewed():
@@ -144,6 +154,23 @@ def test_every_broadcast_site_is_reviewed():
     assert not new and not grown, (
         "unreviewed F.broadcast sites (add to ALLOWED only if the operand "
         f"is provably bounded at 100 TB): new={new} grown={grown}"
+    )
+
+
+def test_no_broadcast_outside_the_package():
+    """ADVICE r08: the gate scanned only the package tree, so an
+    ``F.broadcast`` added in bench.py, tools/, tests/, or the driver
+    entry module would bypass review. Those trees must stay at ZERO
+    forced-broadcast sites — any hint belongs in the package behind the
+    allowlist above (this file's own docstring mention is prose, not a
+    call, so the AST scan ignores it)."""
+    files = [REPO / "bench.py", REPO / "__spark_entry__.py"]
+    files += sorted((REPO / "tools").rglob("*.py"))
+    files += sorted((REPO / "tests").rglob("*.py"))
+    outside = _scan([f for f in files if f.exists()], REPO)
+    assert not outside, (
+        f"forced-broadcast call sites outside the package: {outside} — "
+        "move the hint into the package and justify it in ALLOWED"
     )
 
 
