@@ -16869,15 +16869,18 @@ _PRIORITY_PREFIXES = (
 
 
 def _driver_check_state(repo: str | None = None) -> tuple:
-    """(retired, n_rounds): names the front-50 window should skip — fully
-    green in some round, or externally checked with ``err ==
-    'no_oracle'`` (rows-only by design; they would otherwise pin 2 of
-    the 50 slots every round) — plus the count of parsed round files
-    (drives the re-check rotation offset). A rows-only name that has
-    since GAINED an oracle_sql entry is un-retired so the driver
-    re-checks it at full strength (round-6: a5_approx_distinct and
-    streaming_stateful_totals were converted to oracle-checkable form).
-    ``repo`` overrides the CORRECTNESS_r*.json directory (tests)."""
+    """(retired, n_rounds, last_round): names the front-50 window should
+    skip — fully green in some round, or externally checked with ``err
+    == 'no_oracle'`` (rows-only by design; they would otherwise pin 2
+    of the 50 slots every round) — the count of parsed round files, and
+    the STALENESS key: ``last_round[name]`` is the 1-based index (in
+    sorted file order) of the latest round whose row for ``name`` was
+    fully green (or, for permanently rows-only names, the latest round
+    with any row). A rows-only name that has since GAINED an oracle_sql
+    entry is un-retired so the driver re-checks it at full strength
+    (round-6: a5_approx_distinct and streaming_stateful_totals were
+    converted to oracle-checkable form). ``repo`` overrides the
+    CORRECTNESS_r*.json directory (tests)."""
     import glob
     import json
 
@@ -16887,6 +16890,8 @@ def _driver_check_state(repo: str | None = None) -> tuple:
         )
     green_ever = set()
     rows_only = set()
+    last_green: dict[str, int] = {}
+    last_seen: dict[str, int] = {}
     n_rounds = 0
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         try:
@@ -16902,6 +16907,7 @@ def _driver_check_state(repo: str | None = None) -> tuple:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
+            last_seen[name] = n_rounds
             green = (
                 row.get("rows_match")
                 and row.get("schema_match")
@@ -16909,22 +16915,26 @@ def _driver_check_state(repo: str | None = None) -> tuple:
             )
             if green:
                 green_ever.add(name)
+                last_green[name] = n_rounds
             elif row.get("err") == "no_oracle":
                 rows_only.add(name)
     retired = green_ever | {n for n in rows_only if n not in ORACLES}
-    return retired, n_rounds
+    last_round = {
+        n: last_green.get(n, last_seen.get(n, 0)) for n in retired
+    }
+    return retired, n_rounds, last_round
 
 
 # Names pinned to the very front of the driver window this round:
 # judge-directed fixes whose green row is the round's done-criterion
-# (r08: the w12 HUGEINT-oracle fix must be externally confirmed; the
-# new wide-band aHash variant rides along). Once green they retire
-# like everything else, so the pin is self-expiring.
-_FRONT_NAMES = ("w12_reset_running_sum", "multimodal_ahash_pairs_wide")
+# (r08 used this for the w12 HUGEINT-oracle fix; both names went green
+# and the pin self-expired — empty for r09, kept as the mechanism for
+# future judge-directed confirmations).
+_FRONT_NAMES: tuple = ()
 
 
 def _rotated(reg: dict, repo: str | None = None) -> dict:
-    retired, n_rounds = _driver_check_state(repo)
+    retired, n_rounds, last_round = _driver_check_state(repo)
     fresh = [n for n in reg if n not in retired]
     front = [n for n in _FRONT_NAMES if n in fresh and n in reg]
     front_set = set(front)
@@ -16932,12 +16942,19 @@ def _rotated(reg: dict, repo: str | None = None) -> dict:
     pri = front + [n for n in fresh if n.startswith(_PRIORITY_PREFIXES)]
     pri_set = set(pri)
     rest = [n for n in fresh if n not in pri_set]
-    tail = [n for n in reg if n in retired]
-    if tail:
-        # stride ≈ the driver's window size: once the backlog clears,
-        # each round re-checks a different 50-name slice of the green set
-        off = (n_rounds * 50) % len(tail)
-        tail = tail[off:] + tail[:off]
+    # STALENESS-FIRST re-check cycle (r08 VERDICT #3): once the fresh
+    # backlog no longer fills the driver's 50-slot window, the
+    # remaining slots re-check the names whose latest fully-green
+    # driver row is OLDEST — early-round greens were checked on code
+    # that has since been heavily refactored, so they are the highest
+    # regression risk. Re-checked names get a new green row and move
+    # to the back automatically, so the cycle sweeps the whole
+    # registry every ~⌈N/50⌉ rounds with no stride bookkeeping.
+    reg_pos = {n: i for i, n in enumerate(reg)}
+    tail = sorted(
+        (n for n in reg if n in retired),
+        key=lambda n: (last_round.get(n, 0), reg_pos[n]),
+    )
     return {n: reg[n] for n in pri + rest + tail}
 
 

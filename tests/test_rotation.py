@@ -38,7 +38,7 @@ def _repo(rounds):
 
 def test_green_and_no_oracle_retire_red_stays_front():
     repo = _repo([{"a": GREEN, "b": NO_ORACLE, "c": RED}])
-    retired, n = _driver_check_state(repo)
+    retired, n, _ = _driver_check_state(repo)
     assert retired == {"a", "b"}  # no_oracle can never go green — retire it
     assert n == 1
     reg = {k: k for k in ("a", "b", "c", "d")}
@@ -62,45 +62,83 @@ def test_malformed_round_file_is_skipped_not_fatal():
         fh.write('["not", "a", "dict"]')
     with open(os.path.join(d, "CORRECTNESS_r98.json"), "w") as fh:
         fh.write("{not json at all")
-    retired, n = _driver_check_state(d)
+    retired, n, _ = _driver_check_state(d)
     assert retired == {"a"}
     assert n == 1  # only the well-formed file counts
     # non-dict row values are also tolerated
     d2 = _repo([{"a": GREEN, "weird": "scalar-row"}])
-    retired2, _ = _driver_check_state(d2)
+    retired2, _, _ = _driver_check_state(d2)
     assert retired2 == {"a"}
 
 
-def test_checked_tail_rotates_with_round_count():
-    # 120 already-green names, no fresh ones: the tail slice offered to
-    # the driver's 50-entry window must shift by ~50 per parsed round so
-    # re-checks eventually cover everyone
+def test_checked_tail_is_staleness_first():
+    # r08 VERDICT #3: re-check slots must go to the names whose latest
+    # fully-green driver row is OLDEST (early-round greens were checked
+    # on since-refactored code). 120 green names: 60 last green in r1,
+    # 60 last green in r2 → every r1-era name precedes every r2-era
+    # name in the tail, registration order within a cohort.
     names = [f"q{i:03d}" for i in range(120)]
+    old, new = names[:60], names[60:]
+    reg = {k: k for k in names}
+    repo = _repo(
+        [
+            {k: GREEN for k in names},
+            {k: GREEN for k in new},
+        ]
+    )
+    order = list(_rotated(reg, repo))
+    assert order[:60] == old  # stalest cohort first, registration order
+    assert order[60:] == new
+
+
+def test_recheck_cycle_self_advances():
+    # Once a stale name is re-checked green, its next-round position
+    # moves behind names still carrying older checks — the cycle sweeps
+    # the registry without stride bookkeeping.
+    names = [f"q{i:03d}" for i in range(4)]
     reg = {k: k for k in names}
     r1 = _repo([{k: GREEN for k in names}])
-    r2 = _repo([{k: GREEN for k in names}, {k: GREEN for k in names}])
-    front1 = list(_rotated(reg, r1))[:50]
-    front2 = list(_rotated(reg, r2))[:50]
-    assert front1 != front2
-    # offset stride is 50 names per round
-    assert front2[0] == names[(2 * 50) % 120]
-    assert front1[0] == names[(1 * 50) % 120]
+    assert list(_rotated(reg, r1)) == names  # all tied at round 1
+    # driver re-checks the first two in round 2
+    r2 = _repo(
+        [{k: GREEN for k in names}, {"q000": GREEN, "q001": GREEN}]
+    )
+    assert list(_rotated(reg, r2)) == ["q002", "q003", "q000", "q001"]
 
 
-def test_near_empty_backlog_window_mixes_fresh_then_rotated_tail():
+def test_near_empty_backlog_window_mixes_fresh_then_stale_tail():
     # 10 fresh + 100 green: the driver's 50-entry window must carry ALL
-    # fresh names first, then fill the remaining 40 slots from the
-    # rotated green tail with no gaps or duplicates
+    # fresh names first, then fill the remaining slots from the green
+    # tail with no gaps or duplicates, stalest green first
     fresh = [f"f{i:02d}" for i in range(10)]
     green = [f"g{i:03d}" for i in range(100)]
     reg = {k: k for k in fresh + green}
-    repo = _repo([{k: GREEN for k in green}])
+    repo = _repo(
+        [
+            {k: GREEN for k in green},
+            {k: GREEN for k in green[:30]},  # 30 re-checked in r2
+        ]
+    )
     order = list(_rotated(reg, repo))
     assert order[:10] == fresh
     assert len(order) == 110 and len(set(order)) == 110
-    # tail starts at offset (1 round * 50) % 100 = 50 into the green list
-    assert order[10] == green[50]
-    assert order[10:] == green[50:] + green[:50]
+    # r1-era greens (older check) fill the window before r2-era ones
+    assert order[10:] == green[30:] + green[:30]
+
+
+def test_regressed_name_recheck_priority_uses_last_green_round():
+    # green in r1 then red in r2: still retired (re-check cycle's job),
+    # but its staleness key is its LAST GREEN round (r1), so it comes
+    # up for re-check before names that stayed green through r2.
+    repo = _repo(
+        [
+            {"a": GREEN, "b": GREEN},
+            {"a": RED, "b": GREEN},
+        ]
+    )
+    reg = {"b": "b", "a": "a"}  # registration order deliberately b-first
+    order = list(_rotated(reg, repo))
+    assert order == ["a", "b"]  # a's last green (r1) < b's (r2)
 
 
 def test_rows_only_unretires_once_an_oracle_exists():
@@ -112,7 +150,7 @@ def test_rows_only_unretires_once_an_oracle_exists():
 
     repo = _repo([{"orphan_rows_only": NO_ORACLE, "a5_approx_distinct": NO_ORACLE}])
     assert "a5_approx_distinct" in ORACLES  # converted this round
-    retired, _ = _driver_check_state(repo)
+    retired, _, _ = _driver_check_state(repo)
     assert "orphan_rows_only" in retired  # still oracle-less → stays retired
     assert "a5_approx_distinct" not in retired
 
@@ -122,5 +160,5 @@ def test_union_across_rounds_and_regression_returns_to_front():
     # — re-catching it is the re-check cycle's job, while a name that was
     # ONLY ever red must sit in the fresh front
     repo = _repo([{"a": GREEN, "b": RED}, {"a": RED, "b": RED}])
-    retired, _ = _driver_check_state(repo)
+    retired, _, _ = _driver_check_state(repo)
     assert "a" in retired and "b" not in retired
