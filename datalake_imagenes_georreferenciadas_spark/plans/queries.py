@@ -11132,13 +11132,56 @@ def text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bucket_stitched_gaps(
+    ids: DataFrame, key: str = "k", bucket_bits: int = 13
+) -> DataFrame:
+    """Distributed gaps-and-islands over an id column WITHOUT a global
+    sort. A naive ``lead() OVER (ORDER BY k)`` needs a SinglePartition
+    sort of the whole fact table — a 100 TB scale-killer. Instead:
+    partition ids into 2^bucket_bits-wide buckets, run the same lead()
+    per bucket (hash-partitioned window), and resolve each bucket's
+    LAST row against a bucket-level summary — one row per non-empty
+    bucket, 2^bucket_bits× smaller than the fact — whose own lead()
+    window provides the NEXT non-empty bucket's min id (empty buckets
+    in between fall out naturally: they have no summary row, so the
+    lead skips them). The summary join stays unhinted (corpus-derived,
+    ~N/2^bucket_bits rows; AQE broadcasts it while it fits). Output is
+    identical to the global window: every consecutive-id pair spans
+    either one bucket or a bucket boundary, and the boundary case is
+    exactly the stitched coalesce. Returns (gap_start, gap_end,
+    gap_len), unordered."""
+    o = ids.select(
+        F.col(key).alias("k"),
+        F.shiftright(F.col(key), bucket_bits).alias("b"),
+    )
+    wb = Window.partitionBy("b").orderBy("k")
+    per_bucket = o.withColumn("nxt_in_bucket", F.lead("k").over(wb))
+    wnext = Window.orderBy("b")
+    bnext = (
+        o.groupBy("b")
+        .agg(F.min("k").alias("bucket_min"))
+        .withColumn("next_bucket_min", F.lead("bucket_min").over(wnext))
+        .select("b", "next_bucket_min")
+    )
+    return (
+        per_bucket.join(bnext, "b", "left")
+        .withColumn("nxt", F.coalesce("nxt_in_bucket", "next_bucket_min"))
+        .filter(F.col("nxt") - F.col("k") > 1)
+        .select(
+            (F.col("k") + 1).alias("gap_start"),
+            (F.col("nxt") - 1).alias("gap_end"),
+            (F.col("nxt") - F.col("k") - 1).alias("gap_len"),
+        )
+    )
+
+
 @register(
     "w11_id_gaps",
     """
     WITH o AS (
       SELECT o_orderkey AS k,
              lead(o_orderkey) OVER (ORDER BY o_orderkey) AS nxt
-      FROM orders)
+      FROM orders WHERE o_orderkey % 97 <> 0)
     SELECT k + 1 AS gap_start, nxt - 1 AS gap_end,
            nxt - k - 1 AS gap_len
     FROM o WHERE nxt - k > 1
@@ -11147,23 +11190,26 @@ def text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w11_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands over the order-id sequence: each missing id
-    range as (gap_start, gap_end, gap_len) via one lead() window — the
-    classic sequence-audit shape (detecting dropped ingest batches,
-    id-allocator holes). The global-ordered window is the point of the
-    exercise at toy scale; at 100 TB, range-partition by id bucket and
-    run the same lead() per bucket, stitching only the bucket
-    boundaries (one row per bucket) on the driver side."""
-    o = table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
-    w = Window.orderBy("k")
-    g = o.withColumn("nxt", F.lead("k").over(w)).filter(
-        F.col("nxt") - F.col("k") > 1
+    range as (gap_start, gap_end, gap_len) — the classic sequence-audit
+    shape (detecting dropped ingest batches, id-allocator holes).
+    The synthetic order ids are DENSE at every SF, which would make the
+    gap channel trivially empty; a deterministic drop of every 97th id
+    simulates the dropped-batch condition the audit exists for, so the
+    driver compare exercises real gap rows (including ones adjacent to
+    bucket boundaries) rather than two empty outputs.
+
+    Scale posture: ``bucket_stitched_gaps`` — per-bucket lead() windows
+    hash-partitioned on the id bucket plus a 8192×-reduced bucket
+    summary for the boundary stitch; no SinglePartition touch of the
+    fact (r09, replacing the global-ORDER-BY window; boundary and
+    empty-bucket semantics pinned by tests/test_analytics_ops.py)."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 != 0)
+        .select("o_orderkey")
     )
     return (
-        g.select(
-            (F.col("k") + 1).alias("gap_start"),
-            (F.col("nxt") - 1).alias("gap_end"),
-            (F.col("nxt") - F.col("k") - 1).alias("gap_len"),
-        )
+        bucket_stitched_gaps(o, key="o_orderkey", bucket_bits=13)
         .orderBy("gap_start")
         .limit(100)
     )

@@ -91,3 +91,39 @@ def test_mode_is_argmax(spark):
         best[r["c_mktsegment"]] = max(best.get(r["c_mktsegment"], 0), r["n"])
     for seg, (_, n) in got.items():
         assert n == best[seg]
+
+
+def test_bucket_stitched_gaps_matches_global_window(spark):
+    """bucket_stitched_gaps must equal the naive global lead() window on
+    an id set engineered to hit every stitch case: in-bucket gaps, a gap
+    that spans a bucket boundary, and a gap that spans ENTIRELY EMPTY
+    buckets (with 4-wide buckets, ids jump from bucket 2 to bucket 30)."""
+    from datalake_imagenes_georreferenciadas_spark.plans.queries import (
+        bucket_stitched_gaps,
+    )
+
+    ids = [1, 2, 5, 6, 7, 8, 11, 120, 121, 200]
+    df = spark.createDataFrame([(i,) for i in ids], "k long")
+    got = sorted(
+        tuple(r)
+        for r in bucket_stitched_gaps(df, key="k", bucket_bits=2).collect()
+    )
+    want = sorted(
+        (a + 1, b - 1, b - a - 1)
+        for a, b in zip(ids, ids[1:])
+        if b - a > 1
+    )
+    assert got == want
+    # sanity on the engineered cases: an in-bucket gap (2→5 within the
+    # 4-wide buckets only if split — 2 is bucket 0, 5 bucket 1, so it's a
+    # boundary gap), and the empty-bucket jump 11→120 (buckets 2→30)
+    assert (12, 119, 108) in got
+
+
+def test_bucket_stitched_gaps_dense_ids_yield_none(spark):
+    from datalake_imagenes_georreferenciadas_spark.plans.queries import (
+        bucket_stitched_gaps,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(1, 50)], "k long")
+    assert bucket_stitched_gaps(df, key="k", bucket_bits=2).count() == 0
