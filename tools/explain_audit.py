@@ -387,6 +387,42 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     "ml_prf1_eval": (1, ["HashAggregate", "!SortMergeJoin", "!BroadcastHashJoin"]),
     # k-anonymity: quasi-identifier groupBy + distribution aggregate
     "dq_k_anonymity": (2, ["HashAggregate", "!SortMergeJoin", "!BroadcastHashJoin"]),
+    # ---- r09 additions: the window/join shapes of the r09 driver
+    # window that had no structural pin yet ----
+    # moving median: ONE keyed window exchange, never a global sort
+    "w10_moving_median": (1, ["Window", "!SinglePartition", "!SortMergeJoin"]),
+    # bucket-stitched gaps (r09 rewrite): fact window hash-partitioned
+    # on the id bucket; the only SinglePartition is the 8192×-reduced
+    # bucket summary; boundary stitch is a broadcast-sized join
+    "w11_id_gaps": (3, ["Window", "BroadcastHashJoin", "TakeOrderedAndProject", "!SortMergeJoin", "!CartesianProduct"]),
+    # growth curve: cumulative window sits ABOVE the period aggregate
+    # (post-agg scalar altitude — the SinglePartition is #periods rows)
+    "a20_growth_curve": (3, ["Window", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    # cohort LTV: cohort-keyed windows + broadcast dim join, never a
+    # global sort or SMJ
+    "a21_cohort_ltv": (3, ["Window", "BroadcastHashJoin", "!SinglePartition", "!SortMergeJoin"]),
+    # anomaly vs baseline: per-key window over the daily aggregate —
+    # keyed partitioning all the way
+    "ts_anomaly_vs_baseline": (2, ["Window", "HashAggregate", "!SinglePartition", "!SortMergeJoin"]),
+    # marker sequence: ONE per-user window exchange
+    "seq_since_marker": (1, ["Window", "!SinglePartition", "!SortMergeJoin"]),
+    # grid density: cell aggregate + TakeOrdered, no global sort
+    "geo_grid_density": (1, ["HashAggregate", "TakeOrderedAndProject", "!SinglePartition", "!SortMergeJoin"]),
+    # per-dim clip: posexplode + per-dim quantile aggregate broadcast
+    # back onto the vector stream — fact never re-shuffles for it
+    "emb_quantile_clip": (2, ["BroadcastHashJoin", "Generate", "!SinglePartition", "!SortMergeJoin"]),
+    # nearest-event as-of: keyed window group limit above a broadcast
+    # candidate join — no cartesian time-range scan
+    "j_asof_nearest": (1, ["BroadcastHashJoin", "WindowGroupLimit", "!SortMergeJoin", "!CartesianProduct"]),
+    # referential integrity: each FK check is a broadcast ANTI join of
+    # the fact against the dim — the fact side never shuffles
+    "dq_referential_integrity": (3, ["BroadcastHashJoin LeftAnti", "Union", "!SortMergeJoin", "!CartesianProduct"]),
+    # ALL-subquery rewrite: per-group max broadcast back (allowlisted
+    # bounded side), single agg exchange
+    "sub_all_rewrite": (1, ["BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
+    # dedup report composite: every family's candidate/verify join stays
+    # hash-shaped; one-row totals ride BNLJ; never a cartesian
+    "corpus_dedup_report": (9, ["BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
 }
 
 
