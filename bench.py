@@ -242,6 +242,24 @@ EXTENDED_QUERIES = [
     "f21_luhn_check",
 ]
 
+# SPARK_GRAFT_BENCH_FULL=1 extends the timed set to EVERY registered
+# query (registration order, so the list is stable round-over-round).
+# The stdout JSON line still carries only the 48 headline queries —
+# the driver contract is unchanged; the full set lands in
+# BENCH_DETAIL.json. The builder's closing run uses this so no query
+# ships without ever having been timed at sf0.1 (a correctness-green
+# query can still hide a scale pathology the sf0.01 oracle runs never
+# surface).
+if os.environ.get("SPARK_GRAFT_BENCH_FULL"):
+    from datalake_imagenes_georreferenciadas_spark.plans.queries import (
+        QUERIES as _ALL_REGISTERED,
+    )
+
+    _timed = set(BENCH_QUERIES) | set(EXTENDED_QUERIES)
+    EXTENDED_QUERIES = EXTENDED_QUERIES + [
+        n for n in _ALL_REGISTERED if n not in _timed
+    ]
+
 
 def materialize(df) -> int:
     """Force full computation of every output column without shipping rows

@@ -1,0 +1,130 @@
+"""Registry-wide global-sort sweep: flag any query whose physical plan
+contains an ``Exchange SinglePartition`` whose child subtree reaches a
+parquet/file Scan WITHOUT crossing an aggregate or limit — i.e. a
+global sort/window of fact-level data, the single worst 100 TB plan
+shape (one task sorts the whole table).
+
+SinglePartition is fine ABOVE an aggregate (post-agg "scalar altitude":
+the exchanged rows are group counts, bucket summaries, one-row totals)
+or below a TakeOrdered/limit; it is a scale-killer directly over a
+scan. r09 found exactly one such plan in 330 queries (`w11_id_gaps`,
+since rewritten as `bucket_stitched_gaps`); the sweep keeps it that
+way.
+
+ALLOWED lists the reviewed exceptions — queries whose global order is
+the documented point of their exact semantics, with the scale posture
+stated in their docstring.
+
+Usage: python tools/singlepartition_sweep.py [sf_dir]
+Exit 1 on any unreviewed flag. ~5 min for the full registry.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from datalake_imagenes_georreferenciadas_spark.plans.queries import all_queries
+from datalake_imagenes_georreferenciadas_spark.session import get_spark
+
+# Reviewed exceptions: (query name) -> why the global window is allowed.
+ALLOWED = {
+    # exact weighted quantile: the ONE global-ordered window over the
+    # weight-sorted values is the documented exact-semantics cost (its
+    # plan audit pins it); the approximate path (a19_tdigest_quantile)
+    # is the 100 TB variant.
+    "a22_weighted_quantile": "documented exact-semantics global window",
+}
+
+# Operators that bound the data volume before the exchange: once the
+# walk crosses one of these, whatever reaches the SinglePartition
+# exchange is aggregate/limited altitude, not fact rows.
+BARRIER = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "TakeOrderedAndProject",
+    "CollectLimit",
+    "GlobalLimit",
+    "LocalLimit",
+    "FlatMapGroupsInPandas",
+    "AQEShuffleRead",
+)
+
+
+def fact_level_singlepartition(plan: str) -> list[int]:
+    """Node ids of SinglePartition exchanges fed directly by a scan."""
+    blocks = {}
+    for blk in plan.split("\n\n"):
+        m = re.match(r"\((\d+)\) (\w+)", blk)
+        if m:
+            blocks[int(m.group(1))] = blk
+    sp_ids = {
+        i
+        for i, b in blocks.items()
+        if b.splitlines()[0].split()[1] == "Exchange" and "SinglePartition" in b
+    }
+    if not sp_ids:
+        return []
+    tree = plan.split("\n\n")[0]
+    parsed = []
+    for line in tree.splitlines():
+        m = re.search(r"([:\s+\-]*)[+:]- (\w+).*\((\d+)\)", line) or re.search(
+            r"^(\s*)(\w+).*\((\d+)\)", line
+        )
+        if m:
+            parsed.append((len(m.group(1)), m.group(2), int(m.group(3))))
+    flagged = []
+    for idx, (ind, _op, nid) in enumerate(parsed):
+        if nid not in sp_ids:
+            continue
+        for ind2, op2, _nid2 in parsed[idx + 1 :]:
+            if ind2 <= ind:
+                break
+            if any(op2.startswith(b) for b in BARRIER):
+                break
+            if op2.startswith("Scan"):
+                flagged.append(nid)
+                break
+    return flagged
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("sp-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    queries = all_queries()
+    bad, errs, allowed_seen = [], [], []
+    for name, fn in queries.items():
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().explainString(mode)
+        except Exception as e:  # noqa: BLE001 — report, don't abort the sweep
+            errs.append(name)
+            print(f"ERR  {name}: {str(e)[:100]}")
+            continue
+        hits = fact_level_singlepartition(plan)
+        if not hits:
+            continue
+        if name in ALLOWED:
+            allowed_seen.append(name)
+            print(f"allowed  {name} ({ALLOWED[name]})")
+        else:
+            bad.append(name)
+            print(f"FLAG {name}: fact-level SinglePartition exchange {hits}")
+    stale = [n for n in ALLOWED if n not in allowed_seen]
+    if stale:
+        print(f"stale ALLOWED entries (no longer flagged — remove): {stale}")
+    print(
+        f"\nswept {len(queries)}: {len(bad)} flagged, "
+        f"{len(allowed_seen)} allowed, {len(errs)} errors"
+    )
+    return 1 if bad or errs or stale else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
