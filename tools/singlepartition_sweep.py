@@ -15,6 +15,15 @@ ALLOWED lists the reviewed exceptions — queries whose global order is
 the documented point of their exact semantics, with the scale posture
 stated in their docstring.
 
+The same walk also flags any ``CartesianProduct`` node anywhere in a
+plan (the other unconditional scale-killer: an O(N*M) join with no
+key and no broadcast bound). The per-query explain audits assert
+``!CartesianProduct`` for the audited subset; this sweep makes the
+invariant registry-wide. ``ALLOWED_CARTESIAN`` holds reviewed
+exceptions (none as of r09 — every non-equi join in the registry
+compiles to BroadcastNestedLoopJoin with a bounded broadcast side,
+never to a shuffled cartesian).
+
 Usage: python tools/singlepartition_sweep.py [sf_dir]
 Exit 1 on any unreviewed flag. ~5 min for the full registry.
 """
@@ -37,6 +46,12 @@ ALLOWED = {
     # is the 100 TB variant.
     "a22_weighted_quantile": "documented exact-semantics global window",
 }
+
+# Reviewed cartesian-product exceptions (query name -> why). Empty as of
+# r09: non-equi joins must compile to BroadcastNestedLoopJoin with the
+# bounded side broadcast (gated by tests/test_broadcast_allowlist.py),
+# never to a shuffled CartesianProduct.
+ALLOWED_CARTESIAN: dict[str, str] = {}
 
 # Operators that bound the data volume before the exchange: once the
 # walk crosses one of these, whatever reaches the SinglePartition
@@ -108,15 +123,23 @@ def main() -> int:
             print(f"ERR  {name}: {str(e)[:100]}")
             continue
         hits = fact_level_singlepartition(plan)
-        if not hits:
-            continue
-        if name in ALLOWED:
-            allowed_seen.append(name)
-            print(f"allowed  {name} ({ALLOWED[name]})")
-        else:
-            bad.append(name)
-            print(f"FLAG {name}: fact-level SinglePartition exchange {hits}")
-    stale = [n for n in ALLOWED if n not in allowed_seen]
+        if hits:
+            if name in ALLOWED:
+                allowed_seen.append(name)
+                print(f"allowed  {name} ({ALLOWED[name]})")
+            else:
+                bad.append(name)
+                print(f"FLAG {name}: fact-level SinglePartition exchange {hits}")
+        if "CartesianProduct" in plan:
+            if name in ALLOWED_CARTESIAN:
+                allowed_seen.append(name)
+                print(f"allowed  {name} ({ALLOWED_CARTESIAN[name]})")
+            else:
+                bad.append(name)
+                print(f"FLAG {name}: CartesianProduct in physical plan")
+    stale = [
+        n for n in {**ALLOWED, **ALLOWED_CARTESIAN} if n not in allowed_seen
+    ]
     if stale:
         print(f"stale ALLOWED entries (no longer flagged — remove): {stale}")
     print(
