@@ -4621,29 +4621,35 @@ def p8_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def g1_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user trend slope fit as a grouped Arrow kernel
-    (``applyInPandas``): least squares of value over hours-since-first-
-    event, the canonical per-entity model-fit shape (one group = one
-    pandas frame = one numpy fit; groups shard across executors). The
-    oracle's ``regr_slope`` is the same closed form
-    cov(x,y)/var(x), so values hash-match at 4 decimals."""
-    import pandas as pd
+    """Per-user trend slope: least squares of value over hours-since-
+    first-event, entirely JVM-side via the built-in ``regr_slope``
+    aggregate (Spark >= 3.4) over a window-shifted x — the same closed
+    form cov(x,y)/var(x) the DuckDB oracle computes, so values
+    hash-match at 4 decimals.
 
+    This was a grouped ``applyInPandas`` kernel through r08; the first
+    full-registry sf0.1 timing showed the per-group Arrow overhead
+    (~3.6 s warm for ~40k one-row-out groups) dwarfing the actual
+    arithmetic. A closed-form fit never needs Python: one
+    hashpartitioning(user_id) exchange feeds both the min() window and
+    the final aggregate (no second shuffle), and whole-stage codegen
+    covers the rest — 3.6 s -> ~0.4 s warm, and at 100 TB the
+    difference is a cluster-sized Python worker pool doing nothing.
+    Grouped-map kernels remain for fits with no closed form
+    (operators/tdigest.py, the a19/streaming t-digest path)."""
     ev = table(spark, sf_dir, "events").select(
         "user_id", F.floor(F.unix_timestamp("ts")).cast("long").alias("epoch"), "value"
     )
-
-    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = (pdf["epoch"] - pdf["epoch"].min()) / 3600.0
-        y = pdf["value"]
-        xc = x - x.mean()
-        denom = float((xc * xc).sum())
-        slope = round(float((xc * (y - y.mean())).sum() / denom), 4) if denom else None
-        return pd.DataFrame(
-            {"user_id": [int(pdf["user_id"].iloc[0])], "n": [len(pdf)], "slope": [slope]}
+    w = Window.partitionBy("user_id")
+    xh = (F.col("epoch") - F.min("epoch").over(w)) / F.lit(3600.0)
+    return (
+        ev.withColumn("xh", xh)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.regr_slope("value", "xh"), 4).alias("slope"),
         )
-
-    return ev.groupBy("user_id").applyInPandas(fit, "user_id long, n long, slope double")
+    )
 
 
 @register(

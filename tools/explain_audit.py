@@ -423,6 +423,10 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # dedup report composite: every family's candidate/verify join stays
     # hash-shaped; one-row totals ride BNLJ; never a cartesian
     "corpus_dedup_report": (9, ["BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
+    # per-user trend fit: JVM-side regr_slope (r09 rewrite of the former
+    # grouped-map kernel) — ONE user_id exchange feeds both the min()
+    # window and the final aggregate; no Python anywhere in the plan
+    "g1_trend_fit": (1, ["Window", "regr_slope", "!FlatMapGroupsInPandas", "!ArrowEvalPython", "!BatchEvalPython", "!SortMergeJoin"]),
 }
 
 
