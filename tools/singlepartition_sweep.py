@@ -24,6 +24,17 @@ exceptions (none as of r09 — every non-equi join in the registry
 compiles to BroadcastNestedLoopJoin with a bounded broadcast side,
 never to a shuffled cartesian).
 
+Third class: any PYTHON EVAL node (Arrow/Pandas kernels, Python UDTF)
+anywhere in a plan must be allowlisted with the reason no JVM built-in
+can express the kernel. Python is the engine's slow path — an Arrow
+kernel pays per-batch serialization plus a Python worker pool, and a
+closed-form computation hiding inside one wastes exactly that
+(r09 case: g1_trend_fit fitted least-squares slopes in a grouped
+applyInPandas kernel at 3.6 s warm; the built-in ``regr_slope``
+computes the identical closed form at 0.31 s). ``ALLOWED_PYTHON``
+pins the reviewed kernel set; a new Python node fails the sweep until
+it is justified here.
+
 Usage: python tools/singlepartition_sweep.py [sf_dir]
 Exit 1 on any unreviewed flag. ~5 min for the full registry.
 """
@@ -52,6 +63,47 @@ ALLOWED = {
 # bounded side broadcast (gated by tests/test_broadcast_allowlist.py),
 # never to a shuffled CartesianProduct.
 ALLOWED_CARTESIAN: dict[str, str] = {}
+
+# Physical node names that mean rows cross the JVM<->Python boundary.
+PY_NODES = (
+    "ArrowEvalPython",
+    "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
+    "MapInPandas",
+    "MapInArrow",
+    "BatchEvalPython",
+    "PythonUDTF",
+)
+
+# Reviewed Python-kernel exceptions (query name -> why no built-in can
+# express the kernel). Every entry is byte-level decode, a stateful
+# sketch with no closed form, or the deliberate API-surface showcase —
+# never arithmetic a pyspark.sql.functions aggregate could compute.
+ALLOWED_PYTHON = {
+    # binary decode kernels: image/audio/video bytes have no JVM
+    # expression surface; Arrow batches over mapInPandas IS the design
+    "multimodal_meta": "EXIF/GeoTIFF byte-walk decode kernel",
+    "multimodal_resize": "image resize kernel over binary column",
+    "multimodal_frames": "frame-sample kernel over binary column",
+    "multimodal_scene_cuts": "frame-delta scene-cut kernel",
+    "multimodal_audio_features": "PCM feature-extract kernel",
+    "s7_exif_gps_scan": "stdlib EXIF byte-level walker",
+    "s8_geotiff_meta_scan": "stdlib GeoTIFF tag walker",
+    "pipeline_geo_ingest": "composite includes the EXIF decode stage",
+    # archive codecs: stdlib decompression, no Spark source reads these
+    "s2_archive_extract": "zip/tar/gz/bz2/xz extraction kernel",
+    "s2_7z_extract": "7z container parse + codec chain",
+    # sketches with no closed form: merge logic is the operator
+    "a19_tdigest_quantile": "t-digest centroid merge (no closed form)",
+    "streaming_tdigest": "t-digest merge inside foreachBatch",
+    # custom merge/rerank kernels over grouped/cogrouped frames
+    "g2_cogroup_merge": "cogrouped reconciliation kernel",
+    "hybrid_rerank_topk": "cross-encoder-shaped rerank over k candidates",
+    # deliberate API-surface twins (each has a JVM-side counterpart
+    # benched beside it: f17_cosine_topk / the SQL UDTF-free segmenters)
+    "f17_cosine_pandas": "Pandas-UDF twin of f17_cosine_topk (kept for the JVM-vs-Arrow comparison)",
+    "f18_python_udtf": "the Python UDTF surface is the component under test",
+}
 
 # Operators that bound the data volume before the exchange: once the
 # walk crosses one of these, whatever reaches the SinglePartition
@@ -137,8 +189,18 @@ def main() -> int:
             else:
                 bad.append(name)
                 print(f"FLAG {name}: CartesianProduct in physical plan")
+        py_hits = [n for n in PY_NODES if n in plan]
+        if py_hits:
+            if name in ALLOWED_PYTHON:
+                allowed_seen.append(name)
+                print(f"allowed  {name} (python kernel: {ALLOWED_PYTHON[name]})")
+            else:
+                bad.append(name)
+                print(f"FLAG {name}: unreviewed Python eval node {py_hits}")
     stale = [
-        n for n in {**ALLOWED, **ALLOWED_CARTESIAN} if n not in allowed_seen
+        n
+        for n in {**ALLOWED, **ALLOWED_CARTESIAN, **ALLOWED_PYTHON}
+        if n not in allowed_seen
     ]
     if stale:
         print(f"stale ALLOWED entries (no longer flagged — remove): {stale}")
