@@ -4604,7 +4604,7 @@ def p8_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ======================================================================
-# §2.10 EXT — per-group model fit (applyInPandas) + learned IVF codebook
+# §2.10 EXT — per-group model fit (JVM regr_slope) + learned IVF codebook
 # ======================================================================
 
 
