@@ -212,6 +212,17 @@ def cosine_near_pairs(
     recovers recall (P[candidate] = 1-(1-p^r)^b). Candidates dedup on
     (a,b) before the exact-cosine verify so multi-band collisions score
     once.
+
+    Cost shape (measured at sf0.1, 2k vectors): ~half the wall time is
+    DRIVER-side — Catalyst analyzing the num_bands x planes_per_band x
+    dim unrolled multiply-add tree (~1,300 expression nodes) — and the
+    rest is small-data stage machinery; per-ROW cost is near zero. The
+    unrolling is deliberate: a compact zip_with/aggregate lambda would
+    shrink the tree but drops the dot product out of whole-stage
+    codegen into interpreted HigherOrderFunction evaluation per row.
+    Planning is paid once per job regardless of corpus size, per-row
+    cost scales with the 100 TB scan — so the tree buys the right side
+    of that trade at scale.
     """
     keyed = data.select(
         F.col(data_id),
