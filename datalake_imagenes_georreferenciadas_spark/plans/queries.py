@@ -16998,17 +16998,24 @@ def _driver_check_state(repo: str | None = None) -> tuple:
 # Names pinned to the very front of the driver window this round:
 # judge-directed fixes whose green row is the round's done-criterion
 # (r08 used this for the w12 HUGEINT-oracle fix; both names went green
-# and the pin self-expired — empty for r09, kept as the mechanism for
-# future judge-directed confirmations).
-_FRONT_NAMES: tuple = ()
+# and the pin self-expired).  A pin overrides retired status: r09
+# rewrote these three plans (g1 → regr_slope, g2 → cogroup prefilter,
+# a13 → array-percentile buffer) but their green rows predate the
+# rewrites (g1's is r04-era), so r10 pins them front for external
+# confirmation of the NEW implementations (r09 ADVICE #3).  Drop the
+# pins once CORRECTNESS_r10 shows them green.
+_FRONT_NAMES: tuple = ("g1_trend_fit", "g2_cogroup_merge", "a13_equifreq_bins")
 
 
 def _rotated(reg: dict, repo: str | None = None) -> dict:
     retired, n_rounds, last_round = _driver_check_state(repo)
-    fresh = [n for n in reg if n not in retired]
-    front = [n for n in _FRONT_NAMES if n in fresh and n in reg]
+    # Pins come first REGARDLESS of retired status — a pin exists
+    # precisely because a stale green row must be re-earned on
+    # rewritten code, so filtering pins through `fresh` (as pre-r10
+    # code did) would silently drop the most important names.
+    front = [n for n in _FRONT_NAMES if n in reg]
     front_set = set(front)
-    fresh = [n for n in fresh if n not in front_set]
+    fresh = [n for n in reg if n not in retired and n not in front_set]
     pri = front + [n for n in fresh if n.startswith(_PRIORITY_PREFIXES)]
     pri_set = set(pri)
     rest = [n for n in fresh if n not in pri_set]
@@ -17022,7 +17029,7 @@ def _rotated(reg: dict, repo: str | None = None) -> dict:
     # registry every ~⌈N/50⌉ rounds with no stride bookkeeping.
     reg_pos = {n: i for i, n in enumerate(reg)}
     tail = sorted(
-        (n for n in reg if n in retired),
+        (n for n in reg if n in retired and n not in front_set),
         key=lambda n: (last_round.get(n, 0), reg_pos[n]),
     )
     return {n: reg[n] for n in pri + rest + tail}

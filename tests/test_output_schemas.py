@@ -77,6 +77,36 @@ def test_benched_names_are_registered():
     assert not set(bench.BENCH_QUERIES) & set(bench.EXTENDED_QUERIES)
 
 
+def test_bench_headline_runs_before_full_extension(monkeypatch):
+    """r09 VERDICT task 4: the stdout headline sum must be measured in a
+    fresh session, i.e. the 48 headline queries run BEFORE any extended
+    query (the loop order is BENCH_QUERIES + EXTENDED_QUERIES) and
+    SPARK_GRAFT_BENCH_FULL must only APPEND to the extended set — never
+    reorder or prepend — so deep-session state (e.g. the documented
+    a5_approx_distinct position-~230 anomaly) can't leak into the
+    round-over-round comparable."""
+    import importlib
+
+    import bench
+
+    default_extended = list(bench.EXTENDED_QUERIES)
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_FULL", "1")
+    importlib.reload(bench)
+    try:
+        full_order = bench.BENCH_QUERIES + bench.EXTENDED_QUERIES
+        # headline block is a strict prefix of the FULL-mode run order
+        assert full_order[: len(bench.BENCH_QUERIES)] == bench.BENCH_QUERIES
+        # FULL mode appends, preserving the default extended prefix
+        assert bench.EXTENDED_QUERIES[: len(default_extended)] == default_extended
+        from datalake_imagenes_georreferenciadas_spark.plans.queries import QUERIES
+
+        assert set(full_order) == set(dict(QUERIES))  # FULL times everything
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_BENCH_FULL")
+        importlib.reload(bench)
+        assert bench.EXTENDED_QUERIES == default_extended
+
+
 def test_all_oracles_emit_driver_safe_types():
     """Bind every registered oracle SQL in DuckDB and reject any output
     column whose DuckDB type the driver's pandas/Arrow fetch widens to

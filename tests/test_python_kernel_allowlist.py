@@ -64,7 +64,9 @@ ALLOWED: dict[tuple[str, str], int] = {
     # deliberate API-surface demonstrations with JVM twins benched
     # beside them (f17_cosine_topk / the expression-only segmenters)
     ("plans/queries.py", "f17_cosine_pandas"): 1,  # Arrow-vs-JVM twin
-    ("plans/queries.py", "f18_python_udtf"): 1,  # the UDTF surface itself
+    # 2 sites: the @udtf(returnType=...) decorator + spark.udtf.register
+    # (the register form is counted since the r10 scanner tightening)
+    ("plans/queries.py", "f18_python_udtf"): 2,  # the UDTF surface itself
     # gated production path: pyproj reprojection (ImportError-guarded;
     # the exact Snyder TM column expressions are the in-container path)
     ("functions/geo.py", "reproject_utm_to_wgs84"): 1,
@@ -81,6 +83,22 @@ def _scan(files, root: Path):
         class V(ast.NodeVisitor):
             def visit_FunctionDef(self, node):
                 stack.append(node.name)
+                # BARE decorators (@udtf / @pandas_udf / @udf with no
+                # parentheses) are ast.Name/Attribute nodes, not Calls —
+                # r09 ADVICE #2: they escaped both checks. Parenthesized
+                # decorators are Call nodes and are counted by
+                # visit_Call via generic_visit (not double-counted here).
+                site = (str(f.relative_to(root)), node.name)
+                for dec in node.decorator_list:
+                    dname = None
+                    if isinstance(dec, ast.Attribute):
+                        dname = dec.attr
+                    elif isinstance(dec, ast.Name):
+                        dname = dec.id
+                    if dname in KERNEL_ATTRS or dname in FACTORY_NAMES:
+                        kernels[site] += 1
+                    if dname in FORBIDDEN_NAMES:
+                        forbidden.append(site)
                 self.generic_visit(node)
                 stack.pop()
 
@@ -98,13 +116,24 @@ def _scan(files, root: Path):
                     kernels[site] += 1
                 if name in FORBIDDEN_NAMES:
                     forbidden.append(site)
+                if name == "register" and isinstance(fn, ast.Attribute):
+                    # r09 ADVICE #2: spark.udf.register(name, fn) builds
+                    # the same row-at-a-time eval path as F.udf but the
+                    # Call's attr is 'register', so it escaped the ban.
+                    # spark.udtf.register is the UDTF surface — a kernel
+                    # site needing review, not an outright ban.
+                    base = fn.value
+                    battr = (
+                        base.attr
+                        if isinstance(base, ast.Attribute)
+                        else base.id if isinstance(base, ast.Name) else None
+                    )
+                    if battr == "udf":
+                        forbidden.append(site)
+                    elif battr == "udtf":
+                        kernels[site] += 1
                 self.generic_visit(node)
 
-            def visit_FunctionDef_decorators(self, node):  # pragma: no cover
-                pass
-
-        # decorators like @udtf(returnType=...) are Call nodes and are
-        # caught by visit_Call via generic_visit
         V().visit(tree)
     return dict(kernels), forbidden
 
@@ -132,3 +161,56 @@ def test_allowlist_has_no_stale_entries():
     found, _ = _scan(sorted(PKG.rglob("*.py")), PKG)
     stale = [k for k in ALLOWED if k not in found]
     assert not stale, f"allowlist entries with no call site: {stale}"
+
+
+def _scan_src(src: str, tmp_path):
+    f = tmp_path / "m.py"
+    f.write_text(src)
+    return _scan([f], tmp_path)
+
+
+def test_scanner_catches_udf_register(tmp_path):
+    """r09 ADVICE #2: spark.udf.register is the row-at-a-time path with
+    a different Call attr — must be forbidden like F.udf."""
+    _, forbidden = _scan_src(
+        "def setup(spark):\n    spark.udf.register('f', lambda x: x)\n",
+        tmp_path,
+    )
+    assert forbidden == [("m.py", "setup")]
+    # udtf.register is a kernel site (reviewable), not an outright ban
+    kernels, forbidden2 = _scan_src(
+        "def setup(spark):\n    spark.udtf.register('t', T)\n", tmp_path
+    )
+    assert not forbidden2 and kernels == {("m.py", "setup"): 1}
+    # an unrelated .register (e.g. codec registry) must NOT trip the gate
+    kernels3, forbidden3 = _scan_src(
+        "def setup(reg):\n    reg.codecs.register('gz', open_gz)\n", tmp_path
+    )
+    assert not forbidden3 and not kernels3
+
+
+def test_scanner_catches_bare_decorators(tmp_path):
+    """r09 ADVICE #2: @udtf / @pandas_udf / @udf without parentheses are
+    Name/Attribute decorator nodes, not Calls — must still be counted."""
+    kernels, forbidden = _scan_src(
+        "from pyspark.sql.functions import pandas_udf, udtf, udf\n"
+        "@pandas_udf\ndef k1(s):\n    return s\n"
+        "@udtf\nclass_like = None\n"
+        "@udf\ndef k2(x):\n    return x\n".replace("@udtf\nclass_like = None\n", ""),
+        tmp_path,
+    )
+    assert kernels == {("m.py", "k1"): 1}
+    assert forbidden == [("m.py", "k2")]
+    # attribute-form bare decorator (@F.pandas_udf) is also counted
+    kernels2, _ = _scan_src(
+        "import pyspark.sql.functions as F\n@F.pandas_udf\ndef k(s):\n    return s\n",
+        tmp_path,
+    )
+    assert kernels2 == {("m.py", "k"): 1}
+    # parenthesized decorator is a Call — counted once, not twice
+    kernels3, _ = _scan_src(
+        "from pyspark.sql.functions import pandas_udf\n"
+        "@pandas_udf('double')\ndef k(s):\n    return s\n",
+        tmp_path,
+    )
+    assert kernels3 == {("m.py", "k"): 1}

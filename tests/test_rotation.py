@@ -155,6 +155,20 @@ def test_rows_only_unretires_once_an_oracle_exists():
     assert "a5_approx_distinct" not in retired
 
 
+def test_front_pin_overrides_retired_status(monkeypatch):
+    # r09 ADVICE #3: a pinned name must lead the window even when it
+    # carries a green row (the pin exists because the green predates a
+    # rewrite), and must not duplicate into the stale tail.
+    import datalake_imagenes_georreferenciadas_spark.plans.queries as q
+
+    monkeypatch.setattr(q, "_FRONT_NAMES", ("g_pinned",))
+    repo = _repo([{"g_pinned": GREEN, "g_other": GREEN}])
+    reg = {k: k for k in ("g_other", "g_pinned", "f_fresh")}
+    order = list(_rotated(reg, repo))
+    assert order == ["g_pinned", "f_fresh", "g_other"]
+    assert len(set(order)) == 3
+
+
 def test_union_across_rounds_and_regression_returns_to_front():
     # green in r1, red in r2: stays retired (some round was fully green)
     # — re-catching it is the re-check cycle's job, while a name that was

@@ -1,0 +1,135 @@
+"""Unit tests for the sweep's plan-text walker
+(tools.singlepartition_sweep.fact_level_singlepartition).
+
+Synthetic formatted-plan text, no Spark needed. The r09 ADVICE found a
+false negative: the walk broke out of the whole subtree at the FIRST
+barrier node in line order, so a SinglePartition exchange above a
+multi-child node (sort over a join of an aggregated branch and a
+raw-scan branch) never saw the sibling branch's Scan. The walker now
+tracks the barrier per-branch: a barrier shields only lines MORE
+indented than itself.
+
+Plan text mirrors Spark 4.1.2 ``explain("formatted")``: a tree chunk,
+then ``\\n\\n``-separated per-node blocks (no codegen ``*`` markers —
+formatted mode under AQE prints bare operator names).
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from tools.singlepartition_sweep import fact_level_singlepartition
+
+
+def _plan(tree: str, *blocks: str) -> str:
+    return tree + "\n\n" + "\n\n".join(blocks)
+
+
+SP_BLOCK = "({}) Exchange\nArguments: SinglePartition, ENSURE_REQUIREMENTS"
+
+
+def test_direct_scan_is_flagged():
+    plan = _plan(
+        """== Physical Plan ==
+Sort (3)
++- Exchange (2)
+   +- Scan parquet  (1)""",
+        SP_BLOCK.format(2),
+    )
+    assert fact_level_singlepartition(plan) == [2]
+
+
+def test_aggregate_shields_its_subtree():
+    plan = _plan(
+        """== Physical Plan ==
+Sort (5)
++- Exchange (4)
+   +- HashAggregate (3)
+      +- Exchange (2)
+         +- Scan parquet  (1)""",
+        SP_BLOCK.format(4),
+    )
+    assert fact_level_singlepartition(plan) == []
+
+
+def test_multi_branch_sibling_scan_is_not_shielded():
+    # THE r09 ADVICE case: branch 1 aggregated, branch 2 raw scan —
+    # the old walker broke at HashAggregate(3) and never saw Scan(4).
+    plan = _plan(
+        """== Physical Plan ==
+Sort (8)
++- Exchange (7)
+   +- SortMergeJoin Inner (6)
+      :- HashAggregate (3)
+      :  +- Exchange (2)
+      :     +- Scan parquet  (1)
+      +- Filter (5)
+         +- Scan parquet  (4)""",
+        SP_BLOCK.format(7),
+    )
+    assert fact_level_singlepartition(plan) == [7]
+
+
+def test_union_later_branch_scan_is_not_shielded():
+    plan = _plan(
+        """== Physical Plan ==
+Window (9)
++- Sort (8)
+   +- Exchange (7)
+      +- Union (6)
+         :- HashAggregate (3)
+         :  +- Exchange (2)
+         :     +- Scan parquet  (1)
+         +- Project (5)
+            +- Scan parquet  (4)""",
+        SP_BLOCK.format(7),
+    )
+    assert fact_level_singlepartition(plan) == [7]
+
+
+def test_scan_outside_exchange_subtree_is_ignored():
+    # the raw scan lives in a SIBLING of the exchange, not under it
+    plan = _plan(
+        """== Physical Plan ==
+Project (9)
++- BroadcastHashJoin Inner BuildRight (8)
+   :- Exchange (4)
+   :  +- HashAggregate (3)
+   :     +- Exchange (2)
+   :        +- Scan parquet  (1)
+   +- BroadcastExchange (7)
+      +- Filter (6)
+         +- Scan parquet  (5)""",
+        SP_BLOCK.format(4),
+    )
+    assert fact_level_singlepartition(plan) == []
+
+
+def test_all_branches_aggregated_is_clean():
+    plan = _plan(
+        """== Physical Plan ==
+Sort (10)
++- Exchange (9)
+   +- SortMergeJoin Inner (8)
+      :- HashAggregate (3)
+      :  +- Exchange (2)
+      :     +- Scan parquet  (1)
+      +- HashAggregate (7)
+         +- Exchange (6)
+            +- Scan parquet  (5)""",
+        SP_BLOCK.format(9),
+    )
+    assert fact_level_singlepartition(plan) == []
+
+
+def test_non_singlepartition_exchange_is_ignored():
+    plan = _plan(
+        """== Physical Plan ==
+Sort (3)
++- Exchange (2)
+   +- Scan parquet  (1)""",
+        "(2) Exchange\nArguments: hashpartitioning(k, 32), ENSURE_REQUIREMENTS",
+    )
+    assert fact_level_singlepartition(plan) == []

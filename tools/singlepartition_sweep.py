@@ -147,11 +147,24 @@ def fact_level_singlepartition(plan: str) -> list[int]:
     for idx, (ind, _op, nid) in enumerate(parsed):
         if nid not in sp_ids:
             continue
+        # Per-BRANCH barrier tracking (r09 ADVICE #1): a barrier shields
+        # only its OWN subtree (lines more indented than it), not the
+        # whole remaining walk — breaking at the first barrier made a
+        # sibling branch's raw Scan invisible (e.g. a global sort above
+        # a join of an aggregated branch and a scan branch was a false
+        # negative). A single shield depth suffices: a deeper barrier
+        # inside a shielded region is itself already shielded.
+        barrier_ind = None
         for ind2, op2, _nid2 in parsed[idx + 1 :]:
             if ind2 <= ind:
-                break
+                break  # left the exchange's subtree entirely
+            if barrier_ind is not None:
+                if ind2 > barrier_ind:
+                    continue  # descendant of the barrier — bounded rows
+                barrier_ind = None  # back to a sibling branch
             if any(op2.startswith(b) for b in BARRIER):
-                break
+                barrier_ind = ind2
+                continue
             if op2.startswith("Scan"):
                 flagged.append(nid)
                 break
