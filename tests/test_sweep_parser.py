@@ -133,3 +133,64 @@ Sort (3)
         "(2) Exchange\nArguments: hashpartitioning(k, 32), ENSURE_REQUIREMENTS",
     )
     assert fact_level_singlepartition(plan) == []
+
+# ---- auto-pin checker (r10: registry-wide conservative plan pins) ----
+
+from tools.singlepartition_sweep import check_auto_pin  # noqa: E402
+from tools.auto_pins import AUTO_PINS, EXCLUDED  # noqa: E402
+
+PIN_PLAN = """== Physical Plan ==
+TakeOrderedAndProject (5)
++- HashAggregate (4)
+   +- Exchange (3)
+      +- HashAggregate (2)
+         +- Scan parquet  (1)
+
+(3) Exchange
+Arguments: hashpartitioning(k, 32), ENSURE_REQUIREMENTS"""
+
+
+def test_pin_holds_on_designed_plan():
+    assert check_auto_pin(
+        PIN_PLAN, 1, ["!CartesianProduct", "HashAggregate", "TakeOrderedAndProject"]
+    ) == []
+
+
+def test_pin_catches_exchange_budget_overrun():
+    probs = check_auto_pin(PIN_PLAN, 0, ["!CartesianProduct"])
+    assert probs == ["exchanges=1 > pinned 0"]
+
+
+def test_pin_catches_forbidden_node():
+    plan = PIN_PLAN.replace("HashAggregate (4)", "CartesianProduct (4)")
+    assert any("CartesianProduct" in p for p in check_auto_pin(plan, 1, ["!CartesianProduct"]))
+
+
+def test_pin_catches_missing_signature_node():
+    plan = PIN_PLAN.replace("TakeOrderedAndProject (5)", "Project (5)")
+    assert check_auto_pin(plan, 1, ["TakeOrderedAndProject"]) == [
+        "missing: TakeOrderedAndProject"
+    ]
+
+
+def test_pin_signature_matches_operator_id_not_substring():
+    # "Window" inside a projected expression name must not satisfy a
+    # Window-operator pin
+    plan = PIN_PLAN.replace("Scan parquet  (1)", "Scan parquet window_col  (1)")
+    assert "missing: Window" in check_auto_pin(plan, 1, ["Window"])
+
+
+def test_every_registered_query_is_pinned_curated_or_excluded():
+    """Full-registry pin coverage: each query has a curated explain audit,
+    an auto pin, or a documented exclusion (streaming sink read-backs)."""
+    import re as _re
+
+    from datalake_imagenes_georreferenciadas_spark.plans.queries import all_queries
+
+    curated = set(
+        _re.findall(r'^\s{4}"([a-z0-9_]+)":', open("/root/repo/tools/explain_audit.py").read(), _re.M)
+    )
+    names = set(all_queries().keys())
+    uncovered = names - curated - set(AUTO_PINS) - set(EXCLUDED)
+    assert uncovered == set(), f"queries with no plan pin: {sorted(uncovered)}"
+    assert not set(AUTO_PINS) & set(EXCLUDED)
