@@ -17004,16 +17004,30 @@ def _driver_check_state(repo: str | None = None) -> tuple:
 # rewrites (g1's is r04-era), so r10 pins them front for external
 # confirmation of the NEW implementations (r09 ADVICE #3).  Drop the
 # pins once CORRECTNESS_r10 shows them green.
-_FRONT_NAMES: tuple = ("g1_trend_fit", "g2_cogroup_merge", "a13_equifreq_bins")
+# (name, pinned_at) — pinned_at is the CORRECTNESS-file count when the
+# pin was installed. A pin exists because the name's green row predates
+# a rewrite and must be RE-EARNED; it SELF-EXPIRES once the name earns a
+# fully-green row in a LATER round file (last_round > pinned_at), so no
+# builder has to remember to empty this tuple next round. The three
+# below were rewritten in r09 (8 round files existed when pinned, r10).
+_FRONT_NAMES: tuple = (
+    ("g1_trend_fit", 8),
+    ("g2_cogroup_merge", 8),
+    ("a13_equifreq_bins", 8),
+)
 
 
 def _rotated(reg: dict, repo: str | None = None) -> dict:
     retired, n_rounds, last_round = _driver_check_state(repo)
-    # Pins come first REGARDLESS of retired status — a pin exists
-    # precisely because a stale green row must be re-earned on
-    # rewritten code, so filtering pins through `fresh` (as pre-r10
-    # code did) would silently drop the most important names.
-    front = [n for n in _FRONT_NAMES if n in reg]
+    # Active pins come first REGARDLESS of retired status — filtering
+    # pins through `fresh` (as pre-r10 code did) would silently drop
+    # the most important names. An expired pin (green row newer than
+    # the pin) falls through to the normal staleness cycle.
+    front = [
+        n
+        for n, pinned_at in _FRONT_NAMES
+        if n in reg and last_round.get(n, 0) <= pinned_at
+    ]
     front_set = set(front)
     fresh = [n for n in reg if n not in retired and n not in front_set]
     pri = front + [n for n in fresh if n.startswith(_PRIORITY_PREFIXES)]

@@ -161,12 +161,40 @@ def test_front_pin_overrides_retired_status(monkeypatch):
     # rewrite), and must not duplicate into the stale tail.
     import datalake_imagenes_georreferenciadas_spark.plans.queries as q
 
-    monkeypatch.setattr(q, "_FRONT_NAMES", ("g_pinned",))
+    monkeypatch.setattr(q, "_FRONT_NAMES", (("g_pinned", 1),))
     repo = _repo([{"g_pinned": GREEN, "g_other": GREEN}])
     reg = {k: k for k in ("g_other", "g_pinned", "f_fresh")}
     order = list(_rotated(reg, repo))
     assert order == ["g_pinned", "f_fresh", "g_other"]
     assert len(set(order)) == 3
+
+
+def test_front_pin_self_expires_after_new_green_row(monkeypatch):
+    # A pin installed when N round files existed dissolves once the name
+    # earns a fully-green row in a LATER file — no manual un-pinning.
+    import datalake_imagenes_georreferenciadas_spark.plans.queries as q
+
+    monkeypatch.setattr(q, "_FRONT_NAMES", (("g_pinned", 1),))
+    # pinned at 1 round file; round 2 re-checks it green → pin expires,
+    # the name rejoins the staleness tail (newest green → last)
+    repo = _repo(
+        [
+            {"g_pinned": GREEN, "g_other": GREEN},
+            {"g_pinned": GREEN},
+        ]
+    )
+    reg = {k: k for k in ("g_other", "g_pinned", "f_fresh")}
+    order = list(_rotated(reg, repo))
+    assert order == ["f_fresh", "g_other", "g_pinned"]
+    # a RED re-check does NOT expire the pin — green must be re-earned
+    repo2 = _repo(
+        [
+            {"g_pinned": GREEN, "g_other": GREEN},
+            {"g_pinned": RED},
+        ]
+    )
+    order2 = list(_rotated(reg, repo2))
+    assert order2[0] == "g_pinned"
 
 
 def test_union_across_rounds_and_regression_returns_to_front():
