@@ -2455,13 +2455,28 @@ def a5_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     rsd=0.02 — a sketch that far off is broken, not unlucky) and the
     oracle expects `true`. The approximation is thereby externally
     checked without demanding bit-identical HLL registers (same pattern
-    as a5_kmv_distinct)."""
-    return (
+    as a5_kmv_distinct).
+
+    Plan shape (r10 rewrite): mixing a DISTINCT aggregate with the HLL
+    in ONE agg triggers Spark's two-phase distinct rewrite, which
+    materializes a partial_approx_count_distinct buffer (~410 longs at
+    rsd=0.02) PER (flag, orderkey) PAIR and shuffles all of them —
+    hundreds of MB at sf0.1, ruinous at corpus scale. HLL registers are
+    max-merged over hashed VALUES, so the sketch over the distinct
+    pairs is bit-identical to the sketch over the raw rows: aggregate
+    to distinct pairs first (keys-only shuffle, map-side partial), then
+    compute BOTH the exact count and the sketch from the pairs (3.6 s
+    -> sub-second warm at sf0.1, same output)."""
+    pairs = (
         table(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
+        .select("l_returnflag", "l_orderkey")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_orderkey", 0.02).alias("n_orders_approx"),
-            F.countDistinct("l_orderkey").alias("n_orders_exact"),
+            F.count("*").alias("n_orders_exact"),
         )
         .select(
             "l_returnflag",
@@ -17014,6 +17029,9 @@ _FRONT_NAMES: tuple = (
     ("g1_trend_fit", 8),
     ("g2_cogroup_merge", 8),
     ("a13_equifreq_bins", 8),
+    # r10 rewrite: distinct pairs first, HLL over pairs (bit-identical,
+    # kills the per-pair sketch-buffer shuffle) — green must be re-earned
+    ("a5_approx_distinct", 8),
 )
 
 
