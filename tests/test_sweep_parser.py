@@ -194,3 +194,33 @@ def test_every_registered_query_is_pinned_curated_or_excluded():
     uncovered = names - curated - set(AUTO_PINS) - set(EXCLUDED)
     assert uncovered == set(), f"queries with no plan pin: {sorted(uncovered)}"
     assert not set(AUTO_PINS) & set(EXCLUDED)
+
+
+# ---- wide-aggregate-buffer detector (r10: the a5 distinct-rewrite class) ----
+
+from tools.singlepartition_sweep import wide_agg_results  # noqa: E402
+
+
+def _agg_node(n_results: int, node_id: int = 2) -> str:
+    cols = ", ".join(f"c{i}#1{i}L" for i in range(n_results))
+    return f"({node_id}) HashAggregate\nInput [2]: [k#1, v#2L]\nKeys [1]: [k#1]\nResults [{n_results}]: [{cols}]"
+
+
+def test_wide_agg_flags_expanded_sketch_buffer():
+    # the a5 pathology: 412 columns of HLL register words per distinct pair
+    plan = "== Physical Plan ==\nHashAggregate (2)\n+- Scan parquet  (1)\n\n" + _agg_node(412)
+    assert wide_agg_results(plan) == [412]
+
+
+def test_wide_agg_ignores_normal_aggregates():
+    plan = "== Physical Plan ==\nHashAggregate (2)\n+- Scan parquet  (1)\n\n" + _agg_node(9)
+    assert wide_agg_results(plan) == []
+
+
+def test_wide_agg_only_matches_hashaggregate_results():
+    # a wide Project/Scan output is not an aggregate buffer
+    plan = (
+        "== Physical Plan ==\nProject (2)\n+- Scan parquet  (1)\n\n"
+        "(2) Project\nOutput [412]: [" + ", ".join(f"c{i}#1" for i in range(412)) + "]"
+    )
+    assert wide_agg_results(plan) == []

@@ -136,6 +136,36 @@ BARRIER = (
 )
 
 
+# Aggregate-buffer width above which a HashAggregate's Results row is
+# treated as a hidden fat buffer. Registry max is 9 columns (arrays and
+# structs count as ONE column, so embeddings don't trip this); the r10
+# find this gate generalizes was a 412-column plan: mixing countDistinct
+# with approx_count_distinct made Spark's two-phase distinct rewrite
+# materialize the partial HLL register words PER DISTINCT KEY PAIR and
+# shuffle all of them (a5_approx_distinct, fixed by aggregating to
+# distinct pairs first — HLL over distinct values is bit-identical).
+WIDE_AGG_THRESHOLD = 64
+
+# Reviewed wide-aggregate exceptions (query name -> why). Empty: no
+# legitimate plan in the registry carries a >64-column aggregate row.
+ALLOWED_WIDE: dict[str, str] = {}
+
+
+def wide_agg_results(plan: str, threshold: int = WIDE_AGG_THRESHOLD) -> list[int]:
+    """Widths of HashAggregate ``Results [N]`` rows exceeding ``threshold``.
+
+    A very wide aggregate output almost always means a per-group sketch
+    or array buffer was EXPANDED into columns and is about to be
+    shuffled once per group — fine for a handful of groups, ruinous
+    when the rewrite put it on a high-cardinality key.
+    """
+    widths = [
+        int(w)
+        for w in re.findall(r"HashAggregate[\s\S]{0,400}?Results \[(\d+)\]", plan)
+    ]
+    return [w for w in widths if w > threshold]
+
+
 def check_auto_pin(plan: str, max_ex: int, expects: list[str]) -> list[str]:
     """Check one auto-generated pin against a formatted plan.
 
@@ -253,9 +283,17 @@ def main() -> int:
             if probs:
                 bad.append(name)
                 print(f"PIN-FAIL {name}: {'; '.join(probs)}")
+        wide = wide_agg_results(plan)
+        if wide:
+            if name in ALLOWED_WIDE:
+                allowed_seen.append(name)
+                print(f"allowed  {name} (wide aggregate: {ALLOWED_WIDE[name]})")
+            else:
+                bad.append(name)
+                print(f"FLAG {name}: wide aggregate buffer Results {wide}")
     stale = [
         n
-        for n in {**ALLOWED, **ALLOWED_CARTESIAN, **ALLOWED_PYTHON}
+        for n in {**ALLOWED, **ALLOWED_CARTESIAN, **ALLOWED_PYTHON, **ALLOWED_WIDE}
         if n not in allowed_seen
     ]
     stale += [n for n in AUTO_PINS if n not in queries]
