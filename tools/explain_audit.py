@@ -449,6 +449,48 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # PQ recall eval: exact-vs-PQ top-k compare; one-row/codebook sides
     # ride BNLJ, candidate joins keyed — no cartesian, no Python
     "ann_pq_recall": (10, ["BroadcastNestedLoopJoin", "!CartesianProduct", "!BatchEvalPython", "!ArrowEvalPython"]),
+    # ---- r10 curation wave: hand-written expectations replacing the
+    # ---- machine-derived auto-pins for high-traffic shapes (shapes
+    # ---- captured identical at sf0.001 AND sf0.01 before pinning)
+    # TPC-H Q3: both dims broadcast, date/segment predicates pushed,
+    # top-k via TakeOrdered (no sort exchange for the limit)
+    "tpch_q3_shape": (1, ["BroadcastHashJoin", "TakeOrderedAndProject", "GreaterThan(l_shipdate", "EqualTo(c_mktsegment,BUILDING)", "!SortMergeJoin", "!CartesianProduct"]),
+    # TPC-H Q5: 4-way star — every dim broadcast, date range pushed
+    "tpch_q5_shape": (1, ["BroadcastHashJoin", "GreaterThanOrEqual(o_orderdate", "!SortMergeJoin", "!CartesianProduct"]),
+    # range join: equi on user_id carries the range residual as a join
+    # condition — BHJ, never a cartesian with a filter on top
+    "j_range_join": (1, ["BroadcastHashJoin", "EqualTo(event_type,error)", "!SortMergeJoin", "!CartesianProduct"]),
+    # correlated scalar subquery decorrelates to agg + broadcast join
+    "sub_correlated_scalar": (1, ["BroadcastHashJoin", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    # INTERSECT ALL: counted hash agg + Generate replay, one shuffle
+    "set_intersect_all": (1, ["HashAggregate", "Generate", "!SortMergeJoin", "!CartesianProduct"]),
+    # salted skew join: salt explode (Generate) + broadcast of the
+    # replicated dim — the fact is never re-shuffled on the hot key
+    "skew_salted_join": (1, ["Generate", "BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
+    # running sum: ONE hash exchange on the partition key, never global
+    "w2_running_sum": (1, ["Window", "hashpartitioning", "!SinglePartition", "!CartesianProduct"]),
+    # two count-distincts share one Expand (canonical 2-distinct shape)
+    "a4_count_distinct": (2, ["Expand", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    # brute-force cosine vs one query vector: pure broadcast nested
+    # loop, ZERO shuffles — the documented exact baseline
+    # (max_exchanges=0 asserts the no-shuffle property; "!Exchange" as a
+    # substring would false-positive on the BroadcastExchange node)
+    "f17_cosine_all": (0, ["BroadcastNestedLoopJoin", "EqualTo(vec_id,0)", "!CartesianProduct"]),
+    # sessionization: one user_id exchange shared by both windows + agg
+    "session_stats": (1, ["Window", "HashAggregate", "!SinglePartition", "!CartesianProduct"]),
+    # anti join broadcasts the exclusion side
+    "j1_anti_join": (0, ["BroadcastHashJoin LeftAnti", "!SortMergeJoin", "!CartesianProduct"]),
+    # FULL OUTER cannot broadcast — SMJ with both sides hash-exchanged
+    # is the designed shape
+    "j1_full_outer": (2, ["SortMergeJoin FullOuter", "!BroadcastHashJoin", "!CartesianProduct"]),
+    # MinHash banding: candidate pairs via band-bucket equi-joins
+    # (broadcast at test SF), shingle explode bounded by Generate
+    "dedup_near_pairs": (6, ["BroadcastHashJoin", "Generate", "!SortMergeJoin", "!CartesianProduct"]),
+    # exact n-gram Jaccard: staged shingle index feeds hot/sizes/pair
+    # branches — all joins keyed, no all-pairs anywhere
+    "dedup_ngram_jaccard": (12, ["BroadcastHashJoin", "Generate", "!SortMergeJoin", "!CartesianProduct"]),
+    # SimHash: one agg shuffle builds fingerprints from exploded tokens
+    "simhash_fingerprints": (1, ["Generate", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
 }
 
 
