@@ -491,6 +491,43 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     "dedup_ngram_jaccard": (12, ["BroadcastHashJoin", "Generate", "!SortMergeJoin", "!CartesianProduct"]),
     # SimHash: one agg shuffle builds fingerprints from exploded tokens
     "simhash_fingerprints": (1, ["Generate", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    # ---- r10 curation wave 2 (shapes identical at sf0.001 and sf0.01)
+    # rollup/cube/grouping-sets all compile to ONE Expand + one shuffle —
+    # never one scan per grouping combination
+    "a4_rollup": (1, ["Expand", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    "a4_cube": (1, ["Expand", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    "a4_grouping_sets": (1, ["Expand", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    # static pivot: two agg exchanges (group, then pivot fold), no join
+    "a4_pivot": (2, ["HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    # IN-subquery plans as a broadcast LEFT SEMI, never a shuffle
+    "sub_in": (0, ["BroadcastHashJoin LeftSemi", "!SortMergeJoin", "!CartesianProduct"]),
+    # scalar subquery: one agg exchange computes the scalar (its
+    # SinglePartition sits ABOVE the aggregate — sweep-shielded)
+    "sub_scalar": (1, ["HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    "j1_correlated_exists": (0, ["BroadcastHashJoin LeftSemi", "!SortMergeJoin", "!CartesianProduct"]),
+    # lateral top-n: partitioned window + broadcast dim joins
+    "j_lateral_topn": (2, ["Window", "BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
+    # per-key windows: ONE hash exchange, never a global sort
+    "w3_lag_lead": (1, ["Window", "hashpartitioning", "!SinglePartition", "!CartesianProduct"]),
+    "w5_range_frame": (1, ["Window", "hashpartitioning", "!SinglePartition", "!CartesianProduct"]),
+    "w7_gap_fill": (1, ["Window", "hashpartitioning", "!SinglePartition", "!CartesianProduct"]),
+    "ts_ewma": (1, ["Window", "hashpartitioning", "!SinglePartition", "!CartesianProduct"]),
+    # 3-tier spatial classify: broadcast polygon join + tier Union
+    "geo_classify": (1, ["BroadcastNestedLoopJoin", "Union", "!CartesianProduct"]),
+    "geo_classify_bulk": (0, ["BroadcastNestedLoopJoin", "!CartesianProduct"]),
+    # four embarrassingly-parallel kernels; the single exchange is the
+    # DELIBERATE spread() rebalance of a single-split scan
+    "text_stats": (1, ["!SortMergeJoin", "!CartesianProduct"]),
+    "text_lang_agg": (1, ["HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    # lateral explode is pure Generate — no shuffle at all
+    "f15_lateral_explode": (0, ["Generate", "!CartesianProduct"]),
+    # pure projection: scan + project, zero exchanges
+    "p2_filename_parse": (0, ["!CartesianProduct"]),
+    "graph_degree_distribution": (3, ["HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    # DQ constraint union: six bounded check branches + anti-join probe
+    "dq_constraints": (6, ["Union", "BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
+    "cohort_retention": (3, ["HashAggregate", "BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
+    "seq_transitions": (2, ["Window", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
 }
 
 
