@@ -528,6 +528,47 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     "dq_constraints": (6, ["Union", "BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
     "cohort_retention": (3, ["HashAggregate", "BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
     "seq_transitions": (2, ["Window", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    # ---- r10 curation wave 3 (shapes identical at sf0.001 and sf0.01)
+    # set ops: UNION dedups with one shuffle; INTERSECT/EXCEPT compile
+    # to broadcast semi/anti joins; the ALL variants replay counts via
+    # Generate — never a join per duplicate
+    "set_union": (1, ["Union", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    "set_intersect": (1, ["BroadcastHashJoin LeftSemi", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    "set_except": (1, ["BroadcastHashJoin LeftAnti", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    "set_except_all": (1, ["Union", "Generate", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    # pure column-expression functions: zero exchanges, zero joins
+    "f14_json_extract": (0, ["!CartesianProduct"]),
+    "f15_array_ops": (0, ["!CartesianProduct"]),
+    "f15_map_ops": (0, ["!CartesianProduct"]),
+    "p6_type_dispatch": (0, ["!CartesianProduct"]),
+    # the deliberate Arrow-kernel twin of f17_cosine_topk: the
+    # ArrowEvalPython node IS the point (API-surface showcase)
+    "f17_cosine_pandas": (0, ["BroadcastNestedLoopJoin", "ArrowEvalPython", "!CartesianProduct"]),
+    # min_by/argmin compiles to an ordered SortAggregate, one exchange
+    "a2_argmin_per_group": (1, ["SortAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    # collect_list is an ObjectHashAggregate (object buffer), one shuffle
+    "a6_collect_sorted": (1, ["ObjectHashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    "a9_mode": (2, ["Window", "HashAggregate", "BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
+    "a17_hist_median": (3, ["Window", "ObjectHashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    "w8_leave_one_out": (1, ["Window", "hashpartitioning", "!SinglePartition", "!CartesianProduct"]),
+    "w9_trailing_array": (1, ["Window", "hashpartitioning", "!SinglePartition", "!CartesianProduct"]),
+    # sliding windows replicate each event into its overlapping windows
+    # via ONE Expand; tumbling needs NO Expand (one window per event) —
+    # an Expand appearing there would mean a silent fan-out regression
+    "sliding_window_agg": (1, ["Expand", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    "tumbling_window_agg": (1, ["HashAggregate", "!Expand", "!SortMergeJoin", "!CartesianProduct"]),
+    # sort+limit: TakeOrderedAndProject, zero exchanges, no global sort
+    "s1_sort_limit": (0, ["TakeOrderedAndProject", "!CartesianProduct"]),
+    # two-stage salted aggregate: partial on the salted key, final on
+    # the real key — exactly two exchanges
+    "skew_salted_agg": (2, ["HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    "seq_first_last_flow": (2, ["SortAggregate", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    "p7_left_join_null_guard": (0, ["BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
+    # RRF fusion: two ranked lists FULL-OUTER merged (SMJ is the designed
+    # shape — a broadcast can't do full outer), top-k via TakeOrdered
+    "hybrid_rrf_topk": (1, ["Window", "TakeOrderedAndProject", "SortMergeJoin FullOuter", "!CartesianProduct"]),
+    "ts_streaks": (2, ["Window", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    "dq_benford": (4, ["HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
 }
 
 
