@@ -569,6 +569,54 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     "hybrid_rrf_topk": (1, ["Window", "TakeOrderedAndProject", "SortMergeJoin FullOuter", "!CartesianProduct"]),
     "ts_streaks": (2, ["Window", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
     "dq_benford": (4, ["HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    # ---- r10 curation wave 4 (shapes identical at sf0.001 and sf0.01)
+    # recursive CTE (iterative member expansion): each iteration joins
+    # broadcast, the final dedup is the single shuffle
+    "sql_recursive_cte": (1, ["BroadcastHashJoin", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    # per-table checksums reduce BEFORE the compare join — the
+    # SinglePartition sits above the aggregates (sweep-shielded)
+    "table_checksum_diff": (3, ["HashAggregate", "BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
+    # nearest-vertex KNN: vertex explode + broadcast candidate join +
+    # deterministic argmin (ordered SortAggregate)
+    "geo_knn": (1, ["Generate", "BroadcastNestedLoopJoin", "SortAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    # z-order interleave is pure bit arithmetic: zero exchanges
+    "geo_zorder_key": (0, ["!CartesianProduct"]),
+    "geo_bbox_agg": (1, ["Generate", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    # IVF probe: centroid assignment rides tiny BNLJ broadcasts, the
+    # cell probe is a keyed join — never all-pairs; the one SMJ joins
+    # the two ranked lists
+    "ann_ivf_topk": (5, ["BroadcastNestedLoopJoin", "Window", "!CartesianProduct"]),
+    # hyperplane signatures are pure column expressions over one scan
+    "ann_hyperplane_buckets": (0, ["!CartesianProduct"]),
+    # components result joins back to docs via broadcast; the contraction
+    # itself runs behind a checkpoint barrier (plan shows its read)
+    "dedup_components": (0, ["BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
+    "dedup_cluster_sizes": (2, ["BroadcastHashJoin", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    "ml_negative_pairs": (1, ["Generate", "BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
+    "ml_calibration_bins": (2, ["HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    "ts_twap": (1, ["Window", "HashAggregate", "hashpartitioning", "!SinglePartition", "!CartesianProduct"]),
+    # calendar anti-probe: day spine via Generate, missing days via
+    # broadcast join — never a per-day scan
+    "ts_missing_days": (2, ["Generate", "BroadcastHashJoin", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    "ts_rank_shift": (4, ["Window", "BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
+    "attribution_last_touch": (3, ["Window", "BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
+    "theta_avoid_prefix": (2, ["Window", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    # CDC compaction: ONE key exchange feeds the latest-version window
+    "cdc_upsert_compact": (1, ["Window", "hashpartitioning", "!SortMergeJoin", "!CartesianProduct"]),
+    # KMV sketch: k smallest hashes via TakeOrdered, threshold broadcast
+    "a5_kmv_distinct": (3, ["TakeOrderedAndProject", "Generate", "!SortMergeJoin", "!CartesianProduct"]),
+    # skew/kurtosis from power sums: single-scan single-shuffle
+    "a7_moments": (1, ["HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    "a12_gini": (1, ["Window", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    # hierarchy share-of-parent: every level join broadcast, partial
+    # aggs reuse the partitioning (3 exchanges for 3 levels)
+    "a16_share_of_parent": (3, ["BroadcastHashJoin", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    # percentile_approx carries an ObjectHashAggregate digest buffer
+    "a4_percentiles": (1, ["ObjectHashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    # unpivot is ONE Expand over the scan — no shuffle, no join
+    "a4_unpivot": (0, ["Expand", "!CartesianProduct"]),
+    "f19_url_parse": (0, ["!CartesianProduct"]),
+    "f20_ip_cidr": (2, ["HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
 }
 
 
