@@ -617,6 +617,43 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     "a4_unpivot": (0, ["Expand", "!CartesianProduct"]),
     "f19_url_parse": (0, ["!CartesianProduct"]),
     "f20_ip_cidr": (2, ["HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    # ---- r10 curation wave 5 (shapes identical at sf0.001 and sf0.01)
+    # multimodal decode kernels: the MapInPandas Arrow batch IS the
+    # design (binary columns have no JVM expression surface) — zero
+    # shuffles around the kernel; scene cuts adds one window exchange
+    "multimodal_meta": (0, ["MapInPandas", "!CartesianProduct"]),
+    "multimodal_resize": (0, ["MapInPandas", "!CartesianProduct"]),
+    "multimodal_frames": (0, ["MapInPandas", "!CartesianProduct"]),
+    "multimodal_scene_cuts": (1, ["MapInPandas", "Window", "hashpartitioning", "!CartesianProduct"]),
+    # DQ checks: per-shard aggregates reduce before the scalar compare
+    # (their SinglePartition sits above the aggregate — sweep-shielded)
+    "dq_freshness_sla": (4, ["HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    "dq_shard_balance": (2, ["HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    # contract diff: bounded by schema width, the one exchange is the
+    # deterministic output ordering of a tiny violation table
+    "dq_schema_contract": (1, ["!SortMergeJoin", "!CartesianProduct"]),
+    "emb_outlier_zscore": (2, ["Generate", "BroadcastHashJoin", "TakeOrderedAndProject", "!SortMergeJoin", "!CartesianProduct"]),
+    # geospatial math is pure column expressions (ring explode only)
+    "geo_affine_extent": (0, ["Generate", "!CartesianProduct"]),
+    "geo_reproject_centroid": (0, ["!CartesianProduct"]),
+    "geo_ring_areas": (0, ["Generate", "!CartesianProduct"]),
+    "geo_snap_simplify": (0, ["Generate", "!CartesianProduct"]),
+    # scalar max: one agg exchange (SinglePartition above the aggregate)
+    "a1_max_id": (1, ["HashAggregate", "!CartesianProduct"]),
+    "a3_first_seen_dedup": (1, ["HashAggregate", "hashpartitioning", "!CartesianProduct"]),
+    "a6_string_agg": (1, ["ObjectHashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    "a11_winsorized_mean": (2, ["ObjectHashAggregate", "BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
+    "a14_minmax_scale": (1, ["HashAggregate", "BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
+    "a15_abc_classify": (2, ["Window", "BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
+    "a18_outlier_zscore": (2, ["HashAggregate", "BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
+    "a24_seq_motifs": (2, ["Window", "TakeOrderedAndProject", "!SortMergeJoin", "!CartesianProduct"]),
+    "ab_test_zscore": (1, ["HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    # deterministic splits/samples/caps: hash or window over ONE exchange
+    "p9_weighted_sample": (1, ["HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    "p10_train_val_test": (1, ["HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    "p12_per_source_cap": (1, ["Window", "hashpartitioning", "!SinglePartition", "!CartesianProduct"]),
+    # custom Python DataSource: the scan feeds a normal one-shuffle agg
+    "s1_python_datasource": (1, ["HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
 }
 
 
