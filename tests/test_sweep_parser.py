@@ -180,6 +180,35 @@ def test_pin_signature_matches_operator_id_not_substring():
     assert "missing: Window" in check_auto_pin(plan, 1, ["Window"])
 
 
+def test_no_duplicate_keys_in_pin_dicts():
+    """A duplicate dict-literal key silently drops the earlier pin (r10
+    VERDICT: a weaker second "ann_pq_topk" entry shadowed the stricter
+    WindowGroupLimit pin for two rounds). Assert uniqueness on the AST of
+    every pin dict so the class can't recur."""
+    import ast
+
+    for path, dict_name in [
+        ("/root/repo/tools/explain_audit.py", "AUDITS"),
+        ("/root/repo/tools/auto_pins.py", "AUTO_PINS"),
+    ]:
+        tree = ast.parse(open(path).read())
+        found = False
+        for node in ast.walk(tree):
+            if not isinstance(node, (ast.Assign, ast.AnnAssign)):
+                continue
+            targets = node.targets if isinstance(node, ast.Assign) else [node.target]
+            if not any(isinstance(t, ast.Name) and t.id == dict_name for t in targets):
+                continue
+            value = node.value
+            assert isinstance(value, ast.Dict), f"{dict_name} in {path} is not a dict literal"
+            keys = [k.value for k in value.keys if isinstance(k, ast.Constant)]
+            assert len(keys) == len(value.keys), f"non-literal key in {dict_name} ({path})"
+            dupes = sorted({k for k in keys if keys.count(k) > 1})
+            assert dupes == [], f"duplicate keys in {dict_name} ({path}): {dupes}"
+            found = True
+        assert found, f"{dict_name} assignment not found in {path}"
+
+
 def test_every_registered_query_is_pinned_curated_or_excluded():
     """Full-registry pin coverage: each query has a curated explain audit,
     an auto pin, or a documented exclusion (streaming sink read-backs)."""

@@ -189,9 +189,13 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # parsing fully JVM-side
     # (SortAggregate: min(string) is sort-based — partials still map-side)
     "s25_xml_roundtrip": (1, ["SortAggregate", "Scan xml", "partial_count", "!BatchEvalPython", "!ArrowEvalPython"]),
-    # PQ ANN: one-row codebook broadcast onto the vector table, never a
-    # shuffle of the vectors; one exchange for the ranking window
-    "ann_pq_topk": (2, ["BroadcastNestedLoopJoin", "!SortMergeJoin", "!CartesianProduct"]),
+    # SQ8 recall eval: both the quantized and the exact arm score via a
+    # broadcast BNLJ of the tiny query side (vectors never shuffle) with
+    # WindowGroupLimit top-k; the exact-vs-sq8 compare joins two
+    # 5-rows-per-query sets (bounded, AQE broadcasts at runtime).
+    # (r11: this slot previously held a duplicate "ann_pq_topk" key that
+    # silently shadowed the stricter line-~149 pin — see VERDICT r10.)
+    "ann_sq8_recall": (8, ["BroadcastNestedLoopJoin", "WindowGroupLimit", "!CartesianProduct", "!BatchEvalPython", "!ArrowEvalPython"]),
     # audio feature kernel: Arrow mapInPandas off the binary scan
     "multimodal_audio_features": (1, ["MapInPandas", "!CartesianProduct", "!SortMergeJoin"]),
     # streaming t-digest monitor (post-stream check plan): centroid
