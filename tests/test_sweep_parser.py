@@ -253,3 +253,41 @@ def test_wide_agg_only_matches_hashaggregate_results():
         "(2) Project\nOutput [412]: [" + ", ".join(f"c{i}#1" for i in range(412)) + "]"
     )
     assert wide_agg_results(plan) == []
+
+
+def test_wide_agg_sees_results_beyond_any_char_window():
+    # the r10-advisor miss: a merge-side aggregate's Results line sits
+    # thousands of chars after the header (one partial function with a
+    # long Functions / Aggregate Attributes list) — the old 400-char
+    # window regex was blind to exactly this, the common fat-buffer shape
+    funcs = ", ".join(f"partial_approx_count_distinct(v#{i})" for i in range(400))
+    attrs = ", ".join(f"buf#{i}[0]" for i in range(400))
+    cols = ", ".join(f"c{i}#1{i}" for i in range(412))
+    blk = (
+        "(2) HashAggregate\nInput [2]: [k#1, v#2L]\nKeys [1]: [k#1]\n"
+        f"Functions [400]: [{funcs}]\nAggregate Attributes [400]: [{attrs}]\n"
+        f"Results [412]: [{cols}]"
+    )
+    assert len(funcs) + len(attrs) > 5000  # the window the old regex couldn't span
+    plan = "== Physical Plan ==\nHashAggregate (2)\n+- Scan parquet  (1)\n\n" + blk
+    assert wide_agg_results(plan) == [412]
+
+
+def test_wide_agg_covers_object_and_sort_aggregate_blocks():
+    cols = ", ".join(f"c{i}#1{i}" for i in range(100))
+    for op in ("ObjectHashAggregate", "SortAggregate"):
+        blk = f"(2) {op}\nInput [2]: [k#1, v#2L]\nKeys [1]: [k#1]\nResults [100]: [{cols}]"
+        plan = f"== Physical Plan ==\n{op} (2)\n+- Scan parquet  (1)\n\n" + blk
+        assert wide_agg_results(plan) == [100], op
+
+
+def test_pin_signature_rejects_operator_name_degradation():
+    # the r10-advisor laxity: a pinned HashAggregate degrading to
+    # SortAggregate, or a Window pin met by a WindowGroupLimit-only plan,
+    # must FAIL — op-id match only, no raw-substring fallback
+    plan = PIN_PLAN.replace("HashAggregate (4)", "SortAggregate (4)").replace(
+        "HashAggregate (2)", "SortAggregate (2)"
+    )
+    assert "missing: HashAggregate" in check_auto_pin(plan, 1, ["HashAggregate"])
+    wgl_plan = PIN_PLAN.replace("HashAggregate (4)", "WindowGroupLimit (4)")
+    assert "missing: Window" in check_auto_pin(wgl_plan, 1, ["Window"])

@@ -159,10 +159,18 @@ def wide_agg_results(plan: str, threshold: int = WIDE_AGG_THRESHOLD) -> list[int
     shuffled once per group — fine for a handful of groups, ruinous
     when the rewrite put it on a high-cardinality key.
     """
-    widths = [
-        int(w)
-        for w in re.findall(r"HashAggregate[\s\S]{0,400}?Results \[(\d+)\]", plan)
-    ]
+    # Parse per detail block: a long Functions / Aggregate Attributes
+    # section puts the Results line thousands of chars after the header
+    # (the a5 merge-side blocks sat ~5.9k chars out), so any fixed
+    # character window misses exactly the fat-buffer case it exists for.
+    widths = []
+    for blk in plan.split("\n\n"):
+        m = re.match(r"\(\d+\) (\w+)", blk)
+        if not m or "Aggregate" not in m.group(1):
+            continue
+        r = re.search(r"^Results \[(\d+)\]", blk, re.M)
+        if r:
+            widths.append(int(r.group(1)))
     return [w for w in widths if w > threshold]
 
 
@@ -182,9 +190,12 @@ def check_auto_pin(plan: str, max_ex: int, expects: list[str]) -> list[str]:
         if e.startswith("!"):
             if e[1:] in plan:
                 probs.append(f"unexpected: {e[1:]}")
-        # signature-node presence is matched as an operator id, not a raw
-        # substring, so e.g. "Window" can't match inside a function name
-        elif e not in op_ids and e not in plan:
+        # signature-node presence is matched as an operator id ONLY (no
+        # raw-substring fallback): gen_auto_pins emits SIGNATURE_OPS op
+        # names, so "Window" must be a Window node, not a WindowGroupLimit
+        # or a window_col expression, and a pinned HashAggregate degrading
+        # to SortAggregate fails instead of passing via substring
+        elif e not in op_ids:
             probs.append(f"missing: {e}")
     return probs
 
