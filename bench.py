@@ -272,6 +272,11 @@ def materialize(df) -> int:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Noise indicator (r10 VERDICT task 3): 1/5/15-min load averages at
+    # session start/end plus per-query warm-pass spread (below) make a
+    # host-contention swing a field lookup instead of a forensic. A high
+    # load_start or a fat spread says "host state", not "plan regression".
+    load_start = os.getloadavg()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -304,6 +309,7 @@ def main() -> None:
     # only APPENDS to EXTENDED_QUERIES.
     warm: dict[str, float] = {}
     cold: dict[str, float] = {}
+    spread: dict[str, float] = {}
     headline_elapsed = None
     run_start = time.time()
     for name in BENCH_QUERIES + EXTENDED_QUERIES:
@@ -319,6 +325,9 @@ def main() -> None:
             materialize(queries[name](spark, sf_dir))
             passes.append(time.time() - t0)
         warm[name] = round(min(passes), 3)
+        # max-min across the warm passes: ~0 on a quiet host; a fat value
+        # marks the query's warm time as contention-suspect this run
+        spread[name] = round(max(passes) - min(passes), 3)
         print(
             f"# {name}: cold {cold[name]:.3f}s / warm {warm[name]:.3f}s ({n} rows)",
             file=sys.stderr,
@@ -347,6 +356,13 @@ def main() -> None:
         # stdout sum was measured fresh-session, before the extension
         "headline_elapsed": headline_elapsed,
         "sf": sf_val,
+        # noise indicators: host load at session start/end + per-query
+        # warm-pass spread (max-min of the min-of-k passes). Read these
+        # FIRST when a round-over-round delta looks like a regression.
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "queries_warm_spread": spread,
+        "spread_total": round(sum(spread.values()), 3),
     }
     try:
         with open(

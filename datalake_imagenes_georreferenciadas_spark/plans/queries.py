@@ -16958,16 +16958,21 @@ def _driver_check_state(repo: str | None = None) -> tuple:
     skip — fully green in some round, or externally checked with ``err
     == 'no_oracle'`` (rows-only by design; they would otherwise pin 2
     of the 50 slots every round) — the count of parsed round files, and
-    the STALENESS key: ``last_round[name]`` is the 1-based index (in
-    sorted file order) of the latest round whose row for ``name`` was
-    fully green (or, for permanently rows-only names, the latest round
-    with any row). A rows-only name that has since GAINED an oracle_sql
+    the STALENESS key: ``last_round[name]`` is the ROUND NUMBER parsed
+    from the latest ``CORRECTNESS_r(\\d+).json`` filename whose row for
+    ``name`` was fully green (or, for permanently rows-only names, the
+    latest round with any row). Keying on the parsed round — not the
+    file count (pre-r13 behavior) — means a missing round file (r06's
+    is absent today) or a back-added one shifts nothing: round 12 is
+    round 12 regardless of how many files survive on disk (r12 VERDICT
+    wrong-item 3). A rows-only name that has since GAINED an oracle_sql
     entry is un-retired so the driver re-checks it at full strength
     (round-6: a5_approx_distinct and streaming_stateful_totals were
     converted to oracle-checkable form). ``repo`` overrides the
     CORRECTNESS_r*.json directory (tests)."""
     import glob
     import json
+    import re
 
     if repo is None:
         repo = os.path.dirname(
@@ -16979,6 +16984,10 @@ def _driver_check_state(repo: str | None = None) -> tuple:
     last_seen: dict[str, int] = {}
     n_rounds = 0
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -16992,7 +17001,7 @@ def _driver_check_state(repo: str | None = None) -> tuple:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            last_seen[name] = n_rounds
+            last_seen[name] = max(last_seen.get(name, 0), rnd)
             green = (
                 row.get("rows_match")
                 and row.get("schema_match")
@@ -17000,7 +17009,7 @@ def _driver_check_state(repo: str | None = None) -> tuple:
             )
             if green:
                 green_ever.add(name)
-                last_green[name] = n_rounds
+                last_green[name] = max(last_green.get(name, 0), rnd)
             elif row.get("err") == "no_oracle":
                 rows_only.add(name)
     retired = green_ever | {n for n in rows_only if n not in ORACLES}

@@ -204,3 +204,38 @@ def test_union_across_rounds_and_regression_returns_to_front():
     repo = _repo([{"a": GREEN, "b": RED}, {"a": RED, "b": RED}])
     retired, _, _ = _driver_check_state(repo)
     assert "a" in retired and "b" not in retired
+
+
+def test_staleness_key_is_parsed_round_number_not_file_count():
+    # r12 VERDICT wrong-item 3: CORRECTNESS_r06.json is missing on disk,
+    # so sorted-file INDEX != round number. The staleness key must come
+    # from the filename's r(\d+), so a gap (or a back-added/deleted old
+    # file) shifts nothing.
+    d = tempfile.mkdtemp(prefix="rot_gap_")
+    for rnd, rows in [(1, {"a": GREEN}), (3, {"b": GREEN})]:  # r02 missing
+        with open(os.path.join(d, f"CORRECTNESS_r{rnd:02d}.json"), "w") as fh:
+            json.dump(rows, fh)
+    retired, n, last_round = _driver_check_state(d)
+    assert retired == {"a", "b"}
+    assert n == 2  # two well-formed files parsed
+    assert last_round == {"a": 1, "b": 3}  # round NUMBERS, not indices 1/2
+
+
+def test_front_pin_expiry_survives_missing_round_file(monkeypatch):
+    # Pin installed at round 2; the name re-earns green in round 3 while
+    # the round-2 file is MISSING from disk. Under the old file-count
+    # keying the green file was index 2 -> 2 <= pinned_at 2 -> pin stuck
+    # active forever. Round-number keying sees 3 > 2 -> pin expired.
+    import datalake_imagenes_georreferenciadas_spark.plans.queries as q
+
+    monkeypatch.setattr(q, "_FRONT_NAMES", (("g_pinned", 2),))
+    d = tempfile.mkdtemp(prefix="rot_pin_gap_")
+    for rnd, rows in [
+        (1, {"g_pinned": GREEN, "g_other": GREEN}),
+        (3, {"g_pinned": GREEN}),  # r02 absent — the real repo's r06 case
+    ]:
+        with open(os.path.join(d, f"CORRECTNESS_r{rnd:02d}.json"), "w") as fh:
+            json.dump(rows, fh)
+    reg = {k: k for k in ("g_other", "g_pinned", "f_fresh")}
+    order = list(_rotated(reg, d))
+    assert order == ["f_fresh", "g_other", "g_pinned"]  # pin expired

@@ -146,8 +146,39 @@ TakeOrderedAndProject (5)
       +- HashAggregate (2)
          +- Scan parquet  (1)
 
+(1) Scan parquet
+Output [2]: [k#1, v#2L]
+ReadSchema: struct<k:string,v:bigint>
+
+(2) HashAggregate
+Input [2]: [k#1, v#2L]
+Keys [1]: [k#1]
+Functions [1]: [partial_sum(v#2L)]
+Results [2]: [k#1, sum#10L]
+
 (3) Exchange
-Arguments: hashpartitioning(k, 32), ENSURE_REQUIREMENTS"""
+Input [2]: [k#1, sum#10L]
+Arguments: hashpartitioning(k#1, 32), ENSURE_REQUIREMENTS, [plan_id=7]
+
+(4) HashAggregate
+Input [2]: [k#1, sum#10L]
+Keys [1]: [k#1]
+Functions [1]: [sum(v#2L)]
+Results [2]: [k#1, sum(v)#11L]
+
+(5) TakeOrderedAndProject
+Input [2]: [k#1, sum(v)#11L]
+Arguments: 10, [k#1 ASC NULLS FIRST], [k#1, sum(v)#11L]"""
+
+
+def _swap_op(plan: str, nid: int, old: str, new: str) -> str:
+    """Rename node ``nid`` in BOTH representations of a formatted plan:
+    the tree chunk (``OpName (N)``) and its detail block (``(N) OpName``).
+    check_auto_pin reads op ids from the detail blocks only (op-ids-only
+    matching, r11), so a tree-only rename would be invisible to it."""
+    return plan.replace(f"{old} ({nid})", f"{new} ({nid})").replace(
+        f"({nid}) {old}", f"({nid}) {new}"
+    )
 
 
 def test_pin_holds_on_designed_plan():
@@ -162,12 +193,12 @@ def test_pin_catches_exchange_budget_overrun():
 
 
 def test_pin_catches_forbidden_node():
-    plan = PIN_PLAN.replace("HashAggregate (4)", "CartesianProduct (4)")
+    plan = _swap_op(PIN_PLAN, 4, "HashAggregate", "CartesianProduct")
     assert any("CartesianProduct" in p for p in check_auto_pin(plan, 1, ["!CartesianProduct"]))
 
 
 def test_pin_catches_missing_signature_node():
-    plan = PIN_PLAN.replace("TakeOrderedAndProject (5)", "Project (5)")
+    plan = _swap_op(PIN_PLAN, 5, "TakeOrderedAndProject", "Project")
     assert check_auto_pin(plan, 1, ["TakeOrderedAndProject"]) == [
         "missing: TakeOrderedAndProject"
     ]
@@ -285,9 +316,77 @@ def test_pin_signature_rejects_operator_name_degradation():
     # the r10-advisor laxity: a pinned HashAggregate degrading to
     # SortAggregate, or a Window pin met by a WindowGroupLimit-only plan,
     # must FAIL — op-id match only, no raw-substring fallback
-    plan = PIN_PLAN.replace("HashAggregate (4)", "SortAggregate (4)").replace(
-        "HashAggregate (2)", "SortAggregate (2)"
+    plan = _swap_op(
+        _swap_op(PIN_PLAN, 4, "HashAggregate", "SortAggregate"),
+        2,
+        "HashAggregate",
+        "SortAggregate",
     )
     assert "missing: HashAggregate" in check_auto_pin(plan, 1, ["HashAggregate"])
-    wgl_plan = PIN_PLAN.replace("HashAggregate (4)", "WindowGroupLimit (4)")
+    wgl_plan = _swap_op(PIN_PLAN, 4, "HashAggregate", "WindowGroupLimit")
     assert "missing: Window" in check_auto_pin(wgl_plan, 1, ["Window"])
+
+
+def test_fact_level_detail_block_after_triple_newline_is_seen():
+    # r12 ADVICE low: a triple-newline separator (e.g. before a
+    # Subqueries section) leaves a leading "\n" on the next detail
+    # block; without lstrip the SinglePartition Exchange block was
+    # dropped from sp_ids — a false negative on a real scale-killer.
+    tree = """== Physical Plan ==
+Sort (3)
++- Exchange (2)
+   +- Scan parquet  (1)"""
+    plan = tree + "\n\n\n" + SP_BLOCK.format(2)  # note the TRIPLE newline
+    assert fact_level_singlepartition(plan) == [2]
+
+
+# ---- structural ALLOWED_WIDE waiver (r12 ADVICE medium) ----
+
+from tools.singlepartition_sweep import wide_agg_key_violations  # noqa: E402
+
+
+def _keyed_agg(n_results: int, keys: list) -> str:
+    cols = ", ".join(f"c{i}#1{i}L" for i in range(n_results))
+    klist = ", ".join(keys)
+    return (
+        f"(2) HashAggregate\nInput [2]: [k#1, v#2L]\n"
+        f"Keys [{len(keys)}]: [{klist}]\nResults [{n_results}]: [{cols}]"
+    )
+
+
+def test_wide_waiver_holds_on_low_cardinality_key():
+    # the adjudicated a5 shape: wide HLL buffer keyed SOLELY by
+    # l_returnflag — the waiver's structural condition
+    plan = (
+        "== Physical Plan ==\nHashAggregate (2)\n+- Scan parquet  (1)\n\n"
+        + _keyed_agg(412, ["l_returnflag#25"])
+    )
+    assert wide_agg_key_violations(plan, r"l_returnflag#\d+") == []
+
+
+def test_wide_waiver_fails_on_regressed_per_pair_key():
+    # THE regression the gate exists for: the same wide buffer keyed per
+    # (l_returnflag, l_orderkey) PAIR — i.e. per ~every fact row. The
+    # nominal (name-only) waiver passed this silently; the structural
+    # check must name the offending key.
+    plan = (
+        "== Physical Plan ==\nHashAggregate (2)\n+- Scan parquet  (1)\n\n"
+        + _keyed_agg(412, ["l_returnflag#25", "l_orderkey#11L"])
+    )
+    assert wide_agg_key_violations(plan, r"l_returnflag#\d+") == ["l_orderkey#11L"]
+
+
+def test_wide_waiver_fails_on_keyless_global_buffer():
+    cols = ", ".join(f"c{i}#1{i}L" for i in range(412))
+    blk = f"(2) HashAggregate\nInput [2]: [k#1, v#2L]\nResults [412]: [{cols}]"
+    plan = "== Physical Plan ==\nHashAggregate (2)\n+- Scan parquet  (1)\n\n" + blk
+    assert wide_agg_key_violations(plan, r"l_returnflag#\d+") == ["<no-keys-line>"]
+
+
+def test_wide_waiver_ignores_narrow_blocks():
+    # narrow aggregates keyed on anything are not the waiver's business
+    plan = (
+        "== Physical Plan ==\nHashAggregate (2)\n+- Scan parquet  (1)\n\n"
+        + _keyed_agg(9, ["l_orderkey#11L"])
+    )
+    assert wide_agg_key_violations(plan, r"l_returnflag#\d+") == []

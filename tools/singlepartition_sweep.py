@@ -147,7 +147,14 @@ BARRIER = (
 WIDE_AGG_THRESHOLD = 64
 
 # Reviewed wide-aggregate exceptions (query name -> why).
-ALLOWED_WIDE: dict[str, str] = {
+# name -> (keys_pattern, reason). The waiver is STRUCTURAL, not nominal
+# (r12 ADVICE medium): every wide aggregate block in the allowlisted
+# query must have a ``Keys [N]: [...]`` list whose EVERY key matches
+# keys_pattern — the low-cardinality group key the adjudication was
+# argued on. A regression back to the per-(l_returnflag, l_orderkey)
+# PAIR shape — the exact bug this gate was built to catch — then fails
+# the sweep on its l_orderkey key instead of passing by name.
+ALLOWED_WIDE: dict[str, tuple[str, str]] = {
     # The r11-fixed per-block parser now sees the MERGE-side partial
     # block (Results [412]: the HLL register words) that the old 400-char
     # window regex missed. Adjudicated r12: after the r10 rewrite
@@ -156,9 +163,12 @@ ALLOWED_WIDE: dict[str, str] = {
     # map task — shuffle volume O(3 x tasks), a few KB regardless of
     # fact-table size. The bug this gate exists for was the SAME buffer
     # per (l_returnflag, l_orderkey) PAIR, i.e. per ~every fact row.
-    # Width alone cannot distinguish the two; grouping-key cardinality
-    # can, and here it is 3. Benign at any scale.
-    "a5_approx_distinct": "412-col HLL partial per 3-value l_returnflag group, O(groups x tasks) shuffle",
+    # Width alone cannot distinguish the two; the grouping key can — and
+    # the pattern below pins it to l_returnflag ONLY. Benign at any scale.
+    "a5_approx_distinct": (
+        r"l_returnflag#\d+",
+        "412-col HLL partial per 3-value l_returnflag group, O(groups x tasks) shuffle",
+    ),
 }
 
 
@@ -188,6 +198,34 @@ def wide_agg_results(plan: str, threshold: int = WIDE_AGG_THRESHOLD) -> list[int
     return [w for w in widths if w > threshold]
 
 
+def wide_agg_key_violations(
+    plan: str, keys_pattern: str, threshold: int = WIDE_AGG_THRESHOLD
+) -> list[str]:
+    """Grouping keys of over-threshold aggregate blocks that do NOT
+    fully match ``keys_pattern`` — the structural half of ALLOWED_WIDE
+    (r12 ADVICE): a waiver argued on a low-cardinality group key only
+    holds while the wide buffer is keyed SOLELY by keys matching the
+    pattern. A block with no ``Keys`` line at all reports
+    ``<no-keys-line>`` (a keyless global buffer is not what any waiver
+    was argued on)."""
+    pat = re.compile(keys_pattern)
+    bad = []
+    for blk in plan.split("\n\n"):
+        m = re.match(r"\(\d+\) (\w+)", blk.lstrip())
+        if not m or "Aggregate" not in m.group(1):
+            continue
+        r = re.search(r"^Results \[(\d+)\]", blk, re.M)
+        if not r or int(r.group(1)) <= threshold:
+            continue
+        k = re.search(r"^Keys \[\d+\]: \[(.*)\]", blk, re.M)
+        if not k or not k.group(1).strip():
+            bad.append("<no-keys-line>")
+            continue
+        keys = [s.strip() for s in k.group(1).split(",")]
+        bad += [key for key in keys if not pat.fullmatch(key)]
+    return bad
+
+
 def check_auto_pin(plan: str, max_ex: int, expects: list[str]) -> list[str]:
     """Check one auto-generated pin against a formatted plan.
 
@@ -215,12 +253,21 @@ def check_auto_pin(plan: str, max_ex: int, expects: list[str]) -> list[str]:
 
 
 def fact_level_singlepartition(plan: str) -> list[int]:
-    """Node ids of SinglePartition exchanges fed directly by a scan."""
+    """Node ids of SinglePartition exchanges fed directly by a scan.
+
+    Walks the MAIN plan tree only; ``Subqueries`` trees are not walked —
+    deliberate: a subquery's result is a scalar/semi-join input (bounded
+    rows by construction), and each subquery body is itself registered
+    and swept as part of the queries that build it.
+    """
     blocks = {}
     for blk in plan.split("\n\n"):
-        m = re.match(r"\((\d+)\) (\w+)", blk)
+        # lstrip: triple-newline separators (e.g. before a Subqueries
+        # header) leave a leading "\n" on the next block — same false
+        # negative the r11 ADVICE found in wide_agg_results
+        m = re.match(r"\((\d+)\) (\w+)", blk.lstrip())
         if m:
-            blocks[int(m.group(1))] = blk
+            blocks[int(m.group(1))] = blk.lstrip()
     sp_ids = {
         i
         for i, b in blocks.items()
@@ -311,8 +358,17 @@ def main() -> int:
         wide = wide_agg_results(plan)
         if wide:
             if name in ALLOWED_WIDE:
-                allowed_seen.append(name)
-                print(f"allowed  {name} (wide aggregate: {ALLOWED_WIDE[name]})")
+                keys_pat, reason = ALLOWED_WIDE[name]
+                viol = wide_agg_key_violations(plan, keys_pat)
+                if viol:
+                    bad.append(name)
+                    print(
+                        f"FLAG {name}: allowlisted wide aggregate keyed on "
+                        f"{viol} (waiver requires every key ~ /{keys_pat}/)"
+                    )
+                else:
+                    allowed_seen.append(name)
+                    print(f"allowed  {name} (wide aggregate: {reason})")
             else:
                 bad.append(name)
                 print(f"FLAG {name}: wide aggregate buffer Results {wide}")
