@@ -658,6 +658,51 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     "p12_per_source_cap": (1, ["Window", "hashpartitioning", "!SinglePartition", "!CartesianProduct"]),
     # custom Python DataSource: the scan feeds a normal one-shuffle agg
     "s1_python_datasource": (1, ["HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    # ---- curation wave 6 (r13): 24 auto-pins promoted to hand audits.
+    # Expectations read off the captured formatted plans at BOTH sf0.001
+    # and sf0.01 (identical shapes). The projection/scalar-function/text
+    # families are narrow-scan + Project ONLY: zero exchanges of any
+    # kind ("!Exchange" also bans BroadcastExchange — safe here, there
+    # is no join) and the exact pruned ReadSchema, so a regression that
+    # widens the scan or sneaks in a shuffle/Python eval node fails.
+    "p3_composite_key": (0, ["!Exchange", "ReadSchema: struct<c_custkey:bigint,c_nationkey:int,c_mktsegment:string>", "!BatchEvalPython", "!ArrowEvalPython"]),
+    "p4_path_parse": (0, ["!Exchange", "ReadSchema: struct<doc_id:bigint,source:string>", "!BatchEvalPython", "!ArrowEvalPython"]),
+    "f_string_scalars": (0, ["!Exchange", "ReadSchema: struct<doc_id:bigint,text:string>", "!BatchEvalPython", "!ArrowEvalPython"]),
+    "f_string_pack2": (0, ["!Exchange", "ReadSchema: struct<doc_id:bigint,text:string,lang:string,source:string>", "!BatchEvalPython", "!ArrowEvalPython"]),
+    "f_array_pack2": (0, ["!Exchange", "ReadSchema: struct<vec_id:bigint,embedding:array<float>>", "!BatchEvalPython", "!ArrowEvalPython"]),
+    "f_conditionals": (0, ["!Exchange", "ReadSchema: struct<event_id:bigint,event_type:string,value:double>", "!BatchEvalPython", "!ArrowEvalPython"]),
+    # date arithmetic: the o_orderkey range predicate must reach the scan
+    "f_date_arith": (0, ["!Exchange", "PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey,200)", "ReadSchema: struct<o_orderkey:bigint,o_orderdate:timestamp>"]),
+    # date-part rollup: one agg shuffle over a 2-column pruned scan
+    "f_date_parts": (1, ["HashAggregate", "ReadSchema: struct<o_totalprice:double,o_orderdate:timestamp>", "!SortMergeJoin", "!CartesianProduct"]),
+    # array/map higher-order functions: pure column expressions, doc_id
+    # slice predicates pushed to the scan; explode_outer keeps Generate
+    "f15_array_setops": (0, ["!Exchange", "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)"]),
+    "f15_explode_outer": (0, ["Generate", "!Exchange", "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,40)"]),
+    "f15_map_transform": (0, ["!Exchange", "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,200)", "ReadSchema: struct<doc_id:bigint,lang:string,source:string>"]),
+    # text kernels are JVM column expressions — NO Python eval node and
+    # no shuffle; the scan reads only the columns the kernel consumes
+    "text_bpe_tokens": (0, ["!Exchange", "!BatchEvalPython", "!ArrowEvalPython", "ReadSchema: struct<doc_id:bigint,text:string>"]),
+    "text_pii_scrub": (0, ["!Exchange", "!BatchEvalPython", "!ArrowEvalPython", "ReadSchema: struct<doc_id:bigint,text:string>"]),
+    "text_quality_filter": (0, ["!Exchange", "!BatchEvalPython", "!ArrowEvalPython", "ReadSchema: struct<doc_id:bigint,text:string>"]),
+    "text_repetition": (0, ["!Exchange", "!BatchEvalPython", "!ArrowEvalPython", "ReadSchema: struct<doc_id:bigint,text:string>"]),
+    "text_edit_distance": (0, ["!Exchange", "!BatchEvalPython", "!ArrowEvalPython", "ReadSchema: struct<doc_id:bigint,text:string,lang:string,source:string>"]),
+    # JSON feature scan: schema-on-read multiLine source, no shuffle
+    "s6_features_json": (0, ["!Exchange", "ReadSchema: struct<id_predio:string"]),
+    # binary decode kernels: exactly ONE Arrow MapInPandas stage directly
+    # over the binaryFile scan — no shuffle before or after the kernel
+    "s7_exif_gps_scan": (0, ["MapInPandas", "!Exchange", "ReadSchema: struct<path:string,length:bigint,content:binary>"]),
+    "s8_geotiff_meta_scan": (0, ["MapInPandas", "!Exchange", "ReadSchema: struct<path:string,length:bigint,content:binary>"]),
+    "s2_archive_extract": (0, ["MapInPandas", "!Exchange", "ReadSchema: struct<path:string,content:binary>"]),
+    # content-addressed keys / merged-schema read: projection-only
+    "s12_content_key": (0, ["!Exchange", "ReadSchema: struct<doc_id:bigint,text:string>"]),
+    "s18_schema_evolution": (0, ["!Exchange", "ReadSchema: struct<doc_id:bigint,lang:string,score:double>"]),
+    # GROUPING SETS: one Expand feeding a single agg shuffle over a
+    # 2-column pruned scan
+    "a4_grouping_id": (1, ["Expand", "HashAggregate", "ReadSchema: struct<l_returnflag:string,l_linestatus:string>", "!SortMergeJoin", "!CartesianProduct"]),
+    # null-safe equality join: broadcast (1-col pruned dims), never SMJ;
+    # budget 2 = the post-join agg + AQE final shuffle
+    "j1_null_safe_join": (2, ["BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct", "ReadSchema: struct<c_nationkey:int>", "ReadSchema: struct<s_nationkey:int>"]),
 }
 
 
