@@ -703,6 +703,80 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # null-safe equality join: broadcast (1-col pruned dims), never SMJ;
     # budget 2 = the post-join agg + AQE final shuffle
     "j1_null_safe_join": (2, ["BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct", "ReadSchema: struct<c_nationkey:int>", "ReadSchema: struct<s_nationkey:int>"]),
+    # ---- curation wave 7 (r13): the final 37 auto-pins promoted, read
+    # off the captured plans at BOTH sf0.001 and sf0.01 (identical
+    # shapes). tools/auto_pins.py is now empty — every registered query
+    # has a hand-written audit here or a documented streaming exclusion.
+    #
+    # recall eval: per-query ground truth is the bounded brute-force BNLJ
+    # (20 probe vectors broadcast), candidates via WindowGroupLimit top-k;
+    # the vec_id probe list must push into the embeddings scan
+    "ann_recall_eval": (6, ["WindowGroupLimit", "BroadcastNestedLoopJoin", "PushedFilters: [In(vec_id", "ReadSchema: struct<vec_id:bigint,embedding:array<float>>", "!CartesianProduct"]),
+    # catalog joins: both dim sides broadcast, ZERO shuffle exchanges;
+    # all three predicate sets pushed into their parquet scans
+    "catalog_roundtrip": (0, ["BroadcastHashJoin", "PushedFilters: [IsNotNull(id_proceso), EqualTo(id_proceso,0)", "ReadSchema: struct<id_ejecucion:bigint,id_proceso:int>", "!SortMergeJoin", "!CartesianProduct"]),
+    # snapshot-expire / MMR: the heavy machinery runs inside the query fn
+    # (COW snapshot build, iterative MMR selection over a checkpointed
+    # candidate set); the RETURNED plan must stay shuffle- and join-free
+    "catalog_snapshot_expire": (0, ["!Exchange", "!CartesianProduct"]),
+    "hybrid_mmr_topk": (0, ["!Exchange", "!CartesianProduct"]),
+    "catalog_wap_publish": (1, ["!CartesianProduct", "!BroadcastNestedLoopJoin"]),
+    # temperature mixture: source-level aggs (1-col scan) + the bounded
+    # 10-row weight table via BNLJ cross of two scalar subquery results
+    "corpus_mixture_temperature": (4, ["HashAggregate", "ReadSchema: struct<source:string>", "!CartesianProduct", "!SortMergeJoin"]),
+    "f14_json_hetero": (1, ["HashAggregate", "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,300)", "!SortMergeJoin", "!CartesianProduct"]),
+    # the UDTF surface: exactly one BatchEvalPythonUDTF over a pushed
+    # doc_id slice, no shuffle
+    "f18_python_udtf": (0, ["BatchEvalPythonUDTF", "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,30)", "!Exchange"]),
+    "f_binary_codecs": (0, ["!Exchange", "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,50)", "!BatchEvalPython", "!ArrowEvalPython"]),
+    # cogroup merge: custkey slice pushed into BOTH sides (the r09 fix),
+    # two co-partitioned exchanges feed the Arrow cogroup kernel
+    "g2_cogroup_merge": (2, ["FlatMapCoGroupsInPandas", "PushedFilters: [IsNotNull(c_custkey), LessThan(c_custkey,200)", "PushedFilters: [IsNotNull(o_custkey), LessThan(o_custkey,200)", "!SortMergeJoin", "!CartesianProduct"]),
+    # nearest edge: vertex explode (Generate), bounded polygon-dim BNLJ,
+    # per-point WindowGroupLimit argmin — one exchange for the window key
+    "geo_nearest_edge": (1, ["Generate", "WindowGroupLimit", "BroadcastNestedLoopJoin", "!CartesianProduct"]),
+    # co-purchase graph: 2-col lineitem scan, pair-count aggs, part dim
+    # broadcast — the fact side never broadcast
+    "graph_copurchase": (3, ["HashAggregate", "BroadcastHashJoin", "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>", "!SortMergeJoin", "!CartesianProduct"]),
+    "j_mark_join_flags": (3, ["BroadcastHashJoin", "ReadSchema: struct<c_custkey:bigint>", "!SortMergeJoin", "!CartesianProduct"]),
+    "ml_lift_table": (4, ["HashAggregate", "Window", "ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string>", "!CartesianProduct", "!SortMergeJoin"]),
+    "p13_path_rollup": (1, ["Generate", "HashAggregate", "ReadSchema: struct<lang:string,source:string,n_chars:bigint>", "!SortMergeJoin", "!CartesianProduct"]),
+    # the reference's own job end-to-end: binaryFile scan → EXIF/GeoTIFF
+    # Arrow decode kernels → broadcast polygon BNLJ classify → rollup
+    "pipeline_geo_ingest": (2, ["MapInPandas", "BroadcastNestedLoopJoin", "ReadSchema: struct<path:string,length:bigint,content:binary>", "!CartesianProduct", "!SortMergeJoin"]),
+    # sink roundtrips: read-back feeds ONE map-side-combined agg shuffle
+    # over a pruned scan of the written files
+    "s11_csv_roundtrip": (1, ["HashAggregate", "ReadSchema: struct<event_type:string,value:double>", "!SortMergeJoin", "!CartesianProduct"]),
+    "s16_partitioned_publish": (1, ["HashAggregate", "ReadSchema: struct<source:string,n_chars:bigint>", "!SortMergeJoin", "!CartesianProduct"]),
+    "s17_compaction": (1, ["HashAggregate", "ReadSchema: struct<lang:string,n_chars:bigint>", "!SortMergeJoin", "!CartesianProduct"]),
+    "s19_orc_roundtrip": (1, ["HashAggregate", "ReadSchema: struct<o_totalprice:double,o_orderpriority:string>", "!SortMergeJoin", "!CartesianProduct"]),
+    "s20_jsonl_roundtrip": (1, ["HashAggregate", "ReadSchema: struct<c_mktsegment:string,c_acctbal:double>", "!SortMergeJoin", "!CartesianProduct"]),
+    "s21_targeted_delete": (2, ["HashAggregate", "ReadSchema: struct<user_id:bigint,event_type:string>", "!SortMergeJoin", "!CartesianProduct"]),
+    # orphan sweep: path-set anti semantics via broadcast joins over
+    # 1-col projections; never a shuffled join of the listing
+    "s22_orphan_files": (2, ["BroadcastHashJoin", "ReadSchema: struct<path:string>", "!SortMergeJoin", "!CartesianProduct"]),
+    # ANALYZE-style stats: one union of per-table agg branches, each its
+    # own pruned scan + single shuffle (8 total), no joins at all
+    "s23_analyze_stats": (8, ["Union", "HashAggregate", "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>", "!SortMergeJoin", "!BroadcastHashJoin", "!CartesianProduct"]),
+    "s24_blob_chunking": (0, ["Generate", "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)", "!Exchange"]),
+    "s26_dynamic_overwrite": (1, ["HashAggregate", "ReadSchema: struct<o_totalprice:double>", "!SortMergeJoin", "!CartesianProduct"]),
+    # bad-records / corrupt-JSON reads: the parsed+cached fixture scans
+    # from memory (InMemoryTableScan — Spark requires caching for
+    # _corrupt_record queries), then one agg shuffle
+    "s27_csv_badrecords": (1, ["InMemoryTableScan", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    "s6_features_corrupt": (1, ["InMemoryTableScan", "HashAggregate", "ReadSchema: struct<id_predio:string", "!SortMergeJoin", "!CartesianProduct"]),
+    "s28_column_rename_evolution": (1, ["Union", "HashAggregate", "ReadSchema: struct<o_orderstatus:string,amount:double>", "ReadSchema: struct<o_orderstatus:string,price:double>", "!SortMergeJoin", "!CartesianProduct"]),
+    # RAKE keyphrases: phrase Generate chains, per-doc windows, stopword
+    # dim broadcast, final global top-k as TakeOrdered (no sort exchange)
+    "text_keyphrase_rake": (6, ["Generate", "Window", "BroadcastHashJoin", "TakeOrderedAndProject", "PushedFilters: [IsNotNull(doc_id)", "!SortMergeJoin", "!CartesianProduct"]),
+    "text_winnowing_fp": (1, ["Generate", "ReadSchema: struct<doc_id:bigint,text:string>", "!SortMergeJoin", "!CartesianProduct"]),
+    # time-series: per-user/key window + agg over pruned event scans
+    "ts_autocorrelation": (2, ["Window", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    "ts_interval_coverage": (1, ["Window", "HashAggregate", "PushedFilters: [IsNotNull(user_id), LessThan(user_id,100)", "!SortMergeJoin", "!CartesianProduct"]),
+    "ts_local_peaks": (2, ["Window", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
+    "ts_resample_interp": (2, ["Window", "Generate", "Union", "PushedFilters: [IsNotNull(user_id), LessThan(user_id,50)", "!SortMergeJoin", "!CartesianProduct"]),
+    "w4_rank_funcs": (1, ["Window", "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>", "!SortMergeJoin", "!CartesianProduct"]),
+    "w6_distribution_funcs": (1, ["Window", "ReadSchema: struct<c_custkey:bigint,c_nationkey:int,c_acctbal:double>", "!SortMergeJoin", "!CartesianProduct"]),
 }
 
 
