@@ -254,6 +254,12 @@ def test_every_registered_query_is_pinned_curated_or_excluded():
     uncovered = names - curated - set(AUTO_PINS) - set(EXCLUDED)
     assert uncovered == set(), f"queries with no plan pin: {sorted(uncovered)}"
     assert not set(AUTO_PINS) & set(EXCLUDED)
+    # a name in BOTH layers means a (usually weaker) auto pin shadows the
+    # curated audit in review discussions — the r11/r12 ann_sq8_recall
+    # duplicate. gen_auto_pins skips curated names, so any overlap is a
+    # hand-edit or a stale regeneration; fail it outright.
+    dup = set(AUTO_PINS) & curated
+    assert dup == set(), f"auto pin duplicates curated audit: {sorted(dup)}"
 
 
 # ---- wide-aggregate-buffer detector (r10: the a5 distinct-rewrite class) ----
