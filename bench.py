@@ -357,8 +357,9 @@ def main() -> None:
         "headline_elapsed": headline_elapsed,
         "sf": sf_val,
         # noise indicators: host load at session start/end + per-query
-        # warm-pass spread (max-min of the min-of-k passes). Read these
-        # FIRST when a round-over-round delta looks like a regression.
+        # warm-pass spread (max-min ACROSS each query's k warm passes,
+        # whose min is what queries_warm reports). Read these FIRST when
+        # a round-over-round delta looks like a regression.
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "queries_warm_spread": spread,

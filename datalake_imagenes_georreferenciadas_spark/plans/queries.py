@@ -17028,12 +17028,15 @@ def _driver_check_state(repo: str | None = None) -> tuple:
 # rewrites (g1's is r04-era), so r10 pins them front for external
 # confirmation of the NEW implementations (r09 ADVICE #3).  Drop the
 # pins once CORRECTNESS_r10 shows them green.
-# (name, pinned_at) — pinned_at is the CORRECTNESS-file count when the
-# pin was installed. A pin exists because the name's green row predates
-# a rewrite and must be RE-EARNED; it SELF-EXPIRES once the name earns a
-# fully-green row in a LATER round file (last_round > pinned_at), so no
-# builder has to remember to empty this tuple next round. The three
-# below were rewritten in r09 (8 round files existed when pinned, r10).
+# (name, pinned_at) — pinned_at is the ROUND NUMBER current at install
+# time, matching _driver_check_state's staleness key (parsed from the
+# CORRECTNESS_r(\d+).json filename, NOT the file count — r06's file is
+# missing, so count and number diverge). A pin exists because the
+# name's green row predates a rewrite and must be RE-EARNED; it
+# SELF-EXPIRES once the name earns a fully-green row in a STRICTLY
+# LATER round (last_round[n] > pinned_at), so no builder has to
+# remember to empty this tuple next round. The three below were
+# rewritten in r09 and pinned past their r08-era greens.
 _FRONT_NAMES: tuple = (
     ("g1_trend_fit", 8),
     ("g2_cogroup_merge", 8),

@@ -16,6 +16,7 @@ formatted mode under AQE prints bare operator names).
 
 from __future__ import annotations
 
+import re
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -396,3 +397,21 @@ def test_wide_waiver_ignores_narrow_blocks():
         + _keyed_agg(9, ["l_orderkey#11L"])
     )
     assert wide_agg_key_violations(plan, r"l_returnflag#\d+") == []
+
+def test_wide_waiver_keeps_comma_bearing_expression_key_whole():
+    # r13 ADVICE #2: a grouping-key EXPRESSION containing commas —
+    # CAST(x AS decimal(10,2)) — must stay ONE key for the waiver
+    # pattern, not be split into fragments that each spuriously fail
+    # fullmatch (false FLAG on a legitimately waived plan).
+    expr = "cast(l_quantity#30 as decimal(10,2))"
+    plan = (
+        "== Physical Plan ==\nHashAggregate (2)\n+- Scan parquet  (1)\n\n"
+        + _keyed_agg(412, [expr])
+    )
+    assert wide_agg_key_violations(plan, re.escape(expr)) == []
+    # and a second top-level key alongside it is still split correctly
+    plan2 = (
+        "== Physical Plan ==\nHashAggregate (2)\n+- Scan parquet  (1)\n\n"
+        + _keyed_agg(412, [expr, "l_orderkey#11L"])
+    )
+    assert wide_agg_key_violations(plan2, re.escape(expr)) == ["l_orderkey#11L"]

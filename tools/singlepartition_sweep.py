@@ -221,9 +221,29 @@ def wide_agg_key_violations(
         if not k or not k.group(1).strip():
             bad.append("<no-keys-line>")
             continue
-        keys = [s.strip() for s in k.group(1).split(",")]
+        keys = [s.strip() for s in _split_top_level(k.group(1))]
         bad += [key for key in keys if not pat.fullmatch(key)]
     return bad
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split a Keys list on TOP-LEVEL commas only (r13 ADVICE #2): a
+    grouping-key expression containing commas — ``CAST(x AS
+    decimal(10,2))``, a function call — must stay one key, not be split
+    into fragments that each spuriously fail the waiver pattern. Tracks
+    paren/bracket depth; plan text never nests quotes, so no quote
+    handling is needed."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return parts
 
 
 def check_auto_pin(plan: str, max_ex: int, expects: list[str]) -> list[str]:
