@@ -1,16 +1,32 @@
-"""Quiet-host min-of-k re-measure of named headline queries under r08
-bench conditions (r09 VERDICT task 3).
+"""Quiet-host min-of-k re-measure of named queries (r09 VERDICT task 3).
 
-Replays bench.py's exact session setup (tuned get_spark, table-footer
-warmup, staged shingle cache) and runs the FULL 48-query headline block
-in bench order — so per-query session state matches what the driver's
-bench run sees — but takes min-of-K warm passes (default 3) instead of
-2, and prints a comparison table against a reference BENCH_r*.json's
-driver-parsed times.
+Two modes:
+
+- default (headline): replays bench.py's exact session setup (tuned
+  get_spark, table-footer warmup, staged shingle cache) and runs the
+  FULL 48-query headline block in bench order — so per-query session
+  state matches what the driver's bench run sees — but takes min-of-K
+  warm passes (default 3) instead of 2, and prints a comparison table
+  against a reference BENCH_r*.json's driver-parsed times. Only
+  headline names can be measured here.
+
+- ``--isolated`` (r14): same warmup, then runs ONLY the named queries
+  (one cold pass + K warm each). This is the documented "isolated quiet
+  min-of-k" adjudication used in the r13/r14 BASELINE rows for
+  EXTENDED (non-headline) names, which the headline replay cannot
+  reach. Isolated numbers skip the hundreds of preceding queries a
+  FULL bench session runs, so the JVM is colder — expect isolated >=
+  in-bench for sub-second names; compare isolated-to-isolated across
+  rounds, or treat the ratio as an upper bound.
+
+The ``--ref`` file may be a BENCH_r*.json (driver capture:
+``parsed.queries``, headline-48 only) or a BENCH_DETAIL.json-style
+file (``queries_warm``, all timed queries — use a git-extracted copy
+to compare against a past round's detail).
 
 Usage:
   python tools/headline_remeasure.py [--ref BENCH_r08.json] [--k 3] \
-      [name ...]          # names default to ALL 48 headline queries
+      [--isolated] [name ...]   # names default to ALL 48 headline queries
 Exit 0 always (diagnostic, not a gate); the table is the deliverable.
 """
 
@@ -26,9 +42,22 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F  # noqa: E402
 
 
+def load_ref(ref_path: str) -> dict:
+    """Reference times from either artifact shape: a driver BENCH_r*.json
+    (``parsed.queries``) or a bench-written BENCH_DETAIL.json
+    (``queries_warm``). Absolute paths pass through (git-extracted
+    copies of a past round's detail live outside the repo)."""
+    path = ref_path if os.path.isabs(ref_path) else os.path.join("/root/repo", ref_path)
+    with open(path) as fh:
+        doc = json.load(fh)
+    if "parsed" in doc:
+        return doc["parsed"]["queries"]
+    return doc["queries_warm"]
+
+
 def main() -> int:
     args = sys.argv[1:]
-    ref_path, k = "BENCH_r08.json", 3
+    ref_path, k, isolated = "BENCH_r08.json", 3, False
     names: list[str] = []
     it = iter(args)
     for a in it:
@@ -36,6 +65,8 @@ def main() -> int:
             ref_path = next(it)
         elif a == "--k":
             k = int(next(it))
+        elif a == "--isolated":
+            isolated = True
         else:
             names.append(a)
 
@@ -48,8 +79,7 @@ def main() -> int:
     from datalake_imagenes_georreferenciadas_spark.tables import TABLE_NAMES
     from datalake_imagenes_georreferenciadas_spark.tables import table as load
 
-    with open(os.path.join("/root/repo", ref_path)) as fh:
-        ref = json.load(fh)["parsed"]["queries"]
+    ref = load_ref(ref_path)
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("remeasure")
@@ -63,8 +93,20 @@ def main() -> int:
     shingle_base.count()
 
     focus = set(names) if names else set(bench.BENCH_QUERIES)
+    if isolated:
+        run_list = [n for n in queries if n in focus]  # registry order
+        missing = focus - set(run_list)
+        if missing:
+            print(f"unknown names skipped: {sorted(missing)}")
+    else:
+        run_list = list(bench.BENCH_QUERIES)
+        outside = focus - set(run_list)
+        if outside:
+            print(
+                f"non-headline names need --isolated, skipped: {sorted(outside)}"
+            )
     rows = []
-    for name in bench.BENCH_QUERIES:
+    for name in run_list:
         bench.materialize(queries[name](spark, sf_dir))  # cold pass
         passes = []
         for _ in range(k):
@@ -82,7 +124,8 @@ def main() -> int:
                 flush=True,
             )
     slow = [r for r in rows if r[4] == "SLOW"]
-    print(f"\n{len(rows)} measured, {len(slow)} over 1.25x vs {ref_path}")
+    mode = "isolated" if isolated else "headline-replay"
+    print(f"\n{len(rows)} measured ({mode}), {len(slow)} over 1.25x vs {ref_path}")
     if slow:
         print("over-threshold:", [r[0] for r in slow])
     return 0
