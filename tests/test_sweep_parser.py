@@ -433,3 +433,34 @@ def test_remeasure_load_ref_accepts_both_artifact_shapes(tmp_path):
     detail.write_text('{"queries_warm": {"q1": 0.4, "q2": 1.0}}')
     assert load_ref(str(driver)) == {"q1": 0.5}
     assert load_ref(str(detail)) == {"q1": 0.4, "q2": 1.0}
+
+
+# ---- _split_top_level property (r14) ----
+
+from hypothesis import given, strategies as st  # noqa: E402
+
+# fragments with no commas/brackets at all
+_plain = st.text(
+    alphabet="abcxyz#0123_ .*", min_size=1, max_size=8
+).map(str.strip).filter(bool)
+
+
+def _wrap(inner: st.SearchStrategy) -> st.SearchStrategy:
+    # a balanced-paren/bracket wrapper that may contain commas INSIDE —
+    # these inner commas must never split the key
+    return st.tuples(
+        st.sampled_from(["()", "[]"]), st.lists(inner, min_size=1, max_size=3)
+    ).map(lambda t: "f" + t[0][0] + ", ".join(t[1]) + t[0][1])
+
+
+# keys: plain fragments or nested calls like f(a, g[b, c]) — any commas
+# are strictly inside brackets, so each generated key is ONE key
+_keys = st.recursive(_plain, _wrap, max_leaves=6)
+
+
+@given(st.lists(_keys, min_size=1, max_size=5))
+def test_split_top_level_roundtrips_bracketed_keys(keys):
+    from tools.singlepartition_sweep import _split_top_level
+
+    joined = ", ".join(keys)
+    assert [p.strip() for p in _split_top_level(joined)] == keys
