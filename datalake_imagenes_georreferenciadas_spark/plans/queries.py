@@ -17028,15 +17028,19 @@ def _driver_check_state(repo: str | None = None) -> tuple:
 # rewrites (g1's is r04-era), so r10 pins them front for external
 # confirmation of the NEW implementations (r09 ADVICE #3).  Drop the
 # pins once CORRECTNESS_r10 shows them green.
-# (name, pinned_at) — pinned_at is the ROUND NUMBER current at install
-# time, matching _driver_check_state's staleness key (parsed from the
+# (name, pinned_at) — pinned_at is the ROUND NUMBER of the name's
+# NEWEST PRE-REWRITE green row (e.g. the four below were rewritten in
+# r09/r10 while their newest greens were r08-era, hence pinned_at=8 —
+# NOT the round the pin was installed in), matching
+# _driver_check_state's staleness key (parsed from the
 # CORRECTNESS_r(\d+).json filename, NOT the file count — r06's file is
 # missing, so count and number diverge). A pin exists because the
 # name's green row predates a rewrite and must be RE-EARNED; it
-# SELF-EXPIRES once the name earns a fully-green row in a STRICTLY
-# LATER round (last_round[n] > pinned_at), so no builder has to
-# remember to empty this tuple next round. The three below were
-# rewritten in r09 and pinned past their r08-era greens.
+# SELF-EXPIRES once the name earns a fully-green row in a round
+# STRICTLY LATER than pinned_at (last_round[n] > pinned_at), so no
+# builder has to remember to empty this tuple next round. Setting
+# pinned_at to the CURRENT round number would keep the pin alive one
+# extra round — always use the stale green's round.
 _FRONT_NAMES: tuple = (
     ("g1_trend_fit", 8),
     ("g2_cogroup_merge", 8),

@@ -464,3 +464,32 @@ def test_split_top_level_roundtrips_bracketed_keys(keys):
 
     joined = ", ".join(keys)
     assert [p.strip() for p in _split_top_level(joined)] == keys
+
+
+def test_split_top_level_clamps_negative_depth_on_stray_closer():
+    # r14 ADVICE #4: a ')' inside a quoted literal drove depth to -1, so
+    # every LATER top-level comma sat at depth -1 and stopped splitting —
+    # keys after the stray closer silently merged (fail-safe: the merged
+    # key fails the waiver fullmatch → false FLAG, never a false pass,
+    # but the flag text was opaque). Clamped at 0, later commas split.
+    from tools.singlepartition_sweep import _split_top_level
+
+    parts = [p.strip() for p in _split_top_level("substr(s, ''), ')', a#1, b#2")]
+    assert parts == ["substr(s, '')", "')'", "a#1", "b#2"]
+    # balanced input is unaffected by the clamp
+    assert _split_top_level("f(a, b), c") == ["f(a, b)", " c"]
+
+
+# ---- headline_remeasure no-ref row (r14 ADVICE #3) ----
+
+
+def test_remeasure_classify_reports_measured_name_missing_from_ref():
+    # a measured name absent from the ref file must yield an explicit
+    # no-ref row, not vanish from the table after its passes were spent
+    from tools.headline_remeasure import classify
+
+    ref = {"q1": 0.5, "q0": 0.0}
+    assert classify("q1", 0.5, ref) == ("q1", 0.5, 0.5, 1.0, "ok")
+    assert classify("q1", 1.0, ref)[4] == "SLOW"
+    assert classify("q_ext", 0.7, ref) == ("q_ext", None, 0.7, None, "no-ref")
+    assert classify("q0", 0.1, ref)[3] == float("inf")  # zero ref guarded

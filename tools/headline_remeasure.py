@@ -55,6 +55,19 @@ def load_ref(ref_path: str) -> dict:
     return doc["queries_warm"]
 
 
+def classify(name: str, warm: float, ref: dict) -> tuple:
+    """Row tuple for one measured name: (name, ref_time, warm, ratio,
+    verdict). A measured name ABSENT from the ref file gets an explicit
+    ``no-ref`` row (r14 ADVICE #3) — previously it was silently omitted
+    from both the table and the measured count, so e.g. an extended name
+    checked against a headline-48 BENCH_r*.json vanished after its cold +
+    k warm passes were already spent."""
+    if name in ref:
+        ratio = warm / ref[name] if ref[name] else float("inf")
+        return (name, ref[name], warm, ratio, "ok" if ratio <= 1.25 else "SLOW")
+    return (name, None, warm, None, "no-ref")
+
+
 def main() -> int:
     args = sys.argv[1:]
     ref_path, k, isolated = "BENCH_r08.json", 3, False
@@ -114,15 +127,20 @@ def main() -> int:
             bench.materialize(queries[name](spark, sf_dir))
             passes.append(time.time() - t0)
         warm = round(min(passes), 3)
-        if name in focus and name in ref:
-            ratio = warm / ref[name] if ref[name] else float("inf")
-            verdict = "ok" if ratio <= 1.25 else "SLOW"
-            rows.append((name, ref[name], warm, ratio, verdict))
-            print(
-                f"{name:28s} ref={ref[name]:6.3f} now={warm:6.3f} "
-                f"ratio={ratio:4.2f} {verdict}",
-                flush=True,
-            )
+        if name in focus:
+            row = classify(name, warm, ref)
+            rows.append(row)
+            if row[4] == "no-ref":
+                print(
+                    f"{name:28s} ref=   n/a now={warm:6.3f} ratio= n/a no-ref",
+                    flush=True,
+                )
+            else:
+                print(
+                    f"{name:28s} ref={row[1]:6.3f} now={warm:6.3f} "
+                    f"ratio={row[3]:4.2f} {row[4]}",
+                    flush=True,
+                )
     slow = [r for r in rows if r[4] == "SLOW"]
     mode = "isolated" if isolated else "headline-replay"
     print(f"\n{len(rows)} measured ({mode}), {len(slow)} over 1.25x vs {ref_path}")

@@ -232,13 +232,16 @@ def _split_top_level(s: str) -> list[str]:
     decimal(10,2))``, a function call — must stay one key, not be split
     into fragments that each spuriously fail the waiver pattern. Tracks
     paren/bracket depth; plan text never nests quotes, so no quote
-    handling is needed."""
+    handling is needed — but a closer inside a quoted literal would
+    otherwise drive depth negative and stop later TOP-LEVEL commas from
+    splitting (merged key → false FLAG, fail-safe but opaque), so depth
+    is clamped at 0 on closers (r14 ADVICE #4)."""
     parts, depth, start = [], 0, 0
     for i, ch in enumerate(s):
         if ch in "([":
             depth += 1
         elif ch in ")]":
-            depth -= 1
+            depth = max(0, depth - 1)
         elif ch == "," and depth == 0:
             parts.append(s[start:i])
             start = i + 1
