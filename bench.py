@@ -318,12 +318,28 @@ def main() -> None:
         cold[name] = round(time.time() - t0, 3)
         # two warm passes, keep the min: this VM shows heavy run-to-run
         # noise (host steal / memory compaction), and min-of-k is the
-        # standard way to report the code's latency rather than the host's
+        # standard way to report the code's latency rather than the host's.
+        # r15: when the 2-pass spread is fat relative to the min (the
+        # contention-suspect signature), take up to 2 EXTRA passes — the
+        # ±50 ms session noise on 0.1–0.5 s queries produced 1.3×-ratio
+        # false drifters three rounds running (r13–r15 adjudications all
+        # traced to host spread), and a targeted retry is cheaper than a
+        # blanket k=4. Quiet runs trigger it rarely, so cross-round
+        # comparability of queries_warm (min of warm passes) is unchanged.
         passes = []
         for _ in range(2):
             t0 = time.time()
             materialize(queries[name](spark, sf_dir))
             passes.append(time.time() - t0)
+        extra = 0
+        while (
+            extra < 2
+            and max(passes) - min(passes) > max(0.05, 0.25 * min(passes))
+        ):
+            t0 = time.time()
+            materialize(queries[name](spark, sf_dir))
+            passes.append(time.time() - t0)
+            extra += 1
         warm[name] = round(min(passes), 3)
         # max-min across the warm passes: ~0 on a quiet host; a fat value
         # marks the query's warm time as contention-suspect this run
