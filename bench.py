@@ -270,6 +270,18 @@ def materialize(df) -> int:
     return int(row["__n"])
 
 
+def warm_spread_suspect(passes: list) -> bool:
+    """True when the warm passes taken so far carry the
+    contention-suspect signature: max−min spread over max(50 ms, 25% of
+    the min). The timing loop then takes an extra pass (capped at 4
+    total) before reporting the min — ±50 ms session noise on 0.1–0.5 s
+    queries produced 1.3×-ratio false drifters three rounds running
+    (r13–r15 adjudications all traced to host spread), and a targeted
+    retry is cheaper than a blanket k=4."""
+    lo = min(passes)
+    return max(passes) - lo > max(0.05, 0.25 * lo)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # Noise indicator (r10 VERDICT task 3): 1/5/15-min load averages at
@@ -318,28 +330,19 @@ def main() -> None:
         cold[name] = round(time.time() - t0, 3)
         # two warm passes, keep the min: this VM shows heavy run-to-run
         # noise (host steal / memory compaction), and min-of-k is the
-        # standard way to report the code's latency rather than the host's.
-        # r15: when the 2-pass spread is fat relative to the min (the
-        # contention-suspect signature), take up to 2 EXTRA passes — the
-        # ±50 ms session noise on 0.1–0.5 s queries produced 1.3×-ratio
-        # false drifters three rounds running (r13–r15 adjudications all
-        # traced to host spread), and a targeted retry is cheaper than a
-        # blanket k=4. Quiet runs trigger it rarely, so cross-round
-        # comparability of queries_warm (min of warm passes) is unchanged.
+        # standard way to report the code's latency rather than the
+        # host's. r15: contention-suspect spreads earn up to 2 extra
+        # passes (see warm_spread_suspect) — quiet runs rarely trigger
+        # it, so queries_warm stays comparable across rounds.
         passes = []
         for _ in range(2):
             t0 = time.time()
             materialize(queries[name](spark, sf_dir))
             passes.append(time.time() - t0)
-        extra = 0
-        while (
-            extra < 2
-            and max(passes) - min(passes) > max(0.05, 0.25 * min(passes))
-        ):
+        while len(passes) < 4 and warm_spread_suspect(passes):
             t0 = time.time()
             materialize(queries[name](spark, sf_dir))
             passes.append(time.time() - t0)
-            extra += 1
         warm[name] = round(min(passes), 3)
         # max-min across the warm passes: ~0 on a quiet host; a fat value
         # marks the query's warm time as contention-suspect this run

@@ -107,6 +107,26 @@ def test_bench_headline_runs_before_full_extension(monkeypatch):
         assert bench.EXTENDED_QUERIES == default_extended
 
 
+def test_warm_spread_suspect_thresholds():
+    """r15 noise-adaptive warm passes: the retry must fire only on the
+    contention-suspect signature — spread over max(50 ms, 25% of min) —
+    so quiet runs keep the exact 2-pass cost and queries_warm stays
+    comparable across rounds."""
+    import bench
+
+    # tight passes, any scale: no retry
+    assert not bench.warm_spread_suspect([0.200, 0.210])
+    assert not bench.warm_spread_suspect([2.00, 2.04])
+    # sub-second query with a fat absolute spread: retry (the r13–r15
+    # false-drifter class — ±50 ms noise on a 0.2 s query reads 1.3×)
+    assert bench.warm_spread_suspect([0.200, 0.260])
+    # big query: 25%-of-min governs, not the 50 ms floor
+    assert bench.warm_spread_suspect([2.00, 2.60])
+    assert not bench.warm_spread_suspect([2.00, 2.40])
+    # boundary: exactly at the threshold is NOT suspect (strict >)
+    assert not bench.warm_spread_suspect([0.100, 0.150])
+
+
 def test_all_oracles_emit_driver_safe_types():
     """Bind every registered oracle SQL in DuckDB and reject any output
     column whose DuckDB type the driver's pandas/Arrow fetch widens to
