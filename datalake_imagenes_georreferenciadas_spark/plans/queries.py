@@ -3116,7 +3116,12 @@ def s16_partitioned_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     dest = os.path.join(tempfile.mkdtemp(prefix="publish_"), "docs_by_lang")
     docs = table(spark, sf_dir, "documents")
     docs.write.mode("overwrite").partitionBy("lang").parquet(dest)
-    back = spark.read.parquet(dest).filter(F.col("lang") == "es")
+    # Explicit schema on the read-back: a republish of an empty batch
+    # writes zero data files and schema inference has nothing to read —
+    # the published contract, not the file listing, defines the schema.
+    back = spark.read.schema(docs.schema).parquet(dest).filter(
+        F.col("lang") == "es"
+    )
     return back.groupBy("source").agg(
         F.count("*").alias("n"), _dsum(F.col("n_chars")).alias("total_chars")
     )
@@ -4696,6 +4701,16 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = emb.select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
     )
+    # KMeans.fit crashes on a zero-row training set ("Nothing has been
+    # added to this summarizer"); an empty corpus has no codebook and no
+    # queries — return the empty contract frame. The existence probe is
+    # a single limit-1 scan, negligible next to the fit it guards.
+    if feat.isEmpty():
+        return emb.select(
+            F.col("vec_id").alias("q_id"),
+            F.lit(0).cast("int").alias("n_results"),
+            F.lit(False).alias("recall_ok"),
+        ).filter(F.lit(False))
     model = KMeans(k=8, seed=42, maxIter=5).fit(feat)
     centroids = spark.createDataFrame(
         [(i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())],
@@ -4967,6 +4982,10 @@ def s9_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("c_custkey"))
         .collect()[0][0]
     )
+    # max() is NULL on an empty source; keep the range-read bounds legal
+    # (lowerBound < upperBound) so the parallel scan of an empty table is
+    # an empty result, not a TypeError.
+    hi = int(hi) if hi is not None else 1
     back = (
         spark.read.format("jdbc")
         .option("url", f"jdbc:derby:{db}")
@@ -4974,7 +4993,7 @@ def s9_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
         .option("partitionColumn", "c_custkey")
         .option("lowerBound", "1")
-        .option("upperBound", str(int(hi) + 1))
+        .option("upperBound", str(hi + 1))
         .option("numPartitions", "4")
         .load()
     )
@@ -8135,9 +8154,15 @@ def j_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         dim.write.parquet(os.path.join(base, "dim"))
         _DPP_LAYOUTS[sf_dir] = base
-    fact = spark.read.parquet(os.path.join(base, "fact"))
-    dim = spark.read.parquet(os.path.join(base, "dim")).filter(
-        F.col("quarter") == "1995-Q4"
+    # Explicit schemas: a zero-row source writes no data files, and the
+    # layout's schema is a contract, not something to re-infer per read.
+    fact = spark.read.schema("l_extendedprice double, ship_month string").parquet(
+        os.path.join(base, "fact")
+    )
+    dim = (
+        spark.read.schema("ship_month string, quarter string")
+        .parquet(os.path.join(base, "dim"))
+        .filter(F.col("quarter") == "1995-Q4")
     )
     return (
         fact.join(dim.select("ship_month"), "ship_month")
@@ -9507,7 +9532,11 @@ def s23_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def one(tbl: str, key: str, nullable: str) -> DataFrame:
         df = table(spark, sf_dir, tbl)
-        nf = F.count_if(F.col(nullable).isNull()).cast("double") / F.count("*")
+        # try_divide: an empty table has a well-defined stats row (n=0,
+        # null_frac NULL), not an ANSI divide-by-zero.
+        nf = F.try_divide(
+            F.count_if(F.col(nullable).isNull()).cast("double"), F.count("*")
+        )
         return df.agg(
             F.count("*").alias("n_rows"),
             F.countDistinct(key).alias("n_distinct_key"),
@@ -10091,8 +10120,11 @@ def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_near_pairs",
             (
                 F.floor(
-                    F.col("n_exact_dupes").cast("double")
-                    / F.lit(n_docs)
+                    # try_divide: an empty corpus publishes a NULL rate
+                    # instead of failing the whole dashboard row.
+                    F.try_divide(
+                        F.col("n_exact_dupes").cast("double"), F.lit(n_docs)
+                    )
                     * 1e6
                     + F.lit(0.5)
                 )
@@ -13095,7 +13127,9 @@ def s26_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    back = spark.read.parquet(dest)
+    # Explicit schema: restating an empty feed writes zero data files
+    # and the read-back must still bind to the table's contract schema.
+    back = spark.read.schema(orders.schema).parquet(dest)
     return back.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"), _dsum(F.col("o_totalprice")).alias("total")
     )
@@ -13343,7 +13377,12 @@ def catalog_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     versions = store.catalog_versions()
     n_rows = {v: store.catalog(version=v).count() for v in versions}
     keep_last = 2
-    cutoff = sorted(versions)[-keep_last]
+    # An empty-source lifecycle can produce fewer than keep_last
+    # snapshots (disjoint update slices are empty, so no MERGE lands);
+    # expiry of a short history keeps everything rather than indexing
+    # past the front of the list.
+    vs = sorted(versions)
+    cutoff = vs[-keep_last] if len(vs) >= keep_last else (vs[0] if vs else 0)
     for v in versions:
         if v < cutoff:
             shutil.rmtree(store._catalog_dir(v))
@@ -14666,13 +14705,25 @@ def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(~F.col("variant_a")).alias("n_b"),
         F.count_if(~F.col("variant_a") & F.col("converted")).alias("c_b"),
     )
-    p_a = F.col("c_a").cast("double") / F.col("n_a")
-    p_b = F.col("c_b").cast("double") / F.col("n_b")
-    p_pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
-        F.col("n_a") + F.col("n_b")
+    # try_divide throughout: a zero-row (or one-sided) experiment reads
+    # out as NULL z, not an ANSI divide-by-zero; identical to `/` on any
+    # populated split.
+    p_a = F.try_divide(F.col("c_a").cast("double"), F.col("n_a"))
+    p_b = F.try_divide(F.col("c_b").cast("double"), F.col("n_b"))
+    p_pool = F.try_divide(
+        (F.col("c_a") + F.col("c_b")).cast("double"),
+        F.col("n_a") + F.col("n_b"),
     )
-    z = (p_a - p_b) / F.sqrt(
-        p_pool * (1 - p_pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    z = F.try_divide(
+        p_a - p_b,
+        F.sqrt(
+            p_pool
+            * (1 - p_pool)
+            * (
+                F.try_divide(F.lit(1.0), F.col("n_a"))
+                + F.try_divide(F.lit(1.0), F.col("n_b"))
+            )
+        ),
     )
     return g.select(
         "n_a", "c_a", "n_b", "c_b", F.round(z, 6).alias("z_score")
