@@ -1962,7 +1962,7 @@ SELECT doc_id,
        CASE WHEN doc_id % 2 = 1 THEN
          1000 + floor((('0x' || substring(md5(text), 25, 8))::BIGINT / 4294967296.0) * 1000)::INT
        END AS rows
-FROM documents
+FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
 """
 
 
@@ -1981,6 +1981,10 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def write_files(rows):
         for r in rows:
+            # the filename IS the address (id + payload both required);
+            # null-keyed or null-payload rows never reach the bucket
+            if r["text"] is None or r["doc_id"] is None:
+                continue
             ext = "jpg" if r["doc_id"] % 2 == 0 else "tif"
             with open(os.path.join(dest, f"{r['doc_id']}.{ext}"), "wb") as f:
                 f.write(r["text"].encode("utf-8"))
@@ -3218,7 +3222,13 @@ def a4_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     the external check also verifies the discovery found exactly the
     corpus's languages."""
     docs = table(spark, sf_dir, "documents").select("source", "lang")
-    langs = sorted(r["lang"] for r in docs.select("lang").distinct().collect())
+    # a NULL category is not a pivot column (same convention as SQL
+    # PIVOT ... IN lists, which enumerate only real values)
+    langs = sorted(
+        r["lang"]
+        for r in docs.select("lang").distinct().collect()
+        if r["lang"] is not None
+    )
     out = docs.groupBy("source").pivot("lang", langs).count().na.fill(0)
     return out.select(
         "source", *[F.col(lg).alias(f"n_{lg}") for lg in langs]
@@ -3596,12 +3606,17 @@ def f17_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         # which pandas_udf can't resolve → use the explicit-returnType form
         out = []
         for x, y in zip(a, b):
+            if x is None or y is None:  # NULL vector → NULL cosine
+                out.append(None)
+                continue
             xv = np.asarray(x, dtype=np.float64)
             yv = np.asarray(y, dtype=np.float64)
             out.append(
                 float(np.dot(xv, yv) / (np.sqrt(np.dot(xv, xv)) * np.sqrt(np.dot(yv, yv))))
             )
-        return pd.Series(out)
+        # nullable Float64: a plain float64 Series renders None as NaN,
+        # which Arrow keeps as NaN instead of SQL NULL
+        return pd.Series(out, dtype="Float64")
 
     cos_pd = pandas_udf(_cos_batch, "double")
 
@@ -3945,10 +3960,10 @@ def f15_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ARCHIVE_SQL = """
 SELECT 'zip' AS kind, doc_id, strlen(text)::BIGINT AS size
-FROM documents WHERE doc_id % 10 = 0
+FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL
 UNION ALL
 SELECT 'tar' AS kind, doc_id, strlen(text)::BIGINT AS size
-FROM documents WHERE doc_id % 10 = 1
+FROM documents WHERE doc_id % 10 = 1 AND text IS NOT NULL
 UNION ALL
 SELECT 'skipped' AS kind, NULL::BIGINT AS doc_id, NULL::BIGINT AS size
 """
@@ -3973,6 +3988,7 @@ def s2_archive_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub = {
         r["doc_id"]: r["text"]
         for r in docs.filter(F.col("doc_id") % 10 < 2).collect()
+        if r["text"] is not None  # null payloads never reach the bucket
     }
     d = tempfile.mkdtemp(prefix="s2_archives_")
     zbuf = io.BytesIO()
@@ -4006,7 +4022,7 @@ def s2_archive_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEVENZIP_SQL = """
 SELECT 'member' AS kind, doc_id, strlen(text)::BIGINT AS size
-FROM documents WHERE doc_id % 10 = 2
+FROM documents WHERE doc_id % 10 = 2 AND text IS NOT NULL
 UNION ALL
 SELECT 'skipped' AS kind, NULL::BIGINT AS doc_id, NULL::BIGINT AS size
 """
@@ -4030,6 +4046,7 @@ def s2_7z_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub = {
         r["doc_id"]: r["text"]
         for r in docs.filter(F.col("doc_id") % 10 == 2).collect()
+        if r["text"] is not None  # null payloads never reach the bucket
     }
     d = tempfile.mkdtemp(prefix="s2_sevenzip_")
     members = [
@@ -4676,7 +4693,7 @@ def g1_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_ivf_kmeans",
     """
     SELECT vec_id AS q_id, 10 AS n_results, true AS recall_ok
-    FROM embeddings WHERE vec_id < 3
+    FROM embeddings WHERE vec_id < 3 AND embedding IS NOT NULL
     """,
 )
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4697,7 +4714,13 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # undecodable (NULL) vectors can't train or probe the index —
+    # array_to_vector NPEs on them inside the KMeans fit
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
     feat = emb.select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
     )
@@ -4965,8 +4988,16 @@ def s9_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         db = os.path.join(
             tempfile.mkdtemp(prefix="derby_"), f"db_{uuid.uuid4().hex[:8]}"
         )
-        cust = table(spark, sf_dir, "customer").select(
-            "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
+        # Spark's Derby dialect maps StringType→CLOB and binds NULL
+        # strings with setNull(CLOB), which Derby rejects into the pinned
+        # VARCHAR column (ERROR 22005). Rows with a null segment go to
+        # the bad-records channel instead of the relational stage —
+        # value-identical here since the read-back filters segment =
+        # 'BUILDING', which a NULL can never match.
+        cust = (
+            table(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment").isNotNull())
+            .select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
         )
         (
             cust.write.format("jdbc")
@@ -5079,6 +5110,8 @@ def f18_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="seg_idx int, seg string")
     class SplitSegments:
         def eval(self, doc_id: int, text: str):
+            if text is None:  # NULL payload expands to zero rows
+                return
             for i, seg in enumerate(text.split(" the ")):
                 if seg != "":
                     yield i, seg
@@ -7076,7 +7109,8 @@ def g2_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pd.DataFrame(
                 columns=["c_custkey", "c_acctbal", "n_orders", "total_spend"]
             )
-        cents = (o["o_totalprice"] * 10000).round().astype("int64")
+        # dropna: SQL SUM skips NULLs; NaN would throw on the int cast
+        cents = (o["o_totalprice"].dropna() * 10000).round().astype("int64")
         return pd.DataFrame(
             {
                 "c_custkey": c["c_custkey"].iloc[:1],
@@ -7846,6 +7880,9 @@ def pipeline_geo_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def write_files(rows):
             for r in rows:
+                # filename IS the address: id + payload both required
+                if r["text"] is None or r["doc_id"] is None:
+                    continue
                 ext = "jpg" if r["doc_id"] % 2 == 0 else "tif"
                 with open(os.path.join(dest, f"{r['doc_id']}.{ext}"), "wb") as f:
                     f.write(r["text"].encode("utf-8"))
@@ -8611,7 +8648,7 @@ def graph_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT count(*) FILTER (WHERE doc_id % 5 = 0) AS n_orphans,
            count(*) FILTER (WHERE doc_id % 5 <> 0) AS n_tracked
-    FROM documents WHERE doc_id < 200
+    FROM documents WHERE doc_id < 200 AND text IS NOT NULL
     """,
 )
 def s22_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8631,6 +8668,8 @@ def s22_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def write_files(rows):
         for r in rows:
+            if r["text"] is None:  # null payloads never reach the bucket
+                continue
             with open(os.path.join(dest, f"{r['doc_id']}.bin"), "wb") as f:
                 f.write(r["text"].encode("utf-8"))
 
@@ -13525,8 +13564,17 @@ def f20_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = ips.select(
         "ip",
         subnet.alias("subnet"),
-        F.concat_ws(
-            ".", octet(24), octet(16), octet(8), (F.col("ip") % 256).cast("string")
+        # concat (not concat_ws): concat_ws SKIPS nulls and renders a
+        # NULL ip as '' whose octet cast then throws under ANSI; concat
+        # propagates NULL like the SQL || operator
+        F.concat(
+            octet(24),
+            F.lit("."),
+            octet(16),
+            F.lit("."),
+            octet(8),
+            F.lit("."),
+            (F.col("ip") % 256).cast("string"),
         ).alias("dotted"),
     )
     parts = F.split(F.col("dotted"), r"\.")

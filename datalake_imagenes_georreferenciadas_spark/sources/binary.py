@@ -156,6 +156,15 @@ def _decode_image(content: bytes, path: str) -> dict:
     oracle valid on synthetic (non-image) fixtures."""
     from ..functions import tiff as _tiff
 
+    if content is None:  # missing payload → all-NULL metadata row
+        return {
+            "clase": None,
+            "lat": None,
+            "lon": None,
+            "gt": None,
+            "cols": None,
+            "rows": None,
+        }
     content = bytes(content)
     if path.lower().endswith((".jpg", ".jpeg")):
         gps = _exif_gps_real(content) if _PILImage is not None else None
@@ -230,9 +239,13 @@ def _resize_stub(b: bytes, width: int, height: int) -> bytes:
     return t[: width * height]
 
 
-def _resize_one(b: bytes, width: int, height: int) -> bytes:
+def _resize_one(b: bytes, width: int, height: int) -> bytes | None:
     """REAL resize when PIL is importable and the bytes decode (PNG-encoded
-    thumbnail); digest stub otherwise — same binary-out contract."""
+    thumbnail); digest stub otherwise — same binary-out contract. A NULL
+    payload (undecoded/missing blob in a dirty corpus) yields NULL out,
+    the same null propagation the SQL twin's md5(NULL) has."""
+    if b is None:
+        return None
     if _PILImage is not None:
         try:
             img = _PILImage.open(io.BytesIO(bytes(b)))
@@ -320,6 +333,8 @@ def extract_archives(binary_df: DataFrame) -> DataFrame:
     """
 
     def _extract_one(p: str, b: bytes):
+        if b is None:  # missing payload → the skipped channel, not a crash
+            return [(p, None, None, None, "null payload")]
         b = bytes(b)
         attempts = []
         if b[:4] in (b"PK\x03\x04", b"PK\x05\x06", b"PK\x07\x08"):
@@ -363,11 +378,17 @@ def sample_frames(binary_df: DataFrame, every_n: int = 10, max_frames: int = 5) 
         for pdf in it:
             paths, idxs, keys = [], [], []
             for p, b in zip(pdf["path"], pdf["content"]):
-                d = hashlib.md5(bytes(b)).hexdigest()
+                # NULL payload → frames with NULL keys (null-in-null-out,
+                # matching the oracle's md5(NULL) = NULL), row fan-out kept
+                d = None if b is None else hashlib.md5(bytes(b)).hexdigest()
                 for i in range(max_frames):
                     paths.append(p)
                     idxs.append(i * every_n)
-                    keys.append(hashlib.md5(f"{d}:{i * every_n}".encode()).hexdigest())
+                    keys.append(
+                        None
+                        if d is None
+                        else hashlib.md5(f"{d}:{i * every_n}".encode()).hexdigest()
+                    )
             yield pd.DataFrame({"path": paths, "frame_idx": idxs, "frame_key": keys})
 
     return binary_df.select("path", "content").mapInPandas(batches, FRAME_SCHEMA)
@@ -401,21 +422,30 @@ def audio_features(df: DataFrame, frame_chars: int = 1000) -> DataFrame:
         for pdf in it:
             ids, nfr, first, total = [], [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                # pd.isna, not `is None`: Arrow hands a null int64 to
+                # pandas as float64 NaN
+                ids.append(None if pd.isna(doc_id) else int(doc_id))
+                if text is None:  # undecodable payload → NULL features
+                    nfr.append(None)
+                    first.append(None)
+                    total.append(None)
+                    continue
                 chunks = [
                     text[i : i + frame_chars]
                     for i in range(0, len(text), frame_chars)
                 ] or [""]
                 rms = [_frame_rms_stub(c) for c in chunks]
-                ids.append(int(doc_id))
                 nfr.append(len(rms))
                 first.append(rms[0])
                 total.append(sum(rms))
+            # nullable pandas dtypes: plain int lists with None infer
+            # float64 and NaN→int casts throw at the Arrow boundary
             yield pd.DataFrame(
                 {
-                    "doc_id": ids,
-                    "n_frames": nfr,
-                    "first_rms": first,
-                    "total_rms": total,
+                    "doc_id": pd.array(ids, dtype="Int64"),
+                    "n_frames": pd.array(nfr, dtype="Int32"),
+                    "first_rms": pd.array(first, dtype="Int64"),
+                    "total_rms": pd.array(total, dtype="Int64"),
                 }
             )
 
