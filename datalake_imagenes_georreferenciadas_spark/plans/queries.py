@@ -697,22 +697,27 @@ def f17_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ANN_BUCKETS_SQL = f"""
 SELECT vec_id, {SIM.hyperplane_signature_sql('embedding', 6)} AS bucket
-FROM embeddings
+FROM embeddings WHERE embedding IS NOT NULL
 """
 
 
 @register("ann_hyperplane_buckets", _ANN_BUCKETS_SQL)
 def ann_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH random-hyperplane bucket assignment (the ANN scale path's
-    partitioning key)."""
-    emb = table(spark, sf_dir, "embeddings")
+    partitioning key). Null vectors are excluded from the index — the
+    similarity-search contract (DuckDB's list_inner_product also
+    refuses them outright)."""
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     return emb.select(
         "vec_id", SIM.hyperplane_signature(F.col("embedding"), 6).alias("bucket")
     )
 
 
 _ANN_TOPK_SQL = f"""
-WITH b AS (SELECT vec_id, {SIM.hyperplane_signature_sql('embedding', 6)} AS bucket, embedding FROM embeddings),
+WITH b AS (SELECT vec_id, {SIM.hyperplane_signature_sql('embedding', 6)} AS bucket, embedding
+           FROM embeddings WHERE embedding IS NOT NULL),
 q AS (SELECT vec_id AS q_id, bucket, embedding AS qe FROM b WHERE vec_id IN (0, 1, 2)),
 scored AS (
   SELECT q.q_id, e.vec_id, round({V.cosine_sql('e.embedding', 'q.qe')}, 6) AS cos
@@ -727,8 +732,11 @@ SELECT q_id, vec_id, cos, rank FROM (
 @register("ann_lsh_topk", _ANN_TOPK_SQL)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed ANN top-k: equi-join on hyperplane bucket then exact cosine
-    — the O(n²)→equi-join rewrite that scales."""
-    emb = table(spark, sf_dir, "embeddings")
+    — the O(n²)→equi-join rewrite that scales. Null vectors excluded
+    per the similarity-search contract."""
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
@@ -2656,7 +2664,7 @@ _COSINE_CAND_CTE = f"""
 WITH b AS MATERIALIZED (
   SELECT vec_id, embedding,
          {_COS_BAND_COLS}
-  FROM embeddings),
+  FROM embeddings WHERE embedding IS NOT NULL),
 cand AS MATERIALIZED (
   SELECT DISTINCT a_id, b_id FROM (
 {_COS_BAND_UNION}
@@ -8693,7 +8701,7 @@ def s22_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MULTIPROBE_SQL = f"""
 WITH b AS (SELECT vec_id, {SIM.hyperplane_signature_sql('embedding', 6)} AS bucket,
-                  embedding FROM embeddings),
+                  embedding FROM embeddings WHERE embedding IS NOT NULL),
 q AS (SELECT vec_id AS q_id, bucket, embedding AS qe FROM b WHERE vec_id IN (0, 1, 2)),
 probes AS (
   SELECT q_id, qe,
@@ -8717,8 +8725,11 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fix for points near a hyperplane, trading a bounded ×(planes+1)
     candidate fan-out for far better recall than a single probe, with
     no extra tables or index passes (probing is pure key arithmetic on
-    the query side; the data side is still one bucket per vector)."""
-    emb = table(spark, sf_dir, "embeddings")
+    the query side; the data side is still one bucket per vector).
+    Null vectors excluded per the similarity-search contract."""
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     b = emb.select(
         "vec_id",
         SIM.hyperplane_signature(F.col("embedding"), 6).alias("bucket"),
@@ -8816,7 +8827,7 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RECALL_SQL = f"""
 WITH b AS (SELECT vec_id, {SIM.hyperplane_signature_sql('embedding', 6)} AS bucket,
-                  embedding FROM embeddings),
+                  embedding FROM embeddings WHERE embedding IS NOT NULL),
 q AS (SELECT vec_id AS q_id, bucket, embedding AS qe FROM b WHERE vec_id IN (0, 1, 2)),
 ann AS (
   SELECT q_id, vec_id FROM (
@@ -8831,7 +8842,7 @@ exact AS (
            row_number() OVER (PARTITION BY q.q_id
              ORDER BY round({V.cosine_sql('e.embedding', 'q.qe')}, 6) DESC,
                       e.vec_id) AS rank
-    FROM embeddings e, q) WHERE rank <= 5)
+    FROM b e, q) WHERE rank <= 5)
 SELECT exact.q_id,
        count(ann.vec_id) AS n_hit,
        floor(count(ann.vec_id) / 5.0 * 1e6 + 0.5) / 1e6 AS recall_at_5
@@ -8846,8 +8857,11 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined against the exact brute-force top-5 ground truth → recall@5
     per query. The standard index-tuning loop (raise planes/probes
     until recall clears the bar) as one query — at scale ground truth
-    runs on a sampled query set while the index serves the rest."""
-    emb = table(spark, sf_dir, "embeddings")
+    runs on a sampled query set while the index serves the rest.
+    Null vectors excluded per the similarity-search contract."""
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )

@@ -711,7 +711,7 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # recall eval: per-query ground truth is the bounded brute-force BNLJ
     # (20 probe vectors broadcast), candidates via WindowGroupLimit top-k;
     # the vec_id probe list must push into the embeddings scan
-    "ann_recall_eval": (6, ["WindowGroupLimit", "BroadcastNestedLoopJoin", "PushedFilters: [In(vec_id", "ReadSchema: struct<vec_id:bigint,embedding:array<float>>", "!CartesianProduct"]),
+    "ann_recall_eval": (6, ["WindowGroupLimit", "BroadcastNestedLoopJoin", "PushedFilters: [IsNotNull(embedding), In(vec_id", "ReadSchema: struct<vec_id:bigint,embedding:array<float>>", "!CartesianProduct"]),
     # catalog joins: both dim sides broadcast, ZERO shuffle exchanges;
     # all three predicate sets pushed into their parquet scans
     "catalog_roundtrip": (0, ["BroadcastHashJoin", "PushedFilters: [IsNotNull(id_proceso), EqualTo(id_proceso,0)", "ReadSchema: struct<id_ejecucion:bigint,id_proceso:int>", "!SortMergeJoin", "!CartesianProduct"]),
