@@ -108,6 +108,7 @@ def resample_interpolate(
     val_col: str = "value",
     tiebreak_col: str = "event_id",
     step_seconds: int = 3600,
+    max_steps_per_key: int = 1_000_000,
 ) -> DataFrame:
     """Time-series resample with LINEAR INTERPOLATION: for every
     ``step_seconds`` grid point inside each key's [min ts, max ts], the
@@ -128,6 +129,16 @@ def resample_interpolate(
     Spark ``unix_timestamp`` floors, the oracle uses
     ``floor(epoch(...))``); ties within a second resolve by
     ``tiebreak_col``.
+
+    ``max_steps_per_key`` is the outlier fail-safe: a single corrupt
+    timestamp (epoch 0, year 2199, ...) would otherwise silently inflate
+    one key's grid to hundreds of millions of rows — at cluster scale an
+    OOM, found by the r15 extreme-timestamp fuzz as a multi-minute local
+    hang. The guard lives INSIDE the grid expression (a raise_error
+    branch on the consumed sequence — unprunable, zero cost per healthy
+    key) and fails fast with the offending key's span instead of
+    materializing it. 1M hourly steps ≈ 114 years — far beyond any
+    legitimate sensor span; pass a larger value deliberately if needed.
     """
     k = F.col(key_col)
     e = events.select(
@@ -137,12 +148,17 @@ def resample_interpolate(
         F.col(tiebreak_col).cast("long").alias("__tb"),
     )
     bounds = e.groupBy("__k").agg(F.min("__x").alias("__lo"), F.max("__x").alias("__hi"))
+    n_steps = f"(__hi div {step_seconds}) - (__lo div {step_seconds})"
     grid = bounds.select(
         "__k",
         F.explode(
             F.expr(
-                f"sequence((__lo + {step_seconds - 1}) div {step_seconds},"
-                f" __hi div {step_seconds})"
+                f"CASE WHEN {n_steps} > {max_steps_per_key} THEN "
+                f"raise_error(concat('resample_interpolate: key ', cast(__k as string), "
+                f"' spans ', cast({n_steps} as string), ' grid steps > max_steps_per_key="
+                f"{max_steps_per_key} — corrupt outlier timestamp?')) "
+                f"ELSE sequence((__lo + {step_seconds - 1}) div {step_seconds},"
+                f" __hi div {step_seconds}) END"
             )
         ).alias("__g"),
     ).select("__k", (F.col("__g") * step_seconds).alias("__x"))

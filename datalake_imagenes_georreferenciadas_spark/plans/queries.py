@@ -611,7 +611,9 @@ def f_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "f14_json_extract",
     """
-    SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k
+    SELECT event_id,
+           json_extract_string(CASE WHEN json_valid(props) THEN props END,
+                               '$.k')::BIGINT AS k
     FROM events
     """,
 )
@@ -3126,7 +3128,13 @@ def s16_partitioned_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned; .explain shows PartitionFilters). Aggregate must equal the
     oracle's direct filter — proving the codec + pruning lose nothing."""
     dest = os.path.join(tempfile.mkdtemp(prefix="publish_"), "docs_by_lang")
-    docs = table(spark, sf_dir, "documents")
+    # path safety: a partition value becomes a DIRECTORY NAME — a dirty
+    # multi-KB category blows up the writer (Mkdirs ENAMETOOLONG), so
+    # unpublishable categories go to the bad-records channel. Value-
+    # neutral here: the read-back filters lang = 'es'.
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNull() | (F.length("lang") <= 255)
+    )
     docs.write.mode("overwrite").partitionBy("lang").parquet(dest)
     # Explicit schema on the read-back: a republish of an empty batch
     # writes zero data files and schema inference has nothing to read —
@@ -5002,9 +5010,16 @@ def s9_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the bad-records channel instead of the relational stage —
         # value-identical here since the read-back filters segment =
         # 'BUILDING', which a NULL can never match.
+        # the length cap matches the staged table's declared VARCHAR(10):
+        # a dirty over-width segment is a bad-records row, not a Derby
+        # truncation abort (value-neutral: the read-back filters
+        # segment = 'BUILDING', which both guards can never exclude)
         cust = (
             table(spark, sf_dir, "customer")
-            .filter(F.col("c_mktsegment").isNotNull())
+            .filter(
+                F.col("c_mktsegment").isNotNull()
+                & (F.length("c_mktsegment") <= 10)
+            )
             .select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
         )
         (
@@ -7466,9 +7481,20 @@ def ts_missing_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     span = ud.groupBy("user_id").agg(
         F.min("d").alias("d0"), F.max("d").alias("d1")
     )
+    # outlier fail-safe (same posture as operators/asof.py
+    # resample_interpolate): one corrupt date inflates a key's calendar
+    # unboundedly; fail fast past ~274 years instead of materializing it
     cal = span.select(
         "user_id",
-        F.explode(F.sequence("d0", "d1")).alias("d"),
+        F.explode(
+            F.expr(
+                "CASE WHEN datediff(d1, d0) > 100000 THEN "
+                "raise_error(concat('ts_missing_days: user ', cast(user_id as string), "
+                "' spans ', cast(datediff(d1, d0) as string), "
+                "' days > 100000 — corrupt outlier date?')) "
+                "ELSE sequence(d0, d1) END"
+            )
+        ).alias("d"),
     )
     j = cal.join(
         ud.withColumnRenamed("d", "seen"),
@@ -8307,12 +8333,16 @@ def streaming_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "f14_variant_extract",
     f"""
+    WITH e AS (
+      SELECT event_type, value,
+             CASE WHEN json_valid(props) THEN props END AS props
+      FROM events)
     SELECT event_type,
            count(*) AS n,
            CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
            count(*) FILTER (WHERE props->>'nope' IS NULL) AS n_missing,
            {_dsum_sql("round(value * 2, 6)")} AS sum_doubled
-    FROM events GROUP BY event_type
+    FROM e GROUP BY event_type
     """,
 )
 def f14_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8325,9 +8355,11 @@ def f14_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     missing-path handling (``try_variant_get`` → NULL, never an error),
     and a NESTED array path ('$.vs[1]') through a JSON→VARIANT roundtrip
     of a constructed document — the oracle recomputes every extraction
-    relationally."""
+    relationally. try_parse_json (not parse_json): a malformed payload
+    in a heterogeneous event stream parses to NULL instead of failing
+    the scan — the oracle mirrors with a json_valid guard."""
     ev = table(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    v = F.try_parse_json("props")
     nested = F.parse_json(
         F.to_json(
             F.struct(
@@ -13146,12 +13178,17 @@ def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s26_dynamic_overwrite",
     f"""
-    SELECT o_orderpriority, count(*) AS n,
+    -- nullif: the Hive partition layout stores '' as
+    -- __HIVE_DEFAULT_PARTITION__, so an empty-string category reads
+    -- back as NULL — the published contract, mirrored here
+    SELECT nullif(o_orderpriority, '') AS o_orderpriority, count(*) AS n,
            {_dsum_sql(
                "o_totalprice + CASE WHEN o_orderpriority = '1-URGENT' "
                "THEN 100.0 ELSE 0.0 END"
            )} AS total
-    FROM orders GROUP BY o_orderpriority
+    FROM orders
+    WHERE o_orderpriority IS NULL OR length(o_orderpriority) <= 255
+    GROUP BY nullif(o_orderpriority, '')
     """,
 )
 def s26_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13165,8 +13202,16 @@ def s26_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB only the restated partition is rewritten; the others are
     never opened."""
     dest = os.path.join(tempfile.mkdtemp(prefix="dynover_"), "orders_by_prio")
-    orders = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice", "o_orderpriority"
+    # path safety (same posture as s16): a partition value is a
+    # directory name; dirty multi-KB priorities go to the bad-records
+    # channel, mirrored in the oracle's length guard
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderpriority").isNull()
+            | (F.length("o_orderpriority") <= 255)
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
     )
     orders.write.partitionBy("o_orderpriority").parquet(dest)
     upd = orders.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
