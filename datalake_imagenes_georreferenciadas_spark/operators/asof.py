@@ -139,6 +139,10 @@ def resample_interpolate(
     key) and fails fast with the offending key's span instead of
     materializing it. 1M hourly steps ≈ 114 years — far beyond any
     legitimate sensor span; pass a larger value deliberately if needed.
+    The cap is approximate to within one step: for pre-1970 (negative
+    epoch) bounds Spark's truncate-toward-zero ``div`` undercounts the
+    floor-difference step count by up to one — acceptable slack on a
+    fail-safe whose purpose is catching million-fold blow-ups.
     """
     k = F.col(key_col)
     e = events.select(
@@ -153,7 +157,7 @@ def resample_interpolate(
         "__k",
         F.explode(
             F.expr(
-                f"CASE WHEN {n_steps} > {max_steps_per_key} THEN "
+                f"CASE WHEN {n_steps} >= {max_steps_per_key} THEN "
                 f"raise_error(concat('resample_interpolate: key ', cast(__k as string), "
                 f"' spans ', cast({n_steps} as string), ' grid steps > max_steps_per_key="
                 f"{max_steps_per_key} — corrupt outlier timestamp?')) "

@@ -5010,15 +5010,17 @@ def s9_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the bad-records channel instead of the relational stage —
         # value-identical here since the read-back filters segment =
         # 'BUILDING', which a NULL can never match.
-        # the length cap matches the staged table's declared VARCHAR(10):
-        # a dirty over-width segment is a bad-records row, not a Derby
+        # the length cap matches the staged table's declared VARCHAR(64)
+        # (widened from 10 in r16 — TPC-H segments are <=10 chars, but a
+        # dirty wide feed should stage losslessly, not drop rows): a
+        # still-over-width segment is a bad-records row, not a Derby
         # truncation abort (value-neutral: the read-back filters
         # segment = 'BUILDING', which both guards can never exclude)
         cust = (
             table(spark, sf_dir, "customer")
             .filter(
                 F.col("c_mktsegment").isNotNull()
-                & (F.length("c_mktsegment") <= 10)
+                & (F.length("c_mktsegment") <= 64)
             )
             .select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
         )
@@ -5027,7 +5029,7 @@ def s9_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("url", f"jdbc:derby:{db};create=true")
             .option("dbtable", "CUSTOMER")
             .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
-            .option("createTableColumnTypes", "c_mktsegment VARCHAR(10)")
+            .option("createTableColumnTypes", "c_mktsegment VARCHAR(64)")
             .save()
         )
         _DERBY_DBS[sf_dir] = db

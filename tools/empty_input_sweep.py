@@ -55,6 +55,11 @@ def main() -> int:
     from datalake_imagenes_georreferenciadas_spark.session import get_spark
     from __spark_entry__ import queries
 
+    unknown = only - set(queries())
+    if unknown:
+        print(f"unknown queries on argv: {' '.join(sorted(unknown))}", file=sys.stderr)
+        return 2
+
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
 

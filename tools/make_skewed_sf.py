@@ -73,7 +73,9 @@ def mutate_table(src_path: str, table: str, rate: float) -> pa.Table:
             arr = pa.array(py, type=field.type)
         elif table == "embeddings" and field.name == "embedding":
             py = arr.to_pylist()
-            hot_vec = py[0]
+            hot_vec = next((v for v in py if v is not None), None)
+            if hot_vec is None:
+                raise ValueError("make_skewed_sf: no non-null embedding to use as hot vector")
             for i in range(len(py)):
                 if py[i] is not None and r[i] < rate:
                     py[i] = hot_vec
