@@ -2,7 +2,14 @@
 twin in DuckDB at a given sf and report row-count / schema / value-set
 mismatches — a faster feedback loop than waiting for the driver round.
 
-Usage: python tools/verify_oracle.py [sf_dir] [query ...]
+Usage: python tools/verify_oracle.py [--json OUT.json] [--allowlist AXIS]
+                                     [sf_dir] [query ...]
+
+--json OUT.json   write per-query {status, kind} machine-readable results
+--allowlist AXIS  after the run, diff the failing-name set against
+                  tools/fuzz_allowlist.json[AXIS]; exit 0 iff they are
+                  EQUAL (the fuzz-residue contract: a new divergence OR
+                  a silently-healed allowlist entry both fail loudly)
 """
 
 from __future__ import annotations
@@ -34,9 +41,39 @@ def row_key(row):
     return tuple(norm_cell(v) for v in row)
 
 
+def load_allowlist(axis: str) -> dict[str, str]:
+    """Per-axis divergence allowlist: tools/fuzz_allowlist.json maps
+    axis -> {query_name: mechanism tag}. A fuzz run with --allowlist
+    AXIS passes iff its failing-name set EQUALS the allowlist for that
+    axis — future rounds diff the set instead of re-diagnosing it."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "fuzz_allowlist.json")
+    with open(path) as fh:
+        data = json.load(fh)
+    if axis not in data:
+        raise SystemExit(f"--allowlist {axis!r}: no such axis in {path} "
+                         f"(have {sorted(data)})")
+    return data[axis]
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    import json
+
+    argv = sys.argv[1:]
+    json_out = allow_axis = None
+    while argv and argv[0].startswith("--"):
+        flag = argv.pop(0)
+        if flag == "--json":
+            json_out = argv.pop(0)
+        elif flag == "--allowlist":
+            allow_axis = argv.pop(0)
+        else:
+            raise SystemExit(f"unknown flag {flag}")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    results: dict[str, dict] = {}
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -46,6 +83,10 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = queries(), oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown queries on argv: {' '.join(sorted(unknown))}", file=sys.stderr)
+        return 2
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -58,10 +99,12 @@ def main() -> int:
         except Exception:
             print(f"FAIL {name}: SPARK ERROR")
             traceback.print_exc(limit=8)
+            results[name] = {"status": "fail", "kind": "spark_error"}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"pass {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            results[name] = {"status": "pass", "kind": "rows_only", "rows": len(srows)}
             n_pass += 1
             continue
         try:
@@ -88,28 +131,50 @@ def main() -> int:
         except Exception:
             print(f"FAIL {name}: DUCKDB ERROR")
             traceback.print_exc(limit=8)
+            results[name] = {"status": "fail", "kind": "duckdb_error"}
             n_fail += 1
             continue
-        ok = True
+        kind = None
         if cols != dcols:
             print(f"FAIL {name}: schema spark={cols} duck={dcols}")
-            ok = False
+            kind = "schema"
         elif len(srows) != len(drows):
             print(f"FAIL {name}: rows spark={len(srows)} duck={len(drows)}")
-            ok = False
+            kind = "rows"
         elif srows != drows:
             diffs = [i for i, (a, b) in enumerate(zip(srows, drows)) if a != b]
             print(f"FAIL {name}: {len(diffs)} differing rows; first: ")
             i = diffs[0]
             print(f"  spark: {srows[i]}")
             print(f"  duck : {drows[i]}")
-            ok = False
-        if ok:
+            kind = "value"
+        if kind is None:
             print(f"pass {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            results[name] = {"status": "pass", "kind": "match", "rows": len(srows)}
             n_pass += 1
         else:
+            results[name] = {"status": "fail", "kind": kind}
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(results, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
+    if allow_axis is not None:
+        allow = load_allowlist(allow_axis)
+        failed = {n for n, r in results.items() if r["status"] == "fail"}
+        checked = set(results)
+        expected = set(allow) & checked if only else set(allow)
+        unexpected_fail = sorted(failed - expected)
+        unexpected_pass = sorted(expected - failed)
+        if unexpected_fail:
+            print(f"NOT in {allow_axis} allowlist but failed: {' '.join(unexpected_fail)}")
+        if unexpected_pass:
+            print(f"in {allow_axis} allowlist but PASSED (prune it): {' '.join(unexpected_pass)}")
+        if unexpected_fail or unexpected_pass:
+            return 2
+        print(f"divergence set == {allow_axis} allowlist ({len(expected & failed)} names) — OK")
+        return 0
     return 1 if n_fail else 0
 
 
