@@ -19,8 +19,16 @@ def sessionize(
     ts_col: str = "ts",
     gap_minutes: float = 30.0,
 ) -> DataFrame:
-    """Assign a session id per (user, gap>threshold island)."""
-    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    """Assign a session id per (user, gap>threshold island).
+
+    Ordering contract (r16): callers exclude NULL event times (a row
+    without a timestamp can't sessionize); the event_id tie-break keeps
+    Spark's default ASC NULLS FIRST, written explicitly here and
+    mirrored as ``NULLS FIRST`` in every oracle so neither engine's
+    default decides frame membership on dirty data."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc_nulls_first(), F.col("event_id").asc_nulls_first()
+    )
     gap_s = gap_minutes * 60.0
     prev = F.lag(ts_col).over(w)
     new_sess = F.when(

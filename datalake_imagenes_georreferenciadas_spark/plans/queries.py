@@ -1786,11 +1786,11 @@ def geo_affine_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH o AS (
       SELECT user_id, event_id, ts, value,
-             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-      FROM events),
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST) AS prev
+      FROM events WHERE ts IS NOT NULL),
     m AS (SELECT *, CASE WHEN prev IS NULL OR (epoch(ts) - epoch(prev)) > 1800.0
                          THEN 1 ELSE 0 END AS new_sess FROM o),
-    s AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    s AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST
                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM m)
     SELECT user_id, session_seq, count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
@@ -1805,7 +1805,7 @@ def session_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``3.0`` against Spark's ``3``. The oracle CASTs the running sum to
     BIGINT so both engines emit int64 (CORRECTNESS_r01 red cell).
     """
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     s = sessionize(ev, gap_minutes=30.0)
     return s.groupBy("user_id", "session_seq").agg(
         F.count("*").alias("n_events"), _dsum(F.col("value")).alias("sum_value")
@@ -1816,14 +1816,18 @@ _TUMBLING_SQL = """
 SELECT (epoch(time_bucket(INTERVAL '10 minutes', ts)))::BIGINT AS window_start_epoch,
        event_type, count(*) AS n,
        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-FROM events GROUP BY 1, 2
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """
 
 
 @register("tumbling_window_agg", _TUMBLING_SQL)
 def tumbling_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling-window aggregate (batch twin of the streaming query)."""
-    ev = table(spark, sf_dir, "events")
+    """Tumbling-window aggregate (batch twin of the streaming query).
+
+    Null-event-time contract (r16): rows with a NULL ts can't bucket —
+    Spark's window generator silently drops them; the filter makes that
+    explicit on both sides and pushes IsNotNull(ts) into the scan."""
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(F.count("*").alias("n"), _dsum(F.col("value")).alias("sum_value"))
@@ -1841,6 +1845,7 @@ SELECT (epoch(time_bucket(INTERVAL '5 minutes', ts)
         - (k * INTERVAL '5 minutes')))::BIGINT AS window_start_epoch,
        event_type, count(*) AS n
 FROM events CROSS JOIN (VALUES (0), (1)) AS ks(k)
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """
 
@@ -1851,8 +1856,8 @@ GROUP BY 1, 2
 )
 def sliding_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (10 min window, 5 min slide) — each event lands in 2
-    overlapping windows."""
-    ev = table(spark, sf_dir, "events")
+    overlapping windows. Null event time excluded (r16 contract)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
         .agg(F.count("*").alias("n"))
@@ -1880,7 +1885,7 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_dir = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(src, os.path.join(stream_dir, "events.parquet"))
     stream = spark.readStream.format("parquet").schema(raw_schema).load(stream_dir)
-    stream = _norm_event_ts(stream)
+    stream = _norm_event_ts(stream).filter(F.col("ts").isNotNull())
     agg = (
         stream.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(F.count("*").alias("n"), _dsum(F.col("value")).alias("sum_value"))
@@ -2852,8 +2857,8 @@ def s12_content_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_SESSION_SQL = """
 WITH o AS (
   SELECT user_id, event_id, ts, value,
-         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-  FROM events),
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST) AS prev
+  FROM events WHERE ts IS NOT NULL),
 m AS (SELECT *, CASE WHEN prev IS NULL OR (epoch(ts) - epoch(prev)) >= 1800.0
                      THEN 1 ELSE 0 END AS new_sess FROM o),
 s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -2877,7 +2882,7 @@ def streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_dir = tempfile.mkdtemp(prefix="events_sess_")
     os.symlink(src, os.path.join(stream_dir, "events.parquet"))
     stream = spark.readStream.format("parquet").schema(raw_schema).load(stream_dir)
-    stream = _norm_event_ts(stream)
+    stream = _norm_event_ts(stream).filter(F.col("ts").isNotNull())
     agg = (
         stream.withWatermark("ts", "1 minute")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
@@ -4213,11 +4218,18 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("b_n"), F.sum("value").alias("b_sum"))
     )
+    # null-SAFE join key (r16): a null event_type is a legitimate group
+    # in BOTH the state op and the batch twin; a plain equi-join would
+    # split it into two unmatched rows (null never equals null).
+    state = spark.table(name)
     return (
-        spark.table(name)
-        .join(F.broadcast(batch), "event_type", "full_outer")
+        state.join(
+            F.broadcast(batch),
+            state["event_type"].eqNullSafe(batch["event_type"]),
+            "full_outer",
+        )
         .select(
-            "event_type",
+            F.coalesce(state["event_type"], batch["event_type"]).alias("event_type"),
             F.col("n"),
             (
                 (F.col("n") == F.col("b_n"))
@@ -4913,7 +4925,7 @@ def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_dir = tempfile.mkdtemp(prefix="events_sliding_")
     os.symlink(src, os.path.join(stream_dir, "events.parquet"))
     stream = spark.readStream.format("parquet").schema(raw_schema).load(stream_dir)
-    stream = _norm_event_ts(stream)
+    stream = _norm_event_ts(stream).filter(F.col("ts").isNotNull())
     agg = (
         stream.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
         .agg(F.count("*").alias("n"))
@@ -5661,7 +5673,7 @@ def j_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT year(o_orderdate)*100 + month(o_orderdate) AS month_key,
            count(*) AS n_orders,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
-    FROM orders GROUP BY 1
+    FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     """,
 )
 def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5672,7 +5684,12 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     history. The oracle is the full direct aggregate, proving state-merge
     ≡ recompute. At 100 TB this is the nightly-refresh pattern: the
     state table is O(groups), the delta scan is O(new data), and decimal
-    partials make the merge order-independent bit-for-bit."""
+    partials make the merge order-independent bit-for-bit.
+
+    Null-partition-key contract (r16): a row with NULL o_orderdate
+    belongs to neither the state nor the delta partition — the split
+    predicates exclude it on the Spark side, and the oracle carries the
+    same explicit IS NOT NULL."""
     orders = table(spark, sf_dir, "orders")
     month_key = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias(
         "month_key"
@@ -5978,7 +5995,9 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_dedup",
     """
-    SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    SELECT event_type, count(*) AS n FROM events
+    WHERE event_id IS NOT NULL AND ts IS NOT NULL
+    GROUP BY event_type
     """,
 )
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6000,8 +6019,15 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_dir = tempfile.mkdtemp(prefix="events_dup_stream_")
     os.symlink(src, os.path.join(stream_dir, "a.parquet"))
     os.symlink(src, os.path.join(stream_dir, "b.parquet"))
+    # r16 contract: exactly-once identity dedup needs BOTH an identity
+    # (a NULL event_id would collapse every null-id row into one state
+    # entry) and an event time (the watermark can't admit a null ts) —
+    # rows lacking either are bad-records, excluded on both sides.
     stream = spark.readStream.format("parquet").schema(raw_schema).load(stream_dir)
-    stream = _norm_event_ts(stream)
+    stream = (
+        _norm_event_ts(stream)
+        .filter(F.col("event_id").isNotNull() & F.col("ts").isNotNull())
+    )
     deduped = dedup_within_watermark(stream, watermark_minutes=60).select(
         "event_id", "event_type"
     )
@@ -6287,11 +6313,11 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT (epoch(time_bucket(INTERVAL '60 minutes', ts)))::BIGINT
                AS window_start_epoch,
              event_type, count(*) AS n
-      FROM events GROUP BY 1, 2)
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
     SELECT window_start_epoch, event_type, n FROM (
       SELECT *, row_number() OVER (
                PARTITION BY window_start_epoch
-               ORDER BY n DESC, event_type) AS rn
+               ORDER BY n DESC, event_type NULLS FIRST) AS rn
       FROM agg)
     WHERE rn <= 2
     """,
@@ -6311,7 +6337,7 @@ def streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_dir = tempfile.mkdtemp(prefix="events_topk_stream_")
     os.symlink(src, os.path.join(stream_dir, "events.parquet"))
     stream = spark.readStream.format("parquet").schema(raw_schema).load(stream_dir)
-    stream = _norm_event_ts(stream)
+    stream = _norm_event_ts(stream).filter(F.col("ts").isNotNull())
     agg = (
         stream.groupBy(F.window("ts", "60 minutes").alias("w"), "event_type")
         .agg(F.count("*").alias("n"))
@@ -6331,7 +6357,7 @@ def streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     w = Window.partitionBy("window_start_epoch").orderBy(
-        F.col("n").desc(), "event_type"
+        F.col("n").desc(), F.col("event_type").asc_nulls_first()
     )
     return (
         spark.table(name)
@@ -9315,7 +9341,7 @@ _TDIGEST_QS = [0.25, 0.5, 0.75, 0.95]
 _TDIGEST_SQL = f"""
 WITH e AS (
   SELECT quantile_cont(value, {_TDIGEST_QS}) AS arr, count(*) AS n
-  FROM events)
+  FROM events WHERE value IS NOT NULL)
 SELECT ({_TDIGEST_QS}::DOUBLE[])[i] AS q,
        n AS n_total,
        round(arr[i], 4) AS exact_q,
@@ -9385,10 +9411,19 @@ def a19_tdigest_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds rank error at ≈4·q(1−q)/δ ≤ 0.005 — 4× margin). Midrank
     (count(<) + count(≤))/2 keeps the check stable across the 2-decimal
     tie mass in events.value. A broken digest reports false and
-    red-rows the round."""
+    red-rows the round.
+
+    r16 contract: quantiles are over NON-NULL values — a null value has
+    no rank, and leaving it in the midrank denominator silently shifts
+    the rank check by the null rate (the null-shifted-bucket-stat fuzz
+    mechanism). Both sides filter value IS NOT NULL."""
     from ..operators import tdigest as TD
 
-    ev = table(spark, sf_dir, "events").select("value")
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("value")
+    )
     return _tdigest_rank_check(ev, TD.quantiles(ev, "value", _TDIGEST_QS))
 
 
@@ -9414,7 +9449,12 @@ def streaming_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="stdg_")
     stream_dir = os.path.join(base, "in")
     cent_dir = os.path.join(base, "centroids")
-    ev = table(spark, sf_dir, "events").select("value")
+    # non-null contract shared with a19_tdigest_quantile (r16)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("value")
+    )
     ev.repartition(4).write.parquet(stream_dir)
     schema = spark.read.parquet(stream_dir).schema
 
