@@ -315,7 +315,8 @@ def a1_max_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_nationkey, c_custkey AS min_cust, round(c_acctbal, 2) AS min_acctbal
     FROM customer
-    QUALIFY row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) = 1
+    QUALIFY row_number() OVER (PARTITION BY c_nationkey
+             ORDER BY c_acctbal NULLS FIRST, c_custkey NULLS FIRST) = 1
     """,
 )
 def a2_argmin_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -457,7 +458,7 @@ def w1_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w2_running_sum",
     """
     SELECT event_id, user_id,
-           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                                   ROWS UNBOUNDED PRECEDING), 2) AS running
     FROM events
     """,
@@ -481,9 +482,9 @@ def w2_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id, user_id,
            round(value - coalesce(lag(value) OVER
-                 (PARTITION BY user_id ORDER BY ts, event_id), 0.0), 2) AS delta,
+                 (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST), 0.0), 2) AS delta,
            coalesce(lead(event_id) OVER
-                 (PARTITION BY user_id ORDER BY ts, event_id), -1) AS next_event
+                 (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST), -1) AS next_event
     FROM events
     """,
 )
@@ -505,7 +506,7 @@ def w3_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s1_sort_limit",
     """
     SELECT event_id, user_id, event_type FROM events
-    ORDER BY ts, event_id LIMIT 100
+    ORDER BY ts NULLS FIRST, event_id NULLS FIRST LIMIT 100
     """,
 )
 def s1_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1786,11 +1787,11 @@ def geo_affine_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH o AS (
       SELECT user_id, event_id, ts, value,
-             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST) AS prev
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS prev
       FROM events WHERE ts IS NOT NULL),
     m AS (SELECT *, CASE WHEN prev IS NULL OR (epoch(ts) - epoch(prev)) > 1800.0
                          THEN 1 ELSE 0 END AS new_sess FROM o),
-    s AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST
+    s AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM m)
     SELECT user_id, session_seq, count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
@@ -2857,11 +2858,11 @@ def s12_content_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_SESSION_SQL = """
 WITH o AS (
   SELECT user_id, event_id, ts, value,
-         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST) AS prev
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS prev
   FROM events WHERE ts IS NOT NULL),
 m AS (SELECT *, CASE WHEN prev IS NULL OR (epoch(ts) - epoch(prev)) >= 1800.0
                      THEN 1 ELSE 0 END AS new_sess FROM o),
-s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                                     ROWS UNBOUNDED PRECEDING) AS seq FROM m)
 SELECT user_id, floor(epoch(min(ts)))::BIGINT AS session_start_epoch,
        count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
@@ -3492,16 +3493,20 @@ def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
            last_value(event_id) OVER w AS last_ev,
            coalesce(nth_value(event_id, 2) OVER w, -1) AS second_ev
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+    WHERE ts IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
 )
 def w5_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame keyed on event-time seconds (true time-windowed running
     sum — rows at the same second aggregate together) + first/last/nth
-    positional window functions."""
-    ev = table(spark, sf_dir, "events").withColumn(
-        "__sec", F.unix_timestamp("ts")
+    positional window functions. A RANGE frame is event-time arithmetic,
+    so null ts is excluded on both sides (r16 contract)."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .withColumn("__sec", F.unix_timestamp("ts"))
     )
     w_range = (
         Window.partitionBy("user_id").orderBy("__sec").rangeBetween(-600, 0)
@@ -3904,7 +3909,8 @@ def f_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pr,
            floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cd
     FROM customer
-    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal NULLS FIRST, c_custkey NULLS FIRST)
     """,
 )
 def w6_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4308,7 +4314,7 @@ def j_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor(epoch(ts))::BIGINT AS ts_epoch,
            round(last_value(CASE WHEN event_type = 'click' THEN NULL ELSE value END
                             IGNORE NULLS)
-                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
              AS filled_value
     FROM events WHERE user_id < 50
@@ -5969,7 +5975,8 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, doc_id FROM (
       SELECT lang, doc_id,
              row_number() OVER (PARTITION BY lang
-               ORDER BY {H.hash64_sql('doc_id::VARCHAR', 7)}, doc_id) AS rn
+               ORDER BY {H.hash64_sql('doc_id::VARCHAR', 7)} NULLS FIRST,
+                        doc_id NULLS FIRST) AS rn
       FROM documents)
     WHERE rn <= 10
     """,
@@ -7341,7 +7348,7 @@ def cdc_upsert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs AS (
       SELECT event_type AS src,
              lead(event_type) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id) AS dst
+               PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS dst
       FROM s)
     SELECT src, dst, count(*) AS n
     FROM pairs WHERE dst IS NOT NULL
@@ -7594,7 +7601,7 @@ def a13_equifreq_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg AS (
       SELECT user_id, value,
              date_diff('second', ts,
-               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST))
                AS dur_s
       FROM s)
     SELECT user_id,
@@ -7817,12 +7824,13 @@ def p10_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized AS (SELECT shard, count(*) AS n FROM s GROUP BY shard),
     offs AS (
       SELECT shard,
-             coalesce(sum(n) OVER (ORDER BY shard
+             coalesce(sum(n) OVER (ORDER BY shard NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
       FROM sized),
     ranked AS (
       SELECT doc_id, shard,
-             row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1
+             row_number() OVER (PARTITION BY shard
+               ORDER BY ord NULLS FIRST, doc_id NULLS FIRST) - 1
                AS r
       FROM s)
     SELECT ranked.doc_id,
@@ -8082,8 +8090,10 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id, user_id,
            array_to_string(
-             [CAST(round(x * 1e6) AS BIGINT) FOR x IN list(value) OVER (
-                PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             [CAST(round(x * 1e6) AS BIGINT) FOR x IN
+              list(value) FILTER (value IS NOT NULL) OVER (
+                PARTITION BY user_id
+                ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, event_id NULLS FIRST
                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)], ',') AS last3
     FROM events WHERE user_id < 50
     """,
@@ -8097,7 +8107,11 @@ def w9_trailing_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers: the driver canonicalizes via pandas (list cells are
     unhashable), and double→string formatting differs between engines,
     so round(x*1e6)→bigint→string is the stable cross-engine encoding
-    (identical IEEE double in, identical integer out)."""
+    (identical IEEE double in, identical integer out).
+
+    Array-aggregation null contract (r16): NULL values are EXCLUDED
+    from collected arrays — Spark's collect_list semantics, mirrored
+    explicitly in the oracle with FILTER (value IS NOT NULL)."""
     ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
     w = (
         Window.partitionBy("user_id")
@@ -9740,10 +9754,10 @@ def f14_json_hetero(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg AS (
       SELECT user_id, event_id, event_type,
              sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
+               OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS n_purchases,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             row_number() OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
                AS rn
       FROM s),
     marked AS (
@@ -9997,7 +10011,8 @@ def sub_all_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id, user_id,
            round(quantile_cont(value, 0.5) OVER (
-             PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             PARTITION BY user_id
+             ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, event_id NULLS FIRST
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med5
     FROM events WHERE user_id < 40
     """,
@@ -10035,7 +10050,7 @@ def w10_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2)
     SELECT cohort_day, day_offset, rev,
            CAST(sum(CAST(rev AS DECIMAL(18,4))) OVER (
-             PARTITION BY cohort_day ORDER BY day_offset
+             PARTITION BY cohort_day ORDER BY day_offset NULLS FIRST
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS cumulative_rev
     FROM daily
@@ -11421,17 +11436,17 @@ def w11_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN ts - lag(ts) OVER w <= INTERVAL '30 minutes'
                   THEN 0 ELSE 1 END AS boundary
       FROM events WHERE user_id < 40
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)),
     s AS (
       SELECT event_id, user_id, ts, value,
              CAST(sum(boundary) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id
+                                      ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                                       ROWS UNBOUNDED PRECEDING)
                   AS BIGINT) AS session_seq
       FROM b)
     SELECT event_id, user_id, session_seq,
            round(sum(value) OVER (PARTITION BY user_id, session_seq
-                                  ORDER BY ts, event_id
+                                  ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                                   ROWS UNBOUNDED PRECEDING), 2) AS running
     FROM s
     """,
@@ -11639,10 +11654,10 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600 AS BIGINT)
              AS bucket_s,
-           first(value ORDER BY ts, event_id) AS open,
+           first(value ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS open,
            max(value) AS high,
            min(value) AS low,
-           last(value ORDER BY ts, event_id) AS close,
+           last(value ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS close,
            count(*) AS n_obs
     FROM events
     GROUP BY 1, 2
@@ -12042,11 +12057,11 @@ _CUSUM_THR_C = 20000  # alert when cumulative excess passes 200.00
       SELECT user_id, event_id, ts, n,
              sum(dev) OVER w AS prefix
       FROM d
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
     p2 AS (
       SELECT user_id, event_id, ts, n, prefix,
-             min(prefix) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             min(prefix) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin
       FROM p),
     cu AS (
@@ -14163,7 +14178,7 @@ def er_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
              lead(event_type, 1) OVER w || '>' ||
              lead(event_type, 2) OVER w AS motif
       FROM s
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST))
     SELECT motif, n, rank FROM (
       SELECT motif, count(*) AS n,
              row_number() OVER (ORDER BY count(*) DESC, motif) AS rank
@@ -15333,7 +15348,7 @@ WITH s AS (
   FROM events),
 p AS (
   SELECT event_type, x,
-         lead(x) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS y
+         lead(x) OVER (PARTITION BY event_type ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS y
   FROM s),
 m AS (
   SELECT event_type, count(*) AS n,
@@ -15690,7 +15705,7 @@ def hybrid_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, x,
              lag(x) OVER w AS xp, lead(x) OVER w AS xn
       FROM s
-      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts NULLS FIRST, event_id NULLS FIRST)),
     pk AS (
       SELECT event_type, x - greatest(xp, xn) AS prom
       FROM n WHERE xp IS NOT NULL AND xn IS NOT NULL
@@ -15913,7 +15928,7 @@ def geo_quadtree_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, event_id, x,
              lag(x, 1) OVER w AS x1, lag(x, 2) OVER w AS x2,
              lag(x, 3) OVER w AS x3
-      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST))
     SELECT user_id,
            CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
            x,
@@ -16529,7 +16544,7 @@ def ts_naive_forecast_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(ts AS TIMESTAMP) AS ts, event_id
       FROM events WHERE user_id < 100),
     seq AS (
-      SELECT user_id, string_agg(c, '' ORDER BY ts, event_id) AS journey
+      SELECT user_id, string_agg(c, '' ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS journey
       FROM s GROUP BY user_id)
     SELECT count(*) AS n_users,
            count(*) FILTER (WHERE regexp_matches(journey, 'v[^p]*c[^p]*p'))
@@ -16813,7 +16828,7 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(x) OVER win AS BIGINT) AS sx,
              CAST(sum(x * x) OVER win AS BIGINT) AS sxx
       FROM s
-      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
     b AS (
       -- breach iff n(x·n − sx)² > 4·n(n·sxx − sx²): the |x−μ| > 2σ
@@ -16885,13 +16900,13 @@ def ts_bollinger_breaches(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, event_id,
              CAST(sum(pnl) OVER w AS BIGINT) AS equity
       FROM s
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
     d AS (
       SELECT user_id, equity,
              CAST(max(equity) OVER w AS BIGINT) AS peak
       FROM c
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
     SELECT user_id,
            CAST(max(peak - equity) AS BIGINT) AS max_drawdown_cents,
