@@ -4872,7 +4872,8 @@ def s18_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH e AS (
       SELECT user_id, floor(epoch(ts))::BIGINT AS x, value::DOUBLE AS v, event_id AS tb
-      FROM events WHERE user_id < 50),
+      FROM events
+      WHERE user_id < 50 AND ts IS NOT NULL AND value IS NOT NULL),
     b AS (SELECT user_id, min(x) AS lo, max(x) AS hi FROM e GROUP BY user_id),
     grid AS (
       SELECT user_id, unnest(generate_series((lo + 3599) // 3600, hi // 3600)) * 3600 AS x
@@ -4888,9 +4889,9 @@ def s18_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
              first_value(px IGNORE NULLS) OVER w2 AS next_x,
              first_value(pv IGNORE NULLS) OVER w2 AS next_v
       FROM u
-      WINDOW w AS (PARTITION BY user_id ORDER BY x, is_grid, tb
+      WINDOW w AS (PARTITION BY user_id ORDER BY x, is_grid, tb NULLS FIRST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-             w2 AS (PARTITION BY user_id ORDER BY x, is_grid, tb
+             w2 AS (PARTITION BY user_id ORDER BY x, is_grid, tb NULLS FIRST
                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
     SELECT user_id, x AS grid_epoch,
            floor((CASE WHEN next_x IS NULL THEN prev_v
@@ -4908,7 +4909,13 @@ def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     window ordering and float expression."""
     from ..operators.asof import resample_interpolate
 
-    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    # r16 contract: a sensor reading without a timestamp or a value
+    # can't anchor interpolation — excluded on both sides.
+    ev = table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 50)
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
     return resample_interpolate(ev, step_seconds=3600)
 
 
@@ -6450,7 +6457,7 @@ def emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT year(o_orderdate)*100 + month(o_orderdate) AS month_key,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
-      FROM orders GROUP BY 1)
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1)
     SELECT month_key, rev,
            floor(((rev - lag(rev) OVER (ORDER BY month_key))
                   / lag(rev) OVER (ORDER BY month_key)) * 1e6 + 0.5) / 1e6
@@ -6462,8 +6469,11 @@ def ts_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-over-month revenue growth: decimal-sum monthly revenue,
     then lag + relative delta. The unpartitioned window runs over the
     POST-aggregate (~#months rows), not the fact table — the correct
-    altitude for period-over-period at any scale."""
-    orders = table(spark, sf_dir, "orders")
+    altitude for period-over-period at any scale. Null order dates
+    have no period — excluded both sides (r16 contract)."""
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     m = orders.groupBy(
         (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("month_key")
     ).agg(_dsum(F.col("o_totalprice")).alias("rev"))
@@ -7646,7 +7656,7 @@ def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id,
              floor(epoch(CAST(ts AS TIMESTAMP)))::BIGINT AS s,
              floor(epoch(CAST(ts AS TIMESTAMP)))::BIGINT + 300 AS e
-      FROM events WHERE user_id < 100),
+      FROM events WHERE user_id < 100 AND ts IS NOT NULL),
     marked AS (
       SELECT user_id, s, e,
              CASE WHEN s > coalesce(max(e) OVER (
@@ -7675,8 +7685,11 @@ def ts_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     island starts when an interval's start exceeds the running max end
     of everything before it; islands reduce to [min start, max end] and
     their lengths sum. All integer-second arithmetic over partitioned
-    windows — the active-time / uptime metric without a self-join."""
-    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    windows — the active-time / uptime metric without a self-join.
+    Null ts opens no interval — excluded both sides (r16 contract)."""
+    ev = table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 100) & F.col("ts").isNotNull()
+    )
     iv = ev.select(
         "user_id",
         F.unix_timestamp("ts").alias("s"),
@@ -8434,11 +8447,13 @@ def f14_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH w AS (
       SELECT event_id, user_id,
-             list(value) OVER (
-               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             list(value) FILTER (value IS NOT NULL) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, event_id NULLS FIRST
                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vals
       FROM events WHERE user_id < 50)
     SELECT event_id, user_id,
+           CASE WHEN len(vals) = 0 THEN NULL ELSE
            CAST(floor(
              CAST(list_sum(list_transform(vals,
                (x, i) -> CAST(floor(x * pow(0.9, len(vals) - i) * 1e6 + 0.5)
@@ -8446,7 +8461,7 @@ def f14_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
              / list_sum(list_transform(vals,
                (x, i) -> CAST(floor(pow(0.9, len(vals) - i) * 1e6 + 0.5)
                               AS BIGINT)))
-             + 0.5) AS BIGINT) AS ewma_milli
+             + 0.5) AS BIGINT) END AS ewma_milli
     FROM w
     """,
 )
@@ -8492,9 +8507,12 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "user_id",
-            F.floor(num.cast("double") * 1000.0 / den + 0.5)
-            .cast("long")
-            .alias("ewma_milli"),
+            # empty frame (every value in the trailing window NULL) has
+            # no average — NULL out instead of an ANSI 0/0 (r16)
+            F.when(
+                F.size("vals") > 0,
+                F.floor(num.cast("double") * 1000.0 / den + 0.5).cast("long"),
+            ).alias("ewma_milli"),
         )
     )
 
@@ -10174,7 +10192,7 @@ def emb_quantile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
       SELECT event_type, CAST(ts AS TIMESTAMP)::DATE AS d, count(*) AS n
-      FROM events GROUP BY 1, 2),
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
     base AS (
       SELECT event_type, d, n,
              quantile_cont(n, 0.5) OVER (
@@ -10192,8 +10210,9 @@ def ts_anomaly_vs_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     of its trailing week (robust to one bad day in the baseline,
     unlike a mean), with the spike flag the alerting rule fires on.
     Daily aggregate first, so the percentile window runs over ~#days
-    rows per type — the ops-monitoring staple at post-agg altitude."""
-    ev = table(spark, sf_dir, "events")
+    rows per type — the ops-monitoring staple at post-agg altitude.
+    Null ts has no day — excluded both sides (r16 contract)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("d")
     ).agg(F.count("*").alias("n"))
@@ -11660,6 +11679,7 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
            last(value ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS close,
            count(*) AS n_obs
     FROM events
+    WHERE ts IS NOT NULL AND value IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -11673,8 +11693,13 @@ def ts_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles pass through un-arithmetic'd so both engines hash identical
     bits. One map-side-combinable aggregate, no window, no shuffle
     beyond the groupBy — at 100 TB the bar table is
-    |types|·|hours| rows, orders of magnitude smaller than the input."""
-    ev = table(spark, sf_dir, "events")
+    |types|·|hours| rows, orders of magnitude smaller than the input.
+    A tick without a time or a value is no observation — excluded on
+    both sides (r16 contract; also dodges the engines' divergent
+    min_by/first null-value conventions)."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
     return ev.groupBy(
         "event_type",
         (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
