@@ -5468,7 +5468,7 @@ _TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
     packed AS (
       SELECT lang, n_tok,
              CAST(floor(coalesce(sum(n_tok) OVER (
-               PARTITION BY lang ORDER BY ord_key, doc_id
+               PARTITION BY lang ORDER BY ord_key NULLS FIRST, doc_id NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0)
                AS BIGINT) AS bin_id
       FROM base)
@@ -7099,7 +7099,7 @@ def table_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH deciles AS (
       SELECT DISTINCT CAST(floor(o_totalprice / 50000) AS BIGINT) AS band
-      FROM orders)
+      FROM orders WHERE o_totalprice IS NOT NULL)
     SELECT d.band,
            (SELECT count(*) FROM orders o
             WHERE o.o_totalprice < d.band * 50000) AS n_cheaper
@@ -7112,8 +7112,12 @@ def theta_avoid_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle runs exactly that correlated form. The Spark plan instead
     aggregates once per band and takes a RUNNING SUM over the ~#bands
     ordered rows: same result, one scan + one tiny window. The standard
-    rewrite that turns a 100 TB×k theta join into a prefix sum."""
-    orders = table(spark, sf_dir, "orders")
+    rewrite that turns a 100 TB×k theta join into a prefix sum.
+    A row without a price has no band (r16: NULL o_totalprice would
+    otherwise sort first and leak its count into every prefix)."""
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     bands = orders.select(
         F.floor(F.col("o_totalprice") / 50000).alias("band")
     )
@@ -9196,7 +9200,7 @@ def a16_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH s AS (
       SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
-      FROM events),
+      FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL),
     fl AS (
       SELECT user_id,
              min({'ts': ts, 'event_id': event_id, 'event_type': event_type})
@@ -9215,8 +9219,15 @@ def seq_first_last_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     event types via min/max over a (ts, event_id, payload) struct — the
     deterministic argmin/argmax idiom (ties broken by event_id inside
     the struct ordering, no window needed), then flow-pair counts. One
-    grouped agg + one tiny count."""
-    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    grouped agg + one tiny count. Endpoint selection orders by
+    (ts, event_id) — rows missing either have no position in the
+    journey and are excluded on both sides (r16 contract; engine
+    struct-comparison null conventions differ)."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
+        .select("user_id", "event_type", "ts", "event_id")
+    )
     r = F.struct("ts", "event_id", "event_type")
     fl = ev.groupBy("user_id").agg(
         F.min(r).alias("first_r"), F.max(r).alias("last_r")
@@ -14222,15 +14233,18 @@ def a24_seq_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streams shorter than 3) drop before counting."""
     ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # null-PROPAGATING concat (SQL || semantics): a trigram with any
+    # null element — stream tail OR null event_type — is no motif.
+    # concat_ws would silently splice "a>b" out of (a, NULL, b) (r16).
     tri = ev.select(
-        F.concat_ws(
-            ">",
+        F.concat(
             "event_type",
+            F.lit(">"),
             F.lead("event_type", 1).over(w),
+            F.lit(">"),
             F.lead("event_type", 2).over(w),
         ).alias("motif"),
-        F.lead("event_type", 2).over(w).alias("__guard"),
-    ).filter(F.col("__guard").isNotNull())
+    ).filter(F.col("motif").isNotNull())
     counts = tri.groupBy("motif").agg(F.count("*").alias("n"))
     return (
         counts.orderBy(F.col("n").desc(), "motif")
