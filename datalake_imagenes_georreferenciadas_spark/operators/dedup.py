@@ -389,7 +389,14 @@ def dedup_components(
 
     Isolated docs never enter either path — they join back as their own
     component at the end.
+
+    Null-identity contract (r16): a document with a NULL id can't be
+    clustered (it has no identity to label, and engines disagree on
+    whether null rows group or join) — excluded here, mirrored by
+    ``WHERE doc_id IS NOT NULL`` in every components oracle. Null-TEXT
+    docs stay: they form no pairs and come out singleton components.
     """
+    df = df.filter(F.col(id_col).isNotNull())
     pairs = minhash_lsh_pairs(
         df, id_col, text_col, k, num_hashes, bands, jaccard_threshold
     )

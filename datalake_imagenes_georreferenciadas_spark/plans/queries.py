@@ -1245,7 +1245,7 @@ _COMPONENTS_SQL = (
 edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
           UNION ALL SELECT b_id, a_id FROM pairs),
 reach AS (
-  SELECT doc_id AS id, doc_id AS r FROM documents
+  SELECT doc_id AS id, doc_id AS r FROM documents WHERE doc_id IS NOT NULL
   UNION
   SELECT e.dst AS id, r.r FROM reach r JOIN edges e ON e.src = r.id
 )
@@ -10793,7 +10793,7 @@ _EPS_PTS_SQL = f"""
   SELECT doc_id AS id,
          ('0x' || substring(md5('px:' || doc_id), 1, 8))::BIGINT / 4294967296.0 * 14 AS x,
          ('0x' || substring(md5('py:' || doc_id), 1, 8))::BIGINT / 4294967296.0 * 14 AS y
-  FROM documents"""
+  FROM documents WHERE doc_id IS NOT NULL"""
 
 _EPS_CLUSTER_SQL = f"""
 WITH RECURSIVE pts AS ({_EPS_PTS_SQL}),
@@ -10829,8 +10829,11 @@ def geo_cluster_eps(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver union-find below threshold, iterative min-label propagation
     above). The oracle computes the identical clustering via O(n²)
     distance join + recursive closure — affordable at oracle scale,
-    which is exactly why the grid plan exists for the engine."""
-    docs = table(spark, sf_dir, "documents")
+    which is exactly why the grid plan exists for the engine.
+    Null doc_id has no point identity — excluded both sides (r16)."""
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
     eps = _EPS_CLUSTER
     h8 = lambda tag: (
         F.conv(
@@ -11081,6 +11084,7 @@ def hybrid_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH w AS (
       SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      WHERE doc_id IS NOT NULL
     ),
     chunks AS (
       SELECT doc_id, CAST(i AS BIGINT) AS pos,
@@ -11129,8 +11133,14 @@ def dedup_corpus_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair-reporting dedup family (dedup_near_pairs etc.), this op's
     output IS the cleaned corpus. Reference has no text ops at all
     (script_geo.py is image/geo only) — this extends SURVEY §2's
-    LLM-pipeline mandate."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    LLM-pipeline mandate. A chunk needs a document identity — null
+    doc_id rows are excluded on both sides (r16 contract; the engines'
+    null-group-vs-null-join conventions otherwise diverge)."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", "text")
+    )
     chunks = (
         docs.withColumn("words", F.split("text", " "))
         .select(
@@ -15326,10 +15336,14 @@ def graph_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     same one dedup_components answers — so equality proves the
     incremental refresh lost nothing). This is IVM for graphs: at
     100 TB the nightly dedup-cluster refresh touches only the delta's
-    neighborhood; the historical edge set is never re-joined."""
+    neighborhood; the historical edge set is never re-joined.
+    Null doc_id excluded — the components null-identity contract
+    (operators/dedup.py dedup_components, r16)."""
     from ..operators.dedup import components_from_edges
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
     pairs = D.minhash_lsh_pairs(
         docs, k=3, num_hashes=16, bands=4, jaccard_threshold=0.1
     ).select("a_id", "b_id").localCheckpoint()
