@@ -38,26 +38,43 @@ def asof_join(
     winner among equal timestamps is the union order (nondeterministic).
     Output: all left columns + ``right_value_cols`` + ``matched_ts_col``
     (null when no prior right row exists — left-join semantics).
+
+    The matched right row is carried as ONE struct through a single
+    ``last(ignorenulls)`` — per-column fills would decouple fields when
+    a right row carries a NULL payload value (the r16 null-fuzz find:
+    the fill skips the null and splices an OLDER row's value next to
+    the newer row's timestamp).
     """
     if right_value_cols is None:
         right_value_cols = [c for c in right.columns if c not in (*keys, ts_col)]
 
     left_payload = [c for c in left.columns if c not in (*keys, ts_col)]
+    r_struct = F.struct(
+        F.col(ts_col).alias("__ts"),
+        *[F.col(c).alias(c) for c in right_value_cols],
+    )
+    null_r = F.lit(None).cast(
+        "struct<__ts:"
+        + right.schema[ts_col].dataType.simpleString()
+        + ","
+        + ",".join(
+            f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_value_cols
+        )
+        + ">"
+    )
     lt = left.select(
         *keys,
         F.col(ts_col),
         F.lit(1).alias("__is_left"),
         *[F.col(c) for c in left_payload],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_value_cols],
-        F.lit(None).cast(right.schema[ts_col].dataType).alias("__r_ts"),
+        null_r.alias("__r"),
     )
     rt = right.select(
         *keys,
         F.col(ts_col),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
-        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
-        F.col(ts_col).alias("__r_ts"),
+        r_struct.alias("__r"),
     )
     u = lt.unionByName(rt)
     # right rows (__is_left=0) sort before left at equal ts → "<=" semantics
@@ -66,16 +83,14 @@ def asof_join(
         .orderBy(F.col(ts_col), F.col("__is_left"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    matched = F.last(F.col("__r"), ignorenulls=True).over(w)
     filled = u.select(
         *keys,
         ts_col,
         "__is_left",
         *left_payload,
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(c)
-            for c in right_value_cols
-        ],
-        F.last(F.col("__r_ts"), ignorenulls=True).over(w).alias(matched_ts_col),
+        *[matched[c].alias(c) for c in right_value_cols],
+        matched["__ts"].alias(matched_ts_col),
     )
     return filled.filter(F.col("__is_left") == 1).drop("__is_left")
 

@@ -2380,15 +2380,30 @@ def j_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
     s AS (SELECT user_id, ts, max(event_id) AS signup_id
-          FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)
+          FROM events WHERE event_type = 'signup'
+            AND user_id IS NOT NULL AND ts IS NOT NULL
+          GROUP BY user_id, ts)
+    -- strict inequality semantics: a NULL-ts probe matches NOTHING
+    -- (DuckDB's sort-based ASOF would quirk-match it to the latest
+    -- entry; the explicit split pins the engine-neutral contract)
     SELECT p.event_id, p.user_id, s.signup_id,
            floor(epoch(s.ts))::BIGINT AS asof_epoch
-    FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+    FROM (SELECT * FROM p WHERE ts IS NOT NULL) p
+    ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+    UNION ALL
+    SELECT event_id, user_id, NULL::BIGINT, NULL::BIGINT
+    FROM p WHERE ts IS NULL
     """,
 )
 def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the user's latest prior signup
-    (union + last(ignorenulls) window — one shuffle, no pair explosion)."""
+    (union + last(ignorenulls) window — one shuffle, no pair explosion).
+
+    r16 null contract: the RIGHT (dimension) side requires key + time —
+    a null-keyed or null-ts signup can match nothing in SQL ASOF
+    semantics, but the union-merge would group null keys together;
+    filtering the signup side keeps left rows intact and both engines
+    agree (null-ts/key purchases simply match nothing)."""
     from ..operators.asof import asof_join
 
     ev = table(spark, sf_dir, "events")
@@ -2396,7 +2411,11 @@ def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts"
     )
     signups = (
-        ev.filter(F.col("event_type") == "signup")
+        ev.filter(
+            (F.col("event_type") == "signup")
+            & F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+        )
         .groupBy("user_id", "ts")
         .agg(F.max("event_id").alias("signup_id"))
     )
@@ -3265,10 +3284,16 @@ def a4_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT o_custkey FROM orders
       WHERE NOT EXISTS (SELECT 1 FROM dim0 d WHERE d.c_custkey = o_custkey)),
     seg AS (
-      SELECT c.c_mktsegment AS segment, count(*) AS n_orders,
+      -- LEFT join + __UNKNOWN__: a fact whose key has NO dim row at all
+      -- (even late) keeps its inferred placeholder — facts are never
+      -- dropped. Null-keyed facts can reference nothing: excluded.
+      SELECT CASE WHEN c.c_custkey IS NULL THEN '__UNKNOWN__'
+                  ELSE c.c_mktsegment END AS segment,
+             count(*) AS n_orders,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-      GROUP BY c.c_mktsegment)
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_custkey IS NOT NULL
+      GROUP BY 1)
     SELECT segment, n_orders, revenue FROM seg
     UNION ALL
     SELECT '__reconciled_inferred',
@@ -3314,15 +3339,25 @@ def j_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_inferred = inferred.count()
     # the late data arrives: MERGE — real attributes overwrite exactly
     # the inferred placeholders, everything else is untouched
-    late = cust.withColumnRenamed("c_mktsegment", "late_seg")
+    # reconciliation is keyed on the late ROW arriving, not on its
+    # attribute being non-null: a late row carrying a NULL attribute
+    # still reconciles (to NULL) — r16 null contract, mirrored by the
+    # oracle's complete-dimension join
+    late = cust.withColumnRenamed("c_mktsegment", "late_seg").withColumn(
+        "__late_has", F.lit(True)
+    )
     dim2 = (
-        dim1.join(F.broadcast(late.select("c_custkey", "late_seg")), "c_custkey", "left")
+        dim1.join(
+            F.broadcast(late.select("c_custkey", "late_seg", "__late_has")),
+            "c_custkey",
+            "left",
+        )
         .select(
             "c_custkey",
-            F.when(F.col("inferred") & F.col("late_seg").isNotNull(), F.col("late_seg"))
+            F.when(F.col("inferred") & F.col("__late_has").isNotNull(), F.col("late_seg"))
             .otherwise(F.col("c_mktsegment"))
             .alias("c_mktsegment"),
-            (F.col("inferred") & F.col("late_seg").isNull()).alias("inferred"),
+            (F.col("inferred") & F.col("__late_has").isNull()).alias("inferred"),
         )
     )
     seg = (
@@ -6710,9 +6745,10 @@ def s21_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey AS custkey, o_orderstatus AS status,
            floor(epoch(o_orderdate))::BIGINT AS valid_from,
            floor(epoch(lead(o_orderdate) OVER
-             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)))::BIGINT
+             (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey NULLS FIRST)))::BIGINT
              AS valid_to
-    FROM orders WHERE o_custkey < 100
+    FROM orders WHERE o_custkey < 100 AND o_orderdate IS NOT NULL
     """,
 )
 def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6721,8 +6757,12 @@ def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     the NEXT change per key (null = current). One partitioned window
     (lead), the standard warehouse dimension-history constructor; the
     result feeds the as-of/range joins (`j_asof_join`, `j_range_join`)
-    for temporal lookups."""
-    orders = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    for temporal lookups. A change record without a timestamp can't be
+    effective-dated (NULL valid_to means CURRENT — a null change date
+    would corrupt that sentinel) — excluded both sides (r16)."""
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_custkey") < 100) & F.col("o_orderdate").isNotNull()
+    )
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return orders.select(
         F.col("o_custkey").alias("custkey"),
@@ -10020,17 +10060,30 @@ def sub_all_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     greater than the per-nation MAX (vacuously true for nations with no
     suppliers, per SQL ALL-over-empty semantics, hence the left join +
     null-true coalesce). The oracle runs the genuine > ALL form,
-    proving the rewrite's edge cases match."""
+    proving the rewrite's edge cases match.
+
+    Full ALL null semantics (r16): a NULL in the subquery set makes
+    `> ALL` UNKNOWN (row filtered) even when the value beats every
+    non-null element — so the rewrite carries a null-presence count,
+    not just the max (which silently skips nulls)."""
     cust = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_acctbal"
     )
     supp = table(spark, sf_dir, "supplier")
     mx = supp.groupBy(F.col("s_nationkey").alias("c_nationkey")).agg(
-        F.max("s_acctbal").alias("max_s")
+        F.max("s_acctbal").alias("max_s"),
+        F.count("*").alias("__n_all"),
+        F.count("s_acctbal").alias("__n_nonnull"),
     )
     return (
         cust.join(F.broadcast(mx), "c_nationkey", "left")
-        .filter(F.col("max_s").isNull() | (F.col("c_acctbal") > F.col("max_s")))
+        .filter(
+            F.col("__n_all").isNull()  # no suppliers: vacuously true
+            | (
+                (F.col("__n_all") == F.col("__n_nonnull"))
+                & (F.col("c_acctbal") > F.col("max_s"))
+            )
+        )
         .select("c_custkey", "c_nationkey", "c_acctbal")
     )
 
@@ -13224,6 +13277,7 @@ def ml_ndcg_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.c_mktsegment, count(*) AS n,
            {_dsum_sql('o.o_totalprice')} AS revenue
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey IS NOT NULL
     GROUP BY c.c_mktsegment
     """,
 )
@@ -13236,10 +13290,16 @@ def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped partials merge by re-aggregation (counts add; decimal
     partial sums add exactly — the same mergeability that powers
     incremental_agg_merge). The oracle recomputes the view from
-    scratch; equality proves the delta rule lost nothing."""
-    o = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice",
-        (F.col("o_orderkey") % 7 == 0).alias("o_delta"),
+    scratch; equality proves the delta rule lost nothing.
+    The base/delta split is keyed on o_orderkey — a null key belongs to
+    neither partition, so it is excluded on both sides (r16)."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey").isNotNull())
+        .select(
+            "o_orderkey", "o_custkey", "o_totalprice",
+            (F.col("o_orderkey") % 7 == 0).alias("o_delta"),
+        )
     )
     c = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment",
@@ -13341,10 +13401,12 @@ def s26_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH c AS (
       SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
-      FROM events WHERE event_type = 'purchase' AND user_id < 40),
+      FROM events WHERE event_type = 'purchase' AND user_id < 40
+        AND ts IS NOT NULL AND event_id IS NOT NULL),
     e AS (
       SELECT event_id AS err_id, user_id, CAST(ts AS TIMESTAMP) AS ts
-      FROM events WHERE event_type = 'error' AND user_id < 40),
+      FROM events WHERE event_type = 'error' AND user_id < 40
+        AND ts IS NOT NULL AND event_id IS NOT NULL),
     ranked AS (
       -- floor to whole epoch seconds BEFORE the diff (Spark's
       -- unix_timestamp truncates; DuckDB's epoch keeps fractions)
@@ -13371,8 +13433,13 @@ def j_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     per left row — at 100 TB the same plan holds with a time-bucket
     prefilter (j_range_bucketed) stacked under the equi-join to cap
     per-user fan-out; the window key is the left row, so no global
-    sort."""
-    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    sort. Nearest-in-time needs a timestamp and an identity on both
+    sides — null ts/event_id rows excluded (r16 contract)."""
+    ev = table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 40)
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
     c = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", F.col("ts").alias("c_ts")
     )
