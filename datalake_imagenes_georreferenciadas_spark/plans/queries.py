@@ -946,12 +946,13 @@ _PQ_TOPK_SQL = f"""
 WITH cb AS (
   SELECT [ [ {_pq_sub_duck('e', 'm')} FOR e IN cvs ] FOR m IN range({_PQ_M}) ] AS cbs
   FROM (SELECT list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS cvs
-        FROM embeddings WHERE vec_id < {_PQ_K})),
+        FROM embeddings WHERE vec_id < {_PQ_K} AND embedding IS NOT NULL)),
 enc AS (
   SELECT vec_id, {_PQ_DUCK_CODES} AS codes
-  FROM embeddings, cb),
+  FROM embeddings, cb
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
 q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
-      FROM embeddings WHERE vec_id IN (0, 1, 2)),
+      FROM embeddings WHERE vec_id IN (0, 1, 2) AND embedding IS NOT NULL),
 scored AS (
   SELECT q.q_id, enc.vec_id,
          CAST({_PQ_DUCK_ADC} AS BIGINT) AS adc_nano
@@ -980,8 +981,14 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast joins only — no shuffle of the vector table; top-k is one
     window. The codebook here is deterministically data-sampled (first
     K vectors) to stay oracle-exact; swapping in k-means centroids
-    changes only the cb row, not the plan."""
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    changes only the cb row, not the plan. Search corpus = non-null id
+    AND non-null vector (the r15 ANN convention, extended to PQ in
+    r16 — IsNotNull pushed into the scan on both engines)."""
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
     cb = (
         emb.filter(F.col("vec_id") < _PQ_K)
         .agg(
@@ -1040,7 +1047,8 @@ exact AS (
            row_number() OVER (PARTITION BY q.q_id
              ORDER BY round({V.cosine_sql('CAST(e.embedding AS DOUBLE[])', 'q.qe')}, 6) DESC,
                       e.vec_id) AS rank
-    FROM embeddings e, q) WHERE rank <= 5)
+    FROM embeddings e, q
+    WHERE e.vec_id IS NOT NULL AND e.embedding IS NOT NULL) WHERE rank <= 5)
 SELECT exact.q_id,
        count(pq.vec_id) AS n_hit,
        floor(count(pq.vec_id) / 5.0 * 1e6 + 0.5) / 1e6 AS recall_at_5
@@ -1058,9 +1066,13 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_recall_eval for LSH, ann_sq8_recall for scalar quantization,
     this for PQ). Note ADC ranks by L2 while ground truth ranks by
     cosine — recall here also absorbs that metric gap, as it does in a
-    real deployment."""
+    real deployment. Search-corpus null contract as ann_pq_topk."""
     pq = ann_pq_topk(spark, sf_dir).select("q_id", "vec_id")
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
     queries_df = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
@@ -2513,9 +2525,12 @@ def a5_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.groupBy("l_returnflag")
+        # count(col) not count(*): NULL keys are not a cardinality —
+        # matches COUNT(DISTINCT ...) and the HLL, which both skip
+        # nulls (r16 null contract)
         .agg(
             F.approx_count_distinct("l_orderkey", 0.02).alias("n_orders_approx"),
-            F.count("*").alias("n_orders_exact"),
+            F.count("l_orderkey").alias("n_orders_exact"),
         )
         .select(
             "l_returnflag",
@@ -6974,7 +6989,8 @@ _WQ_QS = ((0.5, 1, 2), (0.9, 9, 10))
              sum(CAST(l_quantity AS DECIMAL(18,4))) OVER
                (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS cw,
              sum(CAST(l_quantity AS DECIMAL(18,4))) OVER () AS tw
-      FROM lineitem),
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
     qs AS (SELECT * FROM (VALUES {', '.join(f'({q}::DOUBLE, {n}, {d})' for q, n, d in _WQ_QS)}) AS t(q, num, den))
     SELECT q, min(v) AS wq
     FROM s, qs
@@ -6996,8 +7012,13 @@ def a22_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     window is the cost — the scale path distributes it as a
     per-partition pre-aggregation over value buckets (a17's histogram
     shape) or a weighted t-digest (a19); this query pins the EXACT
-    semantics those approximations are graded against."""
-    li = table(spark, sf_dir, "lineitem")
+    semantics those approximations are graded against. A weighted
+    observation needs BOTH value and weight — null rows excluded on
+    both sides (r16; a null value would otherwise sort engine-
+    dependently and shift every crossing row)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
+    )
     w_cum = Window.orderBy(
         "l_extendedprice", "l_orderkey", "l_linenumber"
     ).rowsBetween(Window.unboundedPreceding, 0)
@@ -9315,7 +9336,7 @@ def p12_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH h AS (
       SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) AS b, count(*) AS n
-      FROM orders GROUP BY 1),
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
     c AS (
       SELECT b, n,
              sum(n) OVER (ORDER BY b
@@ -9329,7 +9350,8 @@ def p12_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT floor((b * 20000
                   + ((total + 1) / 2.0 - below) / n * 20000) * 1e4 + 0.5) / 1e4
              AS hist_median_est,
-           round((SELECT quantile_cont(o_totalprice, 0.5) FROM orders), 4)
+           round((SELECT quantile_cont(o_totalprice, 0.5) FROM orders
+                  WHERE o_totalprice IS NOT NULL), 4)
              AS exact_median
     FROM med
     """,
@@ -9342,8 +9364,11 @@ def a17_hist_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     Like the KMV sketch, every arithmetic step is deterministic, so the
     oracle verifies the approximation itself — at 100 TB the histogram
     needs one map-side-combined pass while exact quantiles need a
-    sort/percentile machinery."""
-    orders = table(spark, sf_dir, "orders")
+    sort/percentile machinery. Median over NON-NULL values — a null
+    price has no bucket (r16 contract)."""
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     h = orders.groupBy(
         F.floor(F.col("o_totalprice") / 20000).cast("bigint").alias("b")
     ).agg(F.count("*").alias("n"))
@@ -12344,14 +12369,16 @@ def _res_duck(ve: str, cent: str) -> str:
 _IVFPQ_TOPK_SQL = f"""
 WITH c AS (
   SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS centroid
-  FROM embeddings WHERE vec_id < {_IVFPQ_NCELLS}),
+  FROM embeddings
+  WHERE vec_id < {_IVFPQ_NCELLS} AND embedding IS NOT NULL),
 a0 AS (
   SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ve,
          c.centroid_id, c.centroid,
          row_number() OVER (PARTITION BY e.vec_id
            ORDER BY {V.euclidean2_sql('CAST(e.embedding AS DOUBLE[])', 'c.centroid')},
                     c.centroid_id) AS rn
-  FROM embeddings e CROSS JOIN c),
+  FROM embeddings e CROSS JOIN c
+  WHERE e.vec_id IS NOT NULL AND e.embedding IS NOT NULL),
 assign AS (
   SELECT vec_id, centroid_id, {_res_duck('ve', 'centroid')} AS residual
   FROM a0 WHERE rn = 1),
@@ -12390,9 +12417,12 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials floor to nano units and sum as BIGINT (hash-exact). The
     codebooks are deterministically data-sampled (first 8 raw vectors /
     next 16 residuals) so the oracle is exact; k-means training swaps in
-    without changing the plan."""
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("ve")
+    without changing the plan. Search-corpus null contract (r16):
+    non-null id AND vector on both engines."""
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+        .select("vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("ve"))
     )
     cents = (
         emb.filter(F.col("vec_id") < _IVFPQ_NCELLS)
