@@ -3900,7 +3900,8 @@ def f_string_pack2(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(list_distinct(list_transform(embedding[1:8], x -> round(x::DOUBLE, 1)))) AS distinct_rounded,
            list_position(list_transform(embedding[1:6], x -> round(x::DOUBLE, 4)),
                          round(embedding[3]::DOUBLE, 4)) AS pos_of_third,
-           len(flatten([embedding[1:3], embedding[4:6]])) AS flat_len
+           CASE WHEN embedding IS NULL THEN NULL
+                ELSE len(flatten([embedding[1:3], embedding[4:6]])) END AS flat_len
     FROM embeddings
     """,
 )
@@ -4451,9 +4452,17 @@ def catalog_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "catalog_wap_publish",
     """
-    SELECT 'clean' AS batch,
-           (SELECT count(*) FROM orders WHERE o_orderstatus = 'F') AS n_rows,
-           true AS audit_passed, true AS published
+    -- the oracle DERIVES each batch's audit verdict from the data
+    -- (key non-null + uniqueness + non-empty), mirroring the engine's
+    -- staged audit — on dirty feeds the clean batch can legitimately
+    -- fail and quarantine (r16)
+    SELECT 'clean' AS batch, n_rows, audit_passed,
+           audit_passed AS published FROM (
+      SELECT count(*) AS n_rows,
+             (count(*) > 0
+              AND count(*) FILTER (WHERE o_orderkey IS NULL) = 0
+              AND count(DISTINCT o_orderkey) = count(*)) AS audit_passed
+      FROM orders WHERE o_orderstatus = 'F')
     UNION ALL
     SELECT 'dirty',
            (SELECT count(*) * 2 FROM orders WHERE o_custkey < 5),
@@ -5232,14 +5241,20 @@ def f18_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f15_array_setops",
     f"""
     WITH s AS (
-      SELECT doc_id,
+      SELECT doc_id, text,
              list_distinct({H.shingles_sql('text', 3)}) AS a,
              list_distinct({H.shingles_sql('lower(text)', 4)}) AS b
       FROM documents WHERE doc_id < 100)
     SELECT doc_id,
-           len(list_intersect(a, b))::INT AS n_inter,
-           len(list_distinct(list_concat(a, b)))::INT AS n_union,
-           (len(a) - len(list_intersect(a, b)))::INT AS n_only_a
+           -- null-in-null-out keyed on the SOURCE column (Spark's
+           -- array-op convention; DuckDB comprehensions over a NULL
+           -- split yield [] rather than NULL, so a/b never read NULL)
+           CASE WHEN text IS NULL THEN NULL
+                ELSE len(list_intersect(a, b))::INT END AS n_inter,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE len(list_distinct(list_concat(a, b)))::INT END AS n_union,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE (len(a) - len(list_intersect(a, b)))::INT END AS n_only_a
     FROM s
     """,
 )
@@ -6727,8 +6742,10 @@ def s25_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s21_targeted_delete",
     """
+    -- null-keyed rows SURVIVE a targeted delete (they can't be on a
+    -- deletion list — anti-join semantics, mirrored explicitly)
     SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
-    FROM events WHERE user_id % 13 <> 0
+    FROM events WHERE user_id IS NULL OR user_id % 13 <> 0
     GROUP BY event_type
     """,
 )
@@ -7956,7 +7973,10 @@ WITH pts AS (
                 / 4294967296.0), 6) + 72.0) * 7.0 AS lon,
          (round(-35.0 + 2.0 * (('0x' || substring(md5(text), 1, 8))::BIGINT
                 / 4294967296.0), 6) + 35.0) * 7.0 AS lat
-  FROM documents WHERE doc_id % 2 = 0),
+  FROM documents
+  -- mirrors the landing-zone bad-records filter: filename needs the id,
+  -- payload needs the text (r15 convention, made explicit here in r16)
+  WHERE doc_id % 2 = 0 AND doc_id IS NOT NULL AND text IS NOT NULL),
 e AS (SELECT * FROM {{edges}}),
 v AS (SELECT * FROM {{vertices}}),
 cr AS (
@@ -10432,11 +10452,14 @@ def p13_path_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     each of its path prefixes, so one exploded pass yields file counts
     and byte totals at every directory level — the storage-accounting
     report behind quota and retention decisions. Fan-out is path depth
-    (bounded), one grouped sum."""
+    (bounded), one grouped sum. Path composition is null-PROPAGATING
+    (SQL || semantics, the r15 f20 convention): a null path segment
+    yields a NULL prefix (grouped as its own bad-path bucket), not a
+    silently shortened directory."""
     docs = table(spark, sf_dir, "documents")
     f = docs.select(
         F.col("source").alias("dir1"),
-        F.concat_ws("/", "source", "lang").alias("dir2"),
+        F.concat("source", F.lit("/"), "lang").alias("dir2"),
         "n_chars",
     )
     pre = f.select(
@@ -11898,7 +11921,7 @@ _DSIR_TARGET_SQL = "('src1', 'src2', 'src3')"
     WITH d AS (
       SELECT doc_id, source IN {_DSIR_TARGET_SQL} AS is_target,
              {H.shingles_sql('text', 2)} AS bgs
-      FROM documents),
+      FROM documents WHERE doc_id IS NOT NULL),
     xb AS (
       SELECT doc_id, is_target,
              ({H.hash64_sql('bg', _DSIR_SEED)}) % {_DSIR_BUCKETS} AS bucket
@@ -11937,8 +11960,12 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     (512 rows — the only libm ln in the plan), and each doc's weight is
     the exact integer Σ count·λ over its buckets. At 100 TB: one explode
     pass, two map-side-combinable aggregates, a 512-row broadcast — the
-    corpus never shuffles by anything wider than (doc_id, bucket)."""
-    docs = table(spark, sf_dir, "documents")
+    corpus never shuffles by anything wider than (doc_id, bucket).
+    Selection weights attach to a document IDENTITY — null doc_id rows
+    excluded both sides (r16)."""
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
     d = spread(docs, "doc_id").select(
         "doc_id",
         F.col("source").isin(*_DSIR_TARGET).alias("is_target"),
@@ -12512,7 +12539,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH o AS (
       SELECT o_totalprice AS score, o_orderstatus = 'F' AS is_pos
-      FROM orders),
+      FROM orders WHERE o_totalprice IS NOT NULL),
     sc AS (
       SELECT score, count(*) FILTER (WHERE is_pos) AS pos_s,
              count(*) FILTER (WHERE NOT is_pos) AS neg_s
@@ -12544,10 +12571,16 @@ def ml_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly with ties at half weight, all in BIGINT; the single
     division is integer micro fixed point. At 100 TB: one map-side-
     combinable aggregate, then a window over the (much smaller) score
-    table — never a global sort of the fact table."""
-    o = table(spark, sf_dir, "orders").select(
-        F.col("o_totalprice").alias("score"),
-        (F.col("o_orderstatus") == "F").alias("is_pos"),
+    table — never a global sort of the fact table. A score-less row
+    can't be ranked — excluded both sides (r16); a null LABEL counts as
+    neither positive nor negative on either engine."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(
+            F.col("o_totalprice").alias("score"),
+            (F.col("o_orderstatus") == "F").alias("is_pos"),
+        )
     )
     sc = o.groupBy("score").agg(
         F.count_if("is_pos").alias("pos_s"),
@@ -14561,12 +14594,14 @@ _KNN_SQL = f"""
 WITH tr AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve, label
   FROM embeddings
-  WHERE vec_id < {_KNN_HELDOUT[0]} OR vec_id >= {_KNN_HELDOUT[1]}),
+  WHERE (vec_id < {_KNN_HELDOUT[0]} OR vec_id >= {_KNN_HELDOUT[1]})
+    AND embedding IS NOT NULL),
 q AS (
   SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe,
          label AS true_label
   FROM embeddings
-  WHERE vec_id >= {_KNN_HELDOUT[0]} AND vec_id < {_KNN_HELDOUT[1]}),
+  WHERE vec_id >= {_KNN_HELDOUT[0]} AND vec_id < {_KNN_HELDOUT[1]}
+    AND embedding IS NOT NULL),
 nn AS (
   SELECT q_id, true_label, label AS n_label FROM (
     SELECT q.q_id, q.true_label, tr.label,
@@ -14581,7 +14616,7 @@ pred AS (
   SELECT q_id, true_label, n_label AS pred_label FROM (
     SELECT q_id, true_label, n_label, votes,
            row_number() OVER (PARTITION BY q_id
-             ORDER BY votes DESC, n_label) AS r
+             ORDER BY votes DESC, n_label NULLS FIRST) AS r
     FROM votes) WHERE r = 1)
 SELECT true_label, count(*) AS n,
        count(*) FILTER (WHERE pred_label = true_label) AS n_correct,
@@ -14601,9 +14636,15 @@ def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieve either; complements recall/NDCG which grade ranking, not
     label structure). Queries broadcast over the training scan; one
     ranking window + one vote argmax window per query; accuracies are
-    floored micro rationals."""
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("ve"), "label"
+    floored micro rationals. Search-corpus null contract (r16):
+    non-null id + vector; a null LABEL may still vote (and a null
+    prediction is simply never correct) — identical on both engines."""
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+        .select(
+            "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("ve"), "label"
+        )
     )
     lo, hi = _KNN_HELDOUT
     tr = emb.filter((F.col("vec_id") < lo) | (F.col("vec_id") >= hi))
@@ -15233,7 +15274,7 @@ def emb_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH p AS (
       SELECT ({H.hash64_sql('o_orderkey', 31)}) % 1000000 AS score,
              o_orderstatus = 'F' AS is_pos
-      FROM orders),
+      FROM orders WHERE o_orderkey IS NOT NULL),
     b AS (
       SELECT 9 - score // 100000 AS decile, count(*) AS n,
              count(*) FILTER (WHERE is_pos) AS pos
@@ -15263,8 +15304,9 @@ def ml_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets so there is no global sort of raw rows; the cumulative
     window runs over 10 aggregated rows; capture and lift are floored
     micro rationals from exact integers. Near-1.0 lifts everywhere are
-    the expected null: the hash score is independent of the label."""
-    o = table(spark, sf_dir, "orders")
+    the expected null: the hash score is independent of the label.
+    Unscoreable rows (null key → null hash) excluded both sides (r16)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey").isNotNull())
     p = o.select(
         (H.hash64(F.col("o_orderkey"), 31) % 1000000).alias("score"),
         (F.col("o_orderstatus") == "F").alias("is_pos"),
@@ -15917,7 +15959,8 @@ def ts_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
              CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP)) / 86400)
                   AS BIGINT) AS day_n
-      FROM orders WHERE o_custkey < 300),
+      FROM orders WHERE o_custkey < 300
+        AND o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL),
     per_price AS (
       SELECT price_c, CAST(max(day_n) AS BIGINT) AS best_day
       FROM o GROUP BY price_c),
@@ -15945,8 +15988,13 @@ def a25_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     that prefix max — O(n log n) total, no pairwise domination join
     (the naive skyline is quadratic). Ties on both axes all survive,
     matching the standard weak-domination definition. Exact integer
-    cents/day numbers end-to-end."""
-    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300).select(
+    cents/day numbers end-to-end. A skyline point needs BOTH axes —
+    rows missing either are excluded on both sides (r16)."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_custkey") < 300)
+        & F.col("o_totalprice").isNotNull()
+        & F.col("o_orderdate").isNotNull()
+    ).select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("price_c"),
         F.floor(F.unix_timestamp("o_orderdate") / 86400)
@@ -16497,7 +16545,7 @@ def ts_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT o_orderstatus AS status, count(*) AS n,
            {_dsum_sql('o_totalprice')} AS total
-    FROM orders GROUP BY o_orderstatus
+    FROM orders WHERE o_orderkey IS NOT NULL GROUP BY o_orderstatus
     """,
 )
 def s28_column_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -16509,9 +16557,13 @@ def s28_column_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeSchema (which would produce two half-null columns, silently).
     The read-back aggregate must equal the original table's — proving
     no rows or values were lost across the rename boundary. At 100 TB
-    the two vintage scans are partition-pruned by their directories."""
-    o = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
+    the two vintage scans are partition-pruned by their directories.
+    The vintage split is keyed on o_orderkey — a null key belongs to
+    neither vintage, excluded both sides (r16, the ivm split rule)."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey").isNotNull())
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
     )
     root = tempfile.mkdtemp(prefix="rename_evo_")
     old_dir = os.path.join(root, "v_old")
