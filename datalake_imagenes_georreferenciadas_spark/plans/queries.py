@@ -2447,7 +2447,8 @@ def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
            ntile(4) OVER w AS quartile
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey NULLS FIRST)
     """,
 )
 def w4_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12854,26 +12855,31 @@ _NPROBE_MAX = 4
 _NPROBE_CURVE_SQL = f"""
 WITH c AS (
   SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS centroid
-  FROM embeddings WHERE vec_id < {_IVFPQ_NCELLS}),
+  FROM embeddings
+  WHERE vec_id < {_IVFPQ_NCELLS} AND embedding IS NOT NULL),
 a0 AS (
   SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ve, c.centroid_id,
          row_number() OVER (PARTITION BY e.vec_id
            ORDER BY {V.euclidean2_sql('CAST(e.embedding AS DOUBLE[])', 'c.centroid')},
                     c.centroid_id) AS rn
-  FROM embeddings e CROSS JOIN c),
+  FROM embeddings e CROSS JOIN c
+  WHERE e.vec_id IS NOT NULL AND e.embedding IS NOT NULL),
 assign AS (SELECT vec_id, centroid_id FROM a0 WHERE rn = 1),
 probes AS (
   SELECT vec_id AS q_id, centroid_id, rn AS prn
   FROM a0 WHERE vec_id IN (10, 11, 12) AND rn <= {_NPROBE_MAX}),
 q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
-      FROM embeddings WHERE vec_id IN (10, 11, 12)),
+      FROM embeddings
+      WHERE vec_id IN (10, 11, 12) AND embedding IS NOT NULL),
 exact AS (
   SELECT q_id, vec_id FROM (
     SELECT q.q_id, e.vec_id,
            row_number() OVER (PARTITION BY q.q_id
              ORDER BY round({V.cosine_sql('CAST(e.embedding AS DOUBLE[])', 'q.qe')}, 6) DESC,
                       e.vec_id) AS rank
-    FROM embeddings e, q) WHERE rank <= 10),
+    FROM embeddings e, q
+    WHERE e.vec_id IS NOT NULL AND e.embedding IS NOT NULL)
+  WHERE rank <= 10),
 m AS (
   SELECT x.q_id, x.vec_id, p.prn
   FROM exact x
@@ -12897,9 +12903,12 @@ def ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids; exact in-cell scoring means no further loss). The cell
     assignment and probe ranking reuse the IVF machinery; the sweep is
     an explode over p, not four plans. At 100 TB ground truth comes
-    from a held-out sample; the curve table is |queries|×|p| rows."""
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("ve")
+    from a held-out sample; the curve table is |queries|×|p| rows.
+    Search-corpus null contract (r16): non-null id + vector."""
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+        .select("vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("ve"))
     )
     c = emb.filter(F.col("vec_id") < _IVFPQ_NCELLS).select(
         F.col("vec_id").alias("centroid_id"), F.col("ve").alias("centroid")
@@ -15537,7 +15546,7 @@ _AUTOCORR_SQL = """
 WITH s AS (
   SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x,
          CAST(ts AS TIMESTAMP) AS ts, event_id
-  FROM events),
+  FROM events WHERE event_id IS NOT NULL),
 p AS (
   SELECT event_type, x,
          lead(x) OVER (PARTITION BY event_type ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS y
@@ -15567,8 +15576,11 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the five power sums are exact BIGINTs shuffled as map-side partials
     (the a8_corr discipline applied along the time axis via one lead
     window), and the single float expression runs once per group on
-    identical integers in both engines."""
-    ev = table(spark, sf_dir, "events")
+    identical integers in both engines. Consecutive-pair formation
+    needs a TOTAL order — rows with a null event_id (the unique
+    tie-break) are excluded on both sides (r16: two null-id rows at
+    the same ts pair nondeterministically in BOTH engines)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id").isNotNull())
     s = ev.select(
         "event_type",
         F.round(F.col("value") * 100, 0).cast("bigint").alias("x"),
@@ -15892,7 +15904,7 @@ def hybrid_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x,
              CAST(ts AS TIMESTAMP) AS ts, event_id
-      FROM events),
+      FROM events WHERE event_id IS NOT NULL),
     n AS (
       SELECT event_type, x,
              lag(x) OVER w AS xp, lead(x) OVER w AS xn
@@ -15916,8 +15928,10 @@ def ts_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     finds sustained shifts; this counts instantaneous spikes, and the
     prominence floor is what separates signal from jitter). One
     lag+lead window per stream over integer cents, then a conditional
-    aggregate — no joins, map-side combined."""
-    ev = table(spark, sf_dir, "events")
+    aggregate — no joins, map-side combined. Neighbor comparison needs
+    a TOTAL order — null event_id rows excluded both sides (r16, same
+    rule as ts_autocorrelation)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id").isNotNull())
     s = ev.select(
         "event_type",
         F.round(F.col("value") * 100, 0).cast("bigint").alias("x"),
