@@ -19,6 +19,12 @@ Copy-local mutations keep growth organic rather than degenerate:
   * embeddings.embedding — rotated by (7·i mod dim) positions per
     copy: norm-preserving, deterministic, lands copies in different
     LSH/IVF cells instead of stacking k identical vectors in one.
+  * entity NAMES (p_name / c_name / s_name) — copy i>0 gets a distinct
+    single-letter prefix, so phonetic/blocking keys (soundex first
+    letter) split by copy: organic growth adds NEW entities, it does
+    not stack k identical names into every block (without this,
+    blocked joins like er_fuzzy_match measure a k² generator artifact
+    instead of their real growth).
   * nation/region — NOT inflated (fixed broadcast dims, like reality).
 
 Determinism: pure arithmetic on the source tables — byte-identical
@@ -54,6 +60,14 @@ KEY_COLS = {
 }
 
 FIXED_DIMS = ("region", "nation")
+
+NAME_COLS = {"part": "p_name", "customer": "c_name", "supplier": "s_name"}
+
+
+def _salt_name(name: str | None, i: int) -> str | None:
+    if name is None or i == 0:
+        return name
+    return chr(ord("b") + (i - 1) % 24) + name
 
 
 def _salt_text(text: str | None, i: int) -> str | None:
@@ -94,6 +108,10 @@ def inflate_table(src_path: str, table: str, k: int) -> pa.Table:
             elif table == "embeddings" and field.name == "embedding":
                 arr = pa.array(
                     [_rotate(v, i) for v in arr.to_pylist()], type=field.type
+                )
+            elif field.name == NAME_COLS.get(table):
+                arr = pa.array(
+                    [_salt_name(v, i) for v in arr.to_pylist()], type=field.type
                 )
             cols[field.name] = arr
         if table == "documents":

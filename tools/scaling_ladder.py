@@ -135,8 +135,17 @@ def main() -> int:
             flush=True,
         )
     path = os.path.join("/root/repo", "scaling_ladder.json")
+    # scoped re-runs MERGE into the existing file (a named re-measure
+    # must not drop the other families' committed numbers)
+    merged = out
+    if argv and os.path.exists(path):
+        with open(path) as fh:
+            prior = json.load(fh)
+        merged = {**prior.get("families", {}), **out}
     with open(path, "w") as fh:
-        json.dump({"ks": ks, "runs": runs, "families": out}, fh, indent=1, sort_keys=True)
+        json.dump(
+            {"ks": ks, "runs": runs, "families": merged}, fh, indent=1, sort_keys=True
+        )
     print(f"wrote {path}")
     worst = sorted(out.items(), key=lambda kv: -kv[1]["alpha_tail"])[:5]
     print("worst alpha_tail:", [(n, r["alpha_tail"]) for n, r in worst])
