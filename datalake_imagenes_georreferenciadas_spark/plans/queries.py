@@ -5380,9 +5380,12 @@ def a6_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, n,
            round(s1 / n, 6) AS mean,
            round(s2 / n - (s1 / n) * (s1 / n), 6) AS var_pop,
+           -- skewness is UNDEFINED at zero variance (a singleton or
+           -- constant group): NULL, not a divide-by-zero (r16)
+           CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0 THEN
            round((s3 / n - 3 * (s1 / n) * (s2 / n - (s1 / n) * (s1 / n))
                   - (s1 / n) * (s1 / n) * (s1 / n))
-                 / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skew
+                 / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) END AS skew
     FROM s
     """,
 )
@@ -5405,7 +5408,12 @@ def a7_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, s1, s2, s3 = F.col("n"), F.col("s1"), F.col("s2"), F.col("s3")
     mean = s1 / n
     var = s2 / n - mean * mean
-    skew = (s3 / n - 3 * mean * var - mean * mean * mean) / F.pow(var, 1.5)
+    # zero variance (singleton/constant group) leaves skewness
+    # undefined — NULL, not an ANSI divide-by-zero (r16 mega-fuzz find)
+    skew = F.when(
+        var > 0,
+        (s3 / n - 3 * mean * var - mean * mean * mean) / F.pow(var, 1.5),
+    )
     return s.select(
         "lang",
         "n",
