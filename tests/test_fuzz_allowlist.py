@@ -57,3 +57,17 @@ def test_null_axis_is_empty():
     means a contract regressed — fix the plan/oracle pair, don't
     re-allowlist without a mechanism writeup."""
     assert _load()["null"] == {}
+
+
+def test_verify_oracle_loader_round_trips():
+    """tools/verify_oracle.load_allowlist serves exactly this file and
+    rejects unknown axes loudly (the --allowlist gate's foundation)."""
+    from tools.verify_oracle import load_allowlist
+
+    data = _load()
+    for axis in data:
+        assert load_allowlist(axis) == data[axis]
+    import pytest
+
+    with pytest.raises(SystemExit):
+        load_allowlist("no_such_axis")
