@@ -3280,11 +3280,20 @@ def a4_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus's languages."""
     docs = table(spark, sf_dir, "documents").select("source", "lang")
     # a NULL category is not a pivot column (same convention as SQL
-    # PIVOT ... IN lists, which enumerate only real values)
+    # PIVOT ... IN lists, which enumerate only real values), and a
+    # discovered category becomes a COLUMN NAME — the same
+    # identifier-safety contract as partition-directory values (r16):
+    # only identifier-safe categories ([A-Za-z0-9_-]{1,64}) mint schema
+    # columns; dirty ones keep their rows but get no column (the
+    # downstream consumers of a pivoted report — files, BI — can't
+    # address a 10k-char or control-character column anyway)
+    import re as _re
+
+    _safe = _re.compile(r"^[A-Za-z0-9_-]{1,64}$")
     langs = sorted(
         r["lang"]
         for r in docs.select("lang").distinct().collect()
-        if r["lang"] is not None
+        if r["lang"] is not None and _safe.match(r["lang"])
     )
     out = docs.groupBy("source").pivot("lang", langs).count().na.fill(0)
     return out.select(
@@ -4747,7 +4756,9 @@ def p8_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              (floor(epoch(ts))::BIGINT
               - min(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id)) / 3600.0 AS xh
       FROM events)
-    SELECT user_id, count(*) AS n, round(regr_slope(value, xh), 4) AS slope
+    -- "+ 0.0" canonicalizes IEEE -0.0 to 0.0: a tiny negative slope
+    -- rounding to zero must hash identically on both engines (r16)
+    SELECT user_id, count(*) AS n, round(regr_slope(value, xh), 4) + 0.0 AS slope
     FROM e GROUP BY user_id
     """,
 )
@@ -4778,7 +4789,8 @@ def g1_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.regr_slope("value", "xh"), 4).alias("slope"),
+            # + 0.0 canonicalizes IEEE -0.0 (see oracle note)
+            (F.round(F.regr_slope("value", "xh"), 4) + F.lit(0.0)).alias("slope"),
         )
     )
 
