@@ -152,7 +152,10 @@ def resample_interpolate(
     hang. The guard lives INSIDE the grid expression (a raise_error
     branch on the consumed sequence — unprunable, zero cost per healthy
     key) and fails fast with the offending key's span instead of
-    materializing it. 1M hourly steps ≈ 114 years — far beyond any
+    materializing it. The cap is INCLUSIVE of its own value: a key
+    spanning exactly ``max_steps_per_key`` grid steps already raises
+    (a ``>=`` trigger — the r16 tightening). 1M hourly steps ≈ 114
+    years — far beyond any
     legitimate sensor span; pass a larger value deliberately if needed.
     The cap is approximate to within one step: for pre-1970 (negative
     epoch) bounds Spark's truncate-toward-zero ``div`` undercounts the
@@ -174,7 +177,7 @@ def resample_interpolate(
             F.expr(
                 f"CASE WHEN {n_steps} >= {max_steps_per_key} THEN "
                 f"raise_error(concat('resample_interpolate: key ', cast(__k as string), "
-                f"' spans ', cast({n_steps} as string), ' grid steps > max_steps_per_key="
+                f"' spans ', cast({n_steps} as string), ' grid steps >= max_steps_per_key="
                 f"{max_steps_per_key} — corrupt outlier timestamp?')) "
                 f"ELSE sequence((__lo + {step_seconds - 1}) div {step_seconds},"
                 f" __hi div {step_seconds}) END"

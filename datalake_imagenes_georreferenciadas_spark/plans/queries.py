@@ -8208,12 +8208,14 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w9_trailing_array",
     """
     SELECT event_id, user_id,
-           array_to_string(
+           coalesce(array_to_string(
              [CAST(round(x * 1e6) AS BIGINT) FOR x IN
               list(value) FILTER (value IS NOT NULL) OVER (
                 PARTITION BY user_id
-                ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, event_id NULLS FIRST
-                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)], ',') AS last3
+                ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST,
+                         event_id NULLS FIRST
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)], ','), '')
+             AS last3
     FROM events WHERE user_id < 50
     """,
 )
@@ -8230,7 +8232,15 @@ def w9_trailing_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Array-aggregation null contract (r16): NULL values are EXCLUDED
     from collected arrays — Spark's collect_list semantics, mirrored
-    explicitly in the oracle with FILTER (value IS NOT NULL)."""
+    explicitly in the oracle with FILTER (value IS NOT NULL).
+    All-NULL-frame contract (r17): when every value in the frame is
+    NULL, both engines serialize the EMPTY STRING. Spark's
+    collect_list returns [] there and concat_ws('') of an empty array
+    is ''; DuckDB diverges TWICE on that shape — the bare filtered
+    list() window yields NULL over an empty frame, and even
+    array_to_string([], ',') returns NULL (unlike concat_ws) — so the
+    oracle pins coalesce(array_to_string(...), '') at the string
+    level, which closes both."""
     ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
     w = (
         Window.partitionBy("user_id")

@@ -71,3 +71,29 @@ def test_verify_oracle_loader_round_trips():
 
     with pytest.raises(SystemExit):
         load_allowlist("no_such_axis")
+
+
+def test_expected_kinds_gate_semantics():
+    """r17 (ADVICE): the --allowlist gate is kind-aware. A [kind]
+    marker waives exactly that failure kind (designed fail-fast guards
+    are [spark_error]); unmarked entries waive only data divergences —
+    an allowlisted convention regressing into a crash must NOT hide
+    behind its old waiver."""
+    from tools.verify_oracle import expected_kinds
+
+    got = expected_kinds(
+        {
+            "guard_q": "[spark_error] DESIGNED fail-fast: span guard",
+            "conv_q": "char-vs-byte: engines count units differently",
+        }
+    )
+    assert got["guard_q"] == {"spark_error"}
+    assert got["conv_q"] == {"value", "rows", "schema"}
+    assert "spark_error" not in got["conv_q"]
+
+
+def test_designed_fail_fast_entries_carry_kind_markers():
+    data = _load()
+    for name, mech in data["extreme"].items():
+        if "DESIGNED fail-fast" in mech:
+            assert mech.startswith("[spark_error]"), name

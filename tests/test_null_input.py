@@ -107,3 +107,49 @@ def test_event_time_exclusion_contract(spark, null_sf):
 
     rows = queries()["tumbling_window_agg"](spark, null_sf).collect()
     assert rows and all(r["window_start_epoch"] is not None for r in rows)
+
+
+def test_all_null_frame_serializes_empty_string(spark, tmp_path):
+    """r17 contract (judge-found): a trailing frame whose EVERY value is
+    NULL must serialize as '' on BOTH engines. Spark's collect_list
+    gives [] → concat_ws '' natively; DuckDB needed
+    coalesce(array_to_string(...), '') because (a) the filtered list()
+    window yields NULL over an empty frame and (b) DuckDB 1.0's
+    array_to_string([], ',') is itself NULL. The 3% fuzz dataset never
+    contained an all-null frame, so this pins the exact shape: one
+    user's FIRST event with a NULL value."""
+    import shutil
+
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from __spark_entry__ import oracle_sql, queries
+
+    src = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{src}/events.parquet")
+    df = t.to_pandas()
+    first = df[df.user_id == 3].sort_values(["ts", "event_id"]).index[0]
+    df.loc[first, "value"] = None
+    d = str(tmp_path)
+    pq.write_table(
+        pa.Table.from_pandas(df, schema=t.schema, preserve_index=False),
+        f"{d}/events.parquet",
+    )
+    mutated_id = int(df.loc[first, "event_id"])
+
+    srow = {
+        r["event_id"]: r["last3"]
+        for r in queries()["w9_trailing_array"](spark, d).collect()
+    }
+    assert srow[mutated_id] == ""
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    drow = {
+        eid: s
+        for eid, _, s in con.sql(oracle_sql()["w9_trailing_array"]).fetchall()
+    }
+    assert drow[mutated_id] == ""
+    assert srow == drow

@@ -782,11 +782,21 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    unknown = only - set(AUDITS)
+    if unknown:
+        print(f"unknown audit names on argv: {' '.join(sorted(unknown))}",
+              file=sys.stderr)
+        return 2
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
     failures = 0
+    audited = 0
     for name, (max_ex, expects) in AUDITS.items():
+        if only and name not in only:
+            continue
+        audited += 1
         df = queries[name](spark, sf_dir)
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
@@ -814,7 +824,7 @@ def main() -> int:
             print(f"AUDIT-FAIL {name}: {'; '.join(probs)}  [{ops}]")
         else:
             print(f"audit-ok  {name}  [{ops}]")
-    print(f"\n{len(AUDITS) - failures} ok, {failures} fail")
+    print(f"\n{audited - failures} ok, {failures} fail")
     return 1 if failures else 0
 
 

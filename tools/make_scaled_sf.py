@@ -102,8 +102,10 @@ def inflate_table(src_path: str, table: str, k: int) -> pa.Table:
                 arr = pa.array(
                     [_salt_text(v, i) for v in arr.to_pylist()], type=field.type
                 )
-            elif table == "documents" and field.name == "n_chars":
-                # recomputed below from the salted text
+            elif table == "documents" and field.name == "n_chars" and i > 0:
+                # recomputed below from the salted text; copy 0 keeps the
+                # SOURCE column untouched so the k=1 fast path and the
+                # first copy of every k>=2 rung measure identical data
                 continue
             elif table == "embeddings" and field.name == "embedding":
                 arr = pa.array(
@@ -114,7 +116,7 @@ def inflate_table(src_path: str, table: str, k: int) -> pa.Table:
                     [_salt_name(v, i) for v in arr.to_pylist()], type=field.type
                 )
             cols[field.name] = arr
-        if table == "documents":
+        if table == "documents" and i > 0:
             cols["n_chars"] = pa.array(
                 [None if v is None else len(v) for v in cols["text"].to_pylist()],
                 type=t.schema.field("n_chars").type,

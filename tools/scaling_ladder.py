@@ -88,10 +88,13 @@ def main() -> int:
     ks, runs = [1, 2, 4, 8], 2
     while argv and argv[0].startswith("--"):
         flag = argv.pop(0)
-        if flag == "--ks":
-            ks = [int(x) for x in argv.pop(0).split(",")]
-        elif flag == "--runs":
-            runs = int(argv.pop(0))
+        if flag in ("--ks", "--runs"):
+            if not argv:
+                raise SystemExit(f"usage: {flag} needs an operand")
+            if flag == "--ks":
+                ks = [int(x) for x in argv.pop(0).split(",")]
+            else:
+                runs = int(argv.pop(0))
         else:
             raise SystemExit(f"unknown flag {flag}")
     names = argv or LADDER

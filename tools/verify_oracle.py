@@ -45,7 +45,11 @@ def load_allowlist(axis: str) -> dict[str, str]:
     """Per-axis divergence allowlist: tools/fuzz_allowlist.json maps
     axis -> {query_name: mechanism tag}. A fuzz run with --allowlist
     AXIS passes iff its failing-name set EQUALS the allowlist for that
-    axis — future rounds diff the set instead of re-diagnosing it."""
+    axis — future rounds diff the set instead of re-diagnosing it.
+
+    A mechanism tag may start with a ``[kind]`` marker (e.g.
+    ``[spark_error] DESIGNED fail-fast: ...``) pinning the EXPECTED
+    failure kind; see expected_kinds()."""
     import json
     import os
 
@@ -58,6 +62,22 @@ def load_allowlist(axis: str) -> dict[str, str]:
     return data[axis]
 
 
+def expected_kinds(allow: dict[str, str]) -> dict[str, set[str]]:
+    """Failure kinds each allowlisted entry is WAIVED for. A leading
+    ``[kind]`` marker in the mechanism tag pins that exact kind (the
+    designed fail-fast guards are [spark_error]); entries without a
+    marker waive only data divergences (value/rows/schema) — an
+    allowlisted convention that regresses into an engine CRASH must
+    fail the gate, not hide behind its old waiver."""
+    out: dict[str, set[str]] = {}
+    for name, mech in allow.items():
+        if mech.startswith("["):
+            out[name] = {mech[1 : mech.index("]")]}
+        else:
+            out[name] = {"value", "rows", "schema"}
+    return out
+
+
 def main() -> int:
     import json
 
@@ -65,10 +85,13 @@ def main() -> int:
     json_out = allow_axis = None
     while argv and argv[0].startswith("--"):
         flag = argv.pop(0)
-        if flag == "--json":
-            json_out = argv.pop(0)
-        elif flag == "--allowlist":
-            allow_axis = argv.pop(0)
+        if flag in ("--json", "--allowlist"):
+            if not argv:
+                raise SystemExit(f"usage: {flag} needs an operand")
+            if flag == "--json":
+                json_out = argv.pop(0)
+            else:
+                allow_axis = argv.pop(0)
         else:
             raise SystemExit(f"unknown flag {flag}")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
@@ -171,7 +194,19 @@ def main() -> int:
             print(f"NOT in {allow_axis} allowlist but failed: {' '.join(unexpected_fail)}")
         if unexpected_pass:
             print(f"in {allow_axis} allowlist but PASSED (prune it): {' '.join(unexpected_pass)}")
-        if unexpected_fail or unexpected_pass:
+        kinds = expected_kinds(allow)
+        kind_regressions = sorted(
+            n for n in (failed & expected)
+            if results[n]["kind"] not in kinds[n]
+        )
+        if kind_regressions:
+            for n in kind_regressions:
+                print(
+                    f"allowlisted {n} failed with kind "
+                    f"{results[n]['kind']!r}, waiver covers "
+                    f"{sorted(kinds[n])} — NEW bug behind an old waiver"
+                )
+        if unexpected_fail or unexpected_pass or kind_regressions:
             return 2
         print(f"divergence set == {allow_axis} allowlist ({len(expected & failed)} names) — OK")
         return 0
