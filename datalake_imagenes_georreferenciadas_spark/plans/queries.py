@@ -3524,21 +3524,41 @@ def a4_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_edit_distance",
     """
-    SELECT d.doc_id, levenshtein(substring(d.source, 1, 8), substring(d.lang, 1, 8)) AS src_lang_dist,
-           levenshtein(lower(substring(d.text, 1, 12)), 'lorem ipsum!') AS lorem_dist
-    FROM documents d
+    WITH a AS (
+      SELECT doc_id,
+             regexp_replace(source, '[^\\x20-\\x7E]', '', 'g') AS src_a,
+             regexp_replace(lang,   '[^\\x20-\\x7E]', '', 'g') AS lang_a,
+             regexp_replace(text,   '[^\\x20-\\x7E]', '', 'g') AS text_a
+      FROM documents)
+    SELECT doc_id, levenshtein(substring(src_a, 1, 8), substring(lang_a, 1, 8)) AS src_lang_dist,
+           levenshtein(lower(substring(text_a, 1, 12)), 'lorem ipsum!') AS lorem_dist
+    FROM a
     """,
 )
 def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Levenshtein edit distance (fuzzy matching surface for text dedup)."""
+    """Levenshtein edit distance (fuzzy matching surface for text dedup).
+
+    Printable-ASCII-projection contract (r17): distances are computed
+    over the printable-ASCII projection of the text — codepoints
+    outside [0x20, 0x7E] are stripped on BOTH engines before slicing
+    and comparing. On that projection bytes == codepoints == graphemes,
+    so Spark's codepoint-level levenshtein and DuckDB's byte-level one
+    agree exactly (the extreme axis's multibyte payloads made them
+    count different units; previously allowlisted). Java regex sees an
+    astral codepoint as two surrogate units and RE2 as one codepoint,
+    but both STRIP the whole character, so the projection itself is
+    engine-identical."""
     d = table(spark, sf_dir, "documents")
+    ascii_only = lambda c: F.regexp_replace(c, r"[^\x20-\x7E]", "")
     return d.select(
         "doc_id",
         F.levenshtein(
-            F.substring("source", 1, 8), F.substring("lang", 1, 8)
+            F.substring(ascii_only(F.col("source")), 1, 8),
+            F.substring(ascii_only(F.col("lang")), 1, 8),
         ).alias("src_lang_dist"),
         F.levenshtein(
-            F.lower(F.substring("text", 1, 12)), F.lit("lorem ipsum!")
+            F.lower(F.substring(ascii_only(F.col("text")), 1, 12)),
+            F.lit("lorem ipsum!"),
         ).alias("lorem_dist"),
     )
 
@@ -3852,7 +3872,7 @@ def s6_features_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey,
            date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch_start,
-           floor(epoch(o_orderdate + INTERVAL '3 months'))::BIGINT AS plus3m_epoch,
+           floor(epoch(CAST(o_orderdate AS DATE) + INTERVAL '3 months'))::BIGINT AS plus3m_epoch,
            floor(epoch(date_trunc('month', o_orderdate)))::BIGINT AS month_start_epoch,
            dayofweek(o_orderdate) AS dow
     FROM orders WHERE o_orderkey < 200
@@ -3860,7 +3880,14 @@ def s6_features_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date arithmetic: datediff, add_months, date_trunc, day-of-week.
-    (DuckDB dayofweek is 0=Sunday; Spark dayofweek is 1=Sunday → align.)"""
+    (DuckDB dayofweek is 0=Sunday; Spark dayofweek is 1=Sunday → align.)
+
+    Date-projection contract (r17): month arithmetic operates on the
+    DATE projection of the input — Spark's add_months drops any
+    time-of-day by definition, so the oracle casts to DATE before
+    adding the interval (DuckDB's TIMESTAMP + INTERVAL would carry a
+    non-midnight time component into the epoch; found by the extreme
+    axis's 03:04:05 outlier instants, previously allowlisted)."""
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
     return o.select(
         "o_orderkey",
@@ -9110,40 +9137,17 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join provably finds EVERY qualifying pair (the oracle checks
     against the brute-force all-pairs definition) while candidates stay
     bucket-bounded — the simhash completion of the MinHash band-join
-    story, no cross join anywhere."""
-    fps = D.simhash_table(table(spark, sf_dir, "documents"), num_bits=32)
-    bands = fps.select(
-        "doc_id",
-        "fp",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("b"),
-                        F.shiftright("fp", 8 * b)
-                        .bitwiseAND(F.lit(255))
-                        .alias("k"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "fp", F.col("bk.b").alias("b"), F.col("bk.k").alias("k"))
-    a = bands.select(
-        F.col("b"), F.col("k"), F.col("doc_id").alias("a_id"), F.col("fp").alias("fa")
-    )
-    b_ = bands.select(
-        F.col("b"), F.col("k"), F.col("doc_id").alias("b_id"), F.col("fp").alias("fb")
-    )
-    cand = (
-        a.join(b_, ["b", "k"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "fa", "fb")
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
-    return cand.filter(hamming <= 3).select(
-        "a_id", "b_id", hamming.alias("hamming")
+    story, no cross join anywhere.
+
+    Registered at the 32-bit / 8-bit-band setting its DuckDB oracle
+    evaluates exactly; ``operators.dedup.simhash_pairs`` exposes
+    ``band_bits`` as the corpus-size dial (SCALING.md measures the
+    widened 60/15 setting at k=8 data — the band-widening scale path)."""
+    return D.simhash_pairs(
+        table(spark, sf_dir, "documents"),
+        num_bits=32,
+        band_bits=8,
+        max_hamming=3,
     )
 
 
@@ -10049,15 +10053,18 @@ def geo_nearest_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s24_blob_chunking",
     """
-    WITH c AS (
-      SELECT doc_id,
+    WITH h AS (
+      SELECT doc_id, hex(encode(text)) AS hx
+      FROM documents WHERE doc_id < 100),
+    c AS (
+      SELECT doc_id, hx,
              unnest(generate_series(0,
-               CAST(ceil(length(text) / 64.0) AS BIGINT) - 1)) AS chunk_idx
-      FROM documents WHERE doc_id < 100)
-    SELECT c.doc_id, c.chunk_idx,
-           md5(substring(d.text, CAST(c.chunk_idx * 64 + 1 AS INTEGER), 64))
+               CAST(ceil(length(hx) / 128.0) AS BIGINT) - 1)) AS chunk_idx
+      FROM h)
+    SELECT doc_id, chunk_idx,
+           md5(substring(hx, CAST(chunk_idx * 128 + 1 AS INTEGER), 128))
              AS chunk_md5
-    FROM c JOIN documents d USING (doc_id)
+    FROM c
     """,
 )
 def s24_blob_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10067,20 +10074,37 @@ def s24_blob_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ships only changed chunks. sequence+explode fan-out is linear in
     content size; chunk hashing is pure map work (production adds
     content-defined boundaries — the winnowing rolling hash already in
-    `text_winnowing_fp` — same plan shape)."""
+    `text_winnowing_fp` — same plan shape).
+
+    Byte-boundary contract (r17): chunk boundaries are defined on
+    CONTENT BYTES, not characters — the text is carried through a hex
+    transport encoding (2 hex chars per UTF-8 byte, bit-identical
+    uppercase on both engines), chunks are 128-hex-char slices = 64
+    content bytes, and the chunk key is the md5 of the hex slice. A
+    blob store chunks bytes; the previous character-based slicing split
+    multibyte payloads at different offsets per engine (Spark
+    codepoints vs DuckDB graphemes/bytes; previously allowlisted).
+    Zero-length blobs produce zero chunks (explicit n>=1 guard — Spark
+    would otherwise infer a NEGATIVE sequence step for sequence(0,-1)
+    where DuckDB's generate_series returns empty)."""
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    n_chunks = F.ceil(F.length("text") / 64.0).cast("bigint")
-    c = docs.select(
+    h = docs.select(
+        "doc_id", F.hex(F.encode(F.col("text"), "UTF-8")).alias("hx")
+    )
+    n_chunks = F.ceil(F.length("hx") / 128.0).cast("bigint")
+    c = h.select(
         "doc_id",
-        "text",
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        "hx",
+        F.explode(
+            F.when(n_chunks >= 1, F.sequence(F.lit(0), n_chunks - 1))
+        ).alias("chunk_idx"),
     )
     return c.select(
         "doc_id",
         "chunk_idx",
         F.md5(
-            F.col("text").substr(
-                (F.col("chunk_idx") * 64 + 1).cast("int"), F.lit(64)
+            F.col("hx").substr(
+                (F.col("chunk_idx") * 128 + 1).cast("int"), F.lit(128)
             )
         ).alias("chunk_md5"),
     )

@@ -320,3 +320,38 @@ def test_containment_catches_subset_that_jaccard_misses(spark):
     assert cb == 1.0 and ca < 0.2
     # symmetric Jaccard at the same bar finds nothing
     assert ngram_jaccard_pairs(df, k=3, jaccard_threshold=0.8).count() == 0
+
+
+def test_simhash_pairs_parameter_validation(spark):
+    """simhash_pairs enforces the pigeonhole precondition (bands >
+    max_hamming), divisibility, and the 63-bit BIGINT-lane cap."""
+    import pytest
+
+    from datalake_imagenes_georreferenciadas_spark.operators import dedup as D
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        D.simhash_pairs(df, num_bits=32, band_bits=8, max_hamming=4)  # 4 bands !> 4
+    with pytest.raises(ValueError):
+        D.simhash_pairs(df, num_bits=32, band_bits=7)  # not divisible
+    with pytest.raises(ValueError):
+        D.simhash_pairs(df, num_bits=64, band_bits=16)  # sign-bit lane
+
+
+def test_simhash_pairs_widened_bands_subset_of_registered(spark):
+    """Band widening NARROWS the hamming bar (60-bit fp, same <=3):
+    every 60/15 pair must also be a 32/8 pair-candidate's doc pair at
+    some hamming — and on a corpus with exact duplicates, the widened
+    setting still finds them (hamming 0 survives any band width)."""
+    from datalake_imagenes_georreferenciadas_spark.operators import dedup as D
+
+    rows = [(i, f"alpha beta gamma delta epsilon zeta {i % 5}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    wide = {
+        (r["a_id"], r["b_id"])
+        for r in D.simhash_pairs(df, num_bits=60, band_bits=15).collect()
+    }
+    # identical texts (same i%5 bucket of 8 docs) → hamming 0 → found
+    assert all((a % 5) == (b % 5) for a, b in wide)
+    expected_dups = {(a, b) for a in range(40) for b in range(a + 1, 40) if a % 5 == b % 5}
+    assert expected_dups <= wide

@@ -86,3 +86,38 @@ def test_guarded_queries_still_pass_on_clean_input(spark, name):
 
     out = queries()[name](spark, "/root/testdata/sf0.001").collect()
     assert len(out) > 0
+
+
+# r17 extreme-determinism contracts (COVERAGE.md): the three converted
+# conventions must VALUE-MATCH their oracles on extreme input — a
+# reappearance in the extreme allowlist means a contract regressed.
+R17_EXTREME_CONTRACTS = [
+    "f_date_arith",        # DATE-projection month arithmetic
+    "text_edit_distance",  # printable-ASCII-projection levenshtein
+    "s24_blob_chunking",   # byte-boundary chunking via hex transport
+]
+
+
+@pytest.mark.parametrize("name", R17_EXTREME_CONTRACTS)
+def test_r17_contract_value_matches_oracle_on_extreme_input(
+    spark, extreme_sf, name
+):
+    import duckdb
+
+    from __spark_entry__ import oracle_sql, queries
+    from tools.verify_oracle import row_key
+
+    sdf = queries()[name](spark, extreme_sf)
+    cols = sorted(sdf.columns)
+    srows = sorted(row_key(tuple(r[c] for c in cols)) for r in sdf.collect())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{extreme_sf}/{t}.parquet'"
+        )
+    res = con.sql(oracle_sql()[name])
+    dsort = sorted(range(len(res.columns)), key=lambda i: res.columns[i])
+    drows = sorted(
+        row_key(tuple(row[i] for i in dsort)) for row in res.fetchall()
+    )
+    assert srows == drows

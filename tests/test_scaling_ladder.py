@@ -35,8 +35,10 @@ WAIVERS = {
     # mechanism and identical demonstrated scale path
     "dedup_cosine_pairs": "fixed-p hyperplane-LSH bucket density (same as dedup_semantic_components)",
     # SimHash pigeonhole bands have a fixed bucket space per band the
-    # same way; the scale path widens band prefixes with log n
-    "dedup_simhash_pairs": "fixed-width pigeonhole-band bucket density; band width scales with log n",
+    # same way; the band-WIDENING scale path is demonstrated in
+    # SCALING.md (r17: k=8 at 60-bit/15-bit-band = ×2.5 cost for ×8
+    # data vs ×13.6 at the registered 32/8; tools/simhash_band_demo.py)
+    "dedup_simhash_pairs": "fixed-width pigeonhole-band bucket density; band width scales with log n (demonstrated r17)",
 }
 
 
