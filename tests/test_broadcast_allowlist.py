@@ -42,71 +42,71 @@ ALLOWED: dict[tuple[str, str], int] = {
     ("operators/spatial.py", "contains_join"): 1,  # polygon dim
     ("operators/spatial.py", "nearest_vertex_join"): 1,  # polygon vertex dim
     ("plans/flagship.py", "catalog_filtered_join"): 1,  # nation (25 rows)
-    ("plans/queries.py", "_tdigest_rank_check"): 2,  # digest centroids
-    ("plans/queries.py", "a10_mad"): 1,  # per-type medians
-    ("plans/queries.py", "a11_winsorized_mean"): 1,  # per-type quantiles
-    ("plans/queries.py", "a13_equifreq_bins"): 1,  # bin bounds
-    ("plans/queries.py", "a14_minmax_scale"): 1,  # per-type min/max
-    ("plans/queries.py", "a16_share_of_parent"): 3,  # nation/region dims + parent totals
-    ("plans/queries.py", "a17_hist_median"): 1,  # histogram counts
-    ("plans/queries.py", "a18_outlier_zscore"): 1,  # per-type moments
-    ("plans/queries.py", "a22_weighted_quantile"): 1,  # per-type totals
-    ("plans/queries.py", "a25_skyline_2d"): 1,  # skyline (≤ distinct price levels)
-    ("plans/queries.py", "a5_kmv_distinct"): 1,  # k-th minimum value row
-    ("plans/queries.py", "ann_cell_balance"): 2,  # centroids + cell counts
-    ("plans/queries.py", "ann_ivfpq_topk"): 2,  # centroids + codebooks
-    ("plans/queries.py", "ann_multiprobe_topk"): 1,  # probe buckets
-    ("plans/queries.py", "ann_nprobe_curve"): 5,  # centroids/probes/exact-topk
-    ("plans/queries.py", "ann_pq_topk"): 2,  # codebook + queries
-    ("plans/queries.py", "ann_sq8_topk"): 2,  # quant stats + queries
-    ("plans/queries.py", "bm25_topk"): 2,  # query terms + corpus stats row
-    ("plans/queries.py", "contamination_ngrams"): 1,  # eval-set shingles
-    ("plans/queries.py", "corpus_mixture_temperature"): 1,  # per-source totals
-    ("plans/queries.py", "corpus_token_apportion"): 2,  # per-source allocation + gap row
-    ("plans/queries.py", "dq_benford"): 1,  # total-count row
-    ("plans/queries.py", "dq_distribution_drift"): 1,  # baseline histogram
-    ("plans/queries.py", "dq_freshness_sla"): 1,  # per-feed max-ts
-    ("plans/queries.py", "dq_referential_integrity"): 1,  # nation dim
-    ("plans/queries.py", "emb_outlier_zscore"): 1,  # per-dim moments
-    ("plans/queries.py", "emb_quantile_clip"): 1,  # per-dim quantiles
-    ("plans/queries.py", "er_fuzzy_match"): 1,  # dirty feed batch
-    ("plans/queries.py", "f17_cosine_all"): 1,  # query vector row
-    ("plans/queries.py", "f17_cosine_pandas"): 1,  # query vector row
-    ("plans/queries.py", "geo_areal_weighted"): 1,  # polygon fixture
-    ("plans/queries.py", "geo_edge_crossings"): 1,  # road fixture
-    ("plans/queries.py", "geo_knn_grid"): 1,  # polygon vertex fixture
-    ("plans/queries.py", "geo_nearest_edge"): 1,  # road-segment fixture
-    ("plans/queries.py", "geo_quadtree_cells"): 2,  # per-level cell counts
-    ("plans/queries.py", "geo_track_resample"): 2,  # fixed target grid
-    ("plans/queries.py", "graph_assoc_rules"): 3,  # item supports above threshold + total row
-    ("plans/queries.py", "graph_bfs_distance"): 1,  # 3-hop frontier of ONE source
-    ("plans/queries.py", "graph_incremental_components"): 1,  # delta-batch label map
-    ("plans/queries.py", "graph_modularity"): 1,  # per-community degree sums
-    ("plans/queries.py", "graph_pagerank"): 4,  # |V|=25 nation rank tables
-    ("plans/queries.py", "hybrid_fused_topk"): 1,  # query set
-    ("plans/queries.py", "hybrid_maxsim_topk"): 1,  # query token vectors
-    ("plans/queries.py", "hybrid_mmr_topk"): 1,  # selected top-k ids
-    ("plans/queries.py", "hybrid_rrf_topk"): 1,  # per-list top-k
-    ("plans/queries.py", "j1_null_safe_join"): 1,  # tiny keyed build side
-    ("plans/queries.py", "j_bloom_prefilter"): 1,  # bloom bit set (≤ _BLOOM_M)
-    ("plans/queries.py", "j_late_arriving_dim"): 1,  # late-batch dim rows
-    ("plans/queries.py", "ml_chi2_tokens"): 1,  # class totals
-    ("plans/queries.py", "ml_knn_classifier"): 1,  # query points
-    ("plans/queries.py", "ml_lift_table"): 1,  # global base-rate row
-    ("plans/queries.py", "ml_ndcg_at10"): 2,  # per-query ideal DCG (3 rows)
-    ("plans/queries.py", "ml_negative_pairs"): 1,  # per-label counts
-    ("plans/queries.py", "ml_target_encoding"): 1,  # per-category means
-    ("plans/queries.py", "p11_dense_ids"): 1,  # per-shard offsets
-    ("plans/queries.py", "pipeline_dsir_weights"): 2,  # 512-row λ tables
-    ("plans/queries.py", "s21_targeted_delete"): 1,  # RTBF delete-request batch
-    ("plans/queries.py", "streaming_stateful_totals"): 1,  # per-type expected totals
-    ("plans/queries.py", "sub_all_rewrite"): 1,  # per-group max row
-    ("plans/queries.py", "text_keyphrase_rake"): 1,  # word scores (vocab-bounded)
-    ("plans/queries.py", "text_tfidf_topk"): 1,  # document-frequency table (vocab-bounded)
-    ("plans/queries.py", "tpch_q5_shape"): 2,  # nation + region
-    ("plans/queries.py", "ts_rolling_distinct"): 1,  # day list
-    ("plans/queries.py", "ts_seasonal_adjust"): 1,  # weekday profile (7 rows/type)
-    ("plans/queries.py", "vocab_oov_rate"): 1,  # limit(100) vocab
+    ("plans/q08_north_star.py", "_tdigest_rank_check"): 2,  # digest centroids
+    ("plans/q05_training.py", "a10_mad"): 1,  # per-type medians
+    ("plans/q06_training.py", "a11_winsorized_mean"): 1,  # per-type quantiles
+    ("plans/q06_training.py", "a13_equifreq_bins"): 1,  # bin bounds
+    ("plans/q06_training.py", "a14_minmax_scale"): 1,  # per-type min/max
+    ("plans/q07_north_star.py", "a16_share_of_parent"): 3,  # nation/region dims + parent totals
+    ("plans/q07_north_star.py", "a17_hist_median"): 1,  # histogram counts
+    ("plans/q07_north_star.py", "a18_outlier_zscore"): 1,  # per-type moments
+    ("plans/q06_training.py", "a22_weighted_quantile"): 1,  # per-type totals
+    ("plans/q12_round_7.py", "a25_skyline_2d"): 1,  # skyline (≤ distinct price levels)
+    ("plans/q07_north_star.py", "a5_kmv_distinct"): 1,  # k-th minimum value row
+    ("plans/q13_round_7.py", "ann_cell_balance"): 2,  # centroids + cell counts
+    ("plans/q10_round_7.py", "ann_ivfpq_topk"): 2,  # centroids + codebooks
+    ("plans/q07_north_star.py", "ann_multiprobe_topk"): 1,  # probe buckets
+    ("plans/q10_round_7.py", "ann_nprobe_curve"): 5,  # centroids/probes/exact-topk
+    ("plans/q01_j1.py", "ann_pq_topk"): 2,  # codebook + queries
+    ("plans/q01_j1.py", "ann_sq8_topk"): 2,  # quant stats + queries
+    ("plans/q09_north_star.py", "bm25_topk"): 2,  # query terms + corpus stats row
+    ("plans/q05_training.py", "contamination_ngrams"): 1,  # eval-set shingles
+    ("plans/q11_round_7.py", "corpus_mixture_temperature"): 1,  # per-source totals
+    ("plans/q13_round_7.py", "corpus_token_apportion"): 2,  # per-source allocation + gap row
+    ("plans/q10_round_7.py", "dq_benford"): 1,  # total-count row
+    ("plans/q09_north_star.py", "dq_distribution_drift"): 1,  # baseline histogram
+    ("plans/q10_round_7.py", "dq_freshness_sla"): 1,  # per-feed max-ts
+    ("plans/q09_north_star.py", "dq_referential_integrity"): 1,  # nation dim
+    ("plans/q12_round_7.py", "emb_outlier_zscore"): 1,  # per-dim moments
+    ("plans/q08_north_star.py", "emb_quantile_clip"): 1,  # per-dim quantiles
+    ("plans/q11_round_7.py", "er_fuzzy_match"): 1,  # dirty feed batch
+    ("plans/q01_j1.py", "f17_cosine_all"): 1,  # query vector row
+    ("plans/q03_ext.py", "f17_cosine_pandas"): 1,  # query vector row
+    ("plans/q02_geo.py", "geo_areal_weighted"): 1,  # polygon fixture
+    ("plans/q02_geo.py", "geo_edge_crossings"): 1,  # road fixture
+    ("plans/q02_geo.py", "geo_knn_grid"): 1,  # polygon vertex fixture
+    ("plans/q08_north_star.py", "geo_nearest_edge"): 1,  # road-segment fixture
+    ("plans/q12_round_7.py", "geo_quadtree_cells"): 2,  # per-level cell counts
+    ("plans/q11_round_7.py", "geo_track_resample"): 2,  # fixed target grid
+    ("plans/q13_round_7.py", "graph_assoc_rules"): 3,  # item supports above threshold + total row
+    ("plans/q09_north_star.py", "graph_bfs_distance"): 1,  # 3-hop frontier of ONE source
+    ("plans/q12_round_7.py", "graph_incremental_components"): 1,  # delta-batch label map
+    ("plans/q10_round_7.py", "graph_modularity"): 1,  # per-community degree sums
+    ("plans/q05_training.py", "graph_pagerank"): 4,  # |V|=25 nation rank tables
+    ("plans/q08_north_star.py", "hybrid_fused_topk"): 1,  # query set
+    ("plans/q09_north_star.py", "hybrid_maxsim_topk"): 1,  # query token vectors
+    ("plans/q12_round_7.py", "hybrid_mmr_topk"): 1,  # selected top-k ids
+    ("plans/q08_north_star.py", "hybrid_rrf_topk"): 1,  # per-list top-k
+    ("plans/q06_training.py", "j1_null_safe_join"): 1,  # tiny keyed build side
+    ("plans/q05_training.py", "j_bloom_prefilter"): 1,  # bloom bit set (≤ _BLOOM_M)
+    ("plans/q03_ext.py", "j_late_arriving_dim"): 1,  # late-batch dim rows
+    ("plans/q10_round_7.py", "ml_chi2_tokens"): 1,  # class totals
+    ("plans/q11_round_7.py", "ml_knn_classifier"): 1,  # query points
+    ("plans/q12_round_7.py", "ml_lift_table"): 1,  # global base-rate row
+    ("plans/q11_round_7.py", "ml_ndcg_at10"): 2,  # per-query ideal DCG (3 rows)
+    ("plans/q07_north_star.py", "ml_negative_pairs"): 1,  # per-label counts
+    ("plans/q05_training.py", "ml_target_encoding"): 1,  # per-category means
+    ("plans/q06_training.py", "p11_dense_ids"): 1,  # per-shard offsets
+    ("plans/q10_round_7.py", "pipeline_dsir_weights"): 2,  # 512-row λ tables
+    ("plans/q05_training.py", "s21_targeted_delete"): 1,  # RTBF delete-request batch
+    ("plans/q03_ext.py", "streaming_stateful_totals"): 1,  # per-type expected totals
+    ("plans/q08_north_star.py", "sub_all_rewrite"): 1,  # per-group max row
+    ("plans/q12_round_7.py", "text_keyphrase_rake"): 1,  # word scores (vocab-bounded)
+    ("plans/q02_geo.py", "text_tfidf_topk"): 1,  # document-frequency table (vocab-bounded)
+    ("plans/q03_ext.py", "tpch_q5_shape"): 2,  # nation + region
+    ("plans/q05_training.py", "ts_rolling_distinct"): 1,  # day list
+    ("plans/q13_round_7.py", "ts_seasonal_adjust"): 1,  # weekday profile (7 rows/type)
+    ("plans/q08_north_star.py", "vocab_oov_rate"): 1,  # limit(100) vocab
 }
 
 

@@ -58,15 +58,15 @@ ALLOWED: dict[tuple[str, str], int] = {
     ("operators/tdigest.py", "sketch"): 1,  # per-batch centroids
     ("operators/tdigest.py", "quantiles_from_centroids"): 1,  # single-group merge
     # custom grouped/cogrouped kernels
-    ("plans/queries.py", "g2_cogroup_merge"): 1,  # cogrouped reconciliation
+    ("plans/q06_training.py", "g2_cogroup_merge"): 1,  # cogrouped reconciliation
     ("streaming/stateful.py", "running_totals"): 1,  # GroupState op
     ("operators/similarity.py", "rerank_crossencoder"): 1,  # model-shaped rerank
     # deliberate API-surface demonstrations with JVM twins benched
     # beside them (f17_cosine_topk / the expression-only segmenters)
-    ("plans/queries.py", "f17_cosine_pandas"): 1,  # Arrow-vs-JVM twin
+    ("plans/q03_ext.py", "f17_cosine_pandas"): 1,  # Arrow-vs-JVM twin
     # 2 sites: the @udtf(returnType=...) decorator + spark.udtf.register
     # (the register form is counted since the r10 scanner tightening)
-    ("plans/queries.py", "f18_python_udtf"): 2,  # the UDTF surface itself
+    ("plans/q04_ext.py", "f18_python_udtf"): 2,  # the UDTF surface itself
     # gated production path: pyproj reprojection (ImportError-guarded;
     # the exact Snyder TM column expressions are the in-container path)
     ("functions/geo.py", "reproject_utm_to_wgs84"): 1,
