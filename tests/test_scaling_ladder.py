@@ -92,5 +92,10 @@ def test_core_families_covered():
         "graph_triangles",
         "er_fuzzy_match",
         "pipeline_corpus_prep",
+        # r17: streaming composites — machinery cost, not data size,
+        # dominates (alpha_tail 0.28-0.41 at 8x data; SCALING.md)
+        "streaming_append_windows",
+        "streaming_cdc_apply",
+        "streaming_tdigest",
     ):
         assert required in fams, required
