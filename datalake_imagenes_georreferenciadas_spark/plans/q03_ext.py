@@ -57,12 +57,39 @@ from .q01_j1 import _COSINE_ALL_SQL
 def s11_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11: CSV sink + re-scan roundtrip (script_geo.py:158-160 done right:
     header AND rows). The aggregate over the re-read copy must equal the
-    oracle's aggregate over the original — proving the codec loses nothing."""
+    oracle's aggregate over the original — proving the codec loses nothing.
+
+    Lossless-dialect contract (r17): the sink pins an explicit CSV
+    dialect instead of engine defaults — quoteAll + RFC-4180
+    doubled-quote escaping (escape='\"'), a distinct null sentinel
+    (nullValue=\\\\N, so an EMPTY string round-trips as '' instead of
+    being read back as NULL — the default dialect's ambiguity misgrouped
+    the extreme axis's injected empty strings), and whitespace
+    preservation + multiLine on read (embedded newlines and
+    leading/trailing spaces survive). Previously an allowlisted
+    divergence; now byte-lossless for arbitrary payloads. Scale note:
+    multiLine=true makes a single CSV file non-splittable — fine here
+    and at 100 TB, where parallelism comes from many files, not from
+    splitting one."""
     dest = os.path.join(tempfile.mkdtemp(prefix="csv_sink_"), "events_csv")
     ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    ev.write.mode("overwrite").option("header", True).csv(dest)
+    (
+        ev.write.mode("overwrite")
+        .option("header", True)
+        .option("quoteAll", True)
+        .option("escape", '"')
+        .option("nullValue", "\\N")
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(dest)
+    )
     back = (
         spark.read.option("header", True)
+        .option("escape", '"')
+        .option("nullValue", "\\N")
+        .option("multiLine", True)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
         .schema("event_id long, event_type string, value double")
         .csv(dest)
     )

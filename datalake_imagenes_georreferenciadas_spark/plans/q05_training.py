@@ -1225,7 +1225,15 @@ def s25_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     second full scan at 100 TB). Oracle runs on the original table: the
     XML round-trip is lossless for the projected columns. Scale shape:
     XML parsing is per-row/per-split work in the executors; the
-    aggregate after read-back is an ordinary one-exchange groupBy."""
+    aggregate after read-back is an ordinary one-exchange groupBy.
+
+    Whitespace-preservation contract (r17): the reader pins
+    ignoreSurroundingSpaces=false, so element text round-trips
+    byte-identically — the default trimmed the extreme axis's
+    trailing-space payloads on read-back (previously an allowlisted
+    divergence). The writer already escapes &<> per the XML spec;
+    with trimming off the round-trip is lossless for arbitrary
+    payloads including empty strings."""
     sup = (
         table(spark, sf_dir, "supplier")
         .filter(F.col("s_acctbal") >= 0)
@@ -1238,6 +1246,7 @@ def s25_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey bigint, s_name string, s_nationkey bigint, s_acctbal double"
         )
         .option("rowTag", "supplier")
+        .option("ignoreSurroundingSpaces", False)
         .format("xml")
         .load(out)
     )

@@ -95,6 +95,8 @@ R17_EXTREME_CONTRACTS = [
     "f_date_arith",        # DATE-projection month arithmetic
     "text_edit_distance",  # printable-ASCII-projection levenshtein
     "s24_blob_chunking",   # byte-boundary chunking via hex transport
+    "s11_csv_roundtrip",   # lossless CSV dialect (quoteAll + \N null sentinel)
+    "s25_xml_roundtrip",   # XML whitespace preservation on read
 ]
 
 
