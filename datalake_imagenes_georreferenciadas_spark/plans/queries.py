@@ -590,6 +590,9 @@ from .q13_round_7 import (  # noqa: F401
     ts_seasonal_adjust,
     ts_spc_limits,
 )
+from .q14_r17 import (  # noqa: F401
+    a22_weighted_quantile_dist,
+)
 
 
 # The external verify driver samples the FIRST 50 entries of ``queries()``

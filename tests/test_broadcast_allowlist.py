@@ -54,6 +54,7 @@ ALLOWED: dict[tuple[str, str], int] = {
     ("plans/q12_round_7.py", "a25_skyline_2d"): 1,  # skyline (≤ distinct price levels)
     ("plans/q07_north_star.py", "a5_kmv_distinct"): 1,  # k-th minimum value row
     ("plans/q13_round_7.py", "ann_cell_balance"): 2,  # centroids + cell counts
+    ("plans/q14_r17.py", "a22_weighted_quantile_dist"): 1,  # per-q crossing bucket (|quantiles| rows)
     ("plans/q10_round_7.py", "ann_ivfpq_topk"): 2,  # centroids + codebooks
     ("plans/q07_north_star.py", "ann_multiprobe_topk"): 1,  # probe buckets
     ("plans/q10_round_7.py", "ann_nprobe_curve"): 5,  # centroids/probes/exact-topk

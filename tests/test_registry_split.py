@@ -1,6 +1,7 @@
 """Structural pins for the r17 mechanical split of plans/queries.py.
 
 The 329 @register bodies moved verbatim into plans/q01_*.py … q13_*.py
+(q14+ hold post-split append-only additions)
 (prelude/helpers in plans/_qbase.py); plans/queries.py is the facade
 that imports the segments in the ORIGINAL registration order and keeps
 every previously-module-level name importable. These tests pin the
@@ -26,7 +27,7 @@ PLANS = (
 def test_registry_size_and_oracle_parity():
     from datalake_imagenes_georreferenciadas_spark.plans.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 330
+    assert len(QUERIES) == 331
     # zero rows-only queries: every entry has a value oracle
     assert set(ORACLES) == set(QUERIES)
 
@@ -47,7 +48,8 @@ def test_registration_order_head_is_stable():
         "p1_projection_filter",
         "p2_filename_parse",
     ]
-    assert names[-1] == "f21_luhn_check"
+    # q14 (r17 append-only additions) registers last
+    assert names[-1] == "a22_weighted_quantile_dist"
 
 
 def test_every_segment_registers_queries():
@@ -56,7 +58,7 @@ def test_every_segment_registers_queries():
     from datalake_imagenes_georreferenciadas_spark.plans._qbase import QUERIES
 
     segs = sorted(p.stem for p in PLANS.glob("q[0-9][0-9]_*.py"))
-    assert len(segs) == 13
+    assert len(segs) == 14
     for s in segs:
         mod = importlib.import_module(
             f"datalake_imagenes_georreferenciadas_spark.plans.{s}"

@@ -208,6 +208,10 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # exact weighted quantile: ONE global-ordered window (SinglePartition
     # — the documented exact-semantics cost), one-row total broadcast
     "a22_weighted_quantile": (4, ["Window", "BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin"]),
+    # a22's distributed exact twin: both 2-col scans keep the positive-
+    # weight filter pushed; the only SinglePartition window runs over the
+    # post-agg bucket table; crossing bucket broadcast back (BHJ on b)
+    "a22_weighted_quantile_dist": (7, ["Window", "BroadcastHashJoin", "GreaterThan(l_quantity,0.0)", "ReadSchema: struct<l_quantity:double,l_extendedprice:double>", "!CartesianProduct", "!SortMergeJoin", "!BroadcastNestedLoopJoin"]),
     # areal interpolation: the generated grid broadcasts onto the bbox
     # side — no cartesian, no sort-merge
     "geo_areal_weighted": (3, ["BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin"]),

@@ -68,8 +68,12 @@ except ImportError:  # running from repo root rather than tools/
 ALLOWED = {
     # exact weighted quantile: the ONE global-ordered window over the
     # weight-sorted values is the documented exact-semantics cost (its
-    # plan audit pins it); the approximate path (a19_tdigest_quantile)
-    # is the 100 TB variant.
+    # plan audit pins it). Both 100 TB variants are BUILT: the
+    # approximate path (a19_tdigest_quantile) and, since r17, the
+    # EXACT distributed twin (a22_weighted_quantile_dist — bucket
+    # decomposition, no fact-level window, bit-identical rows pinned
+    # by tests/test_weighted_quantile_dist.py); this query stays as
+    # the one-pass semantics pin they are graded against.
     "a22_weighted_quantile": "documented exact-semantics global window",
 }
 
