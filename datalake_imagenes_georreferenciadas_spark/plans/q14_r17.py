@@ -2,16 +2,22 @@
 
 - a22's 100 TB twin: distributed exact weighted quantile (bucket
   decomposition, no fact-level global window)
+- the two demonstrated LSH scale-path settings registered under the
+  oracle gate: simhash 60/15 band-widening, cosine 4x8 plane-deepening
 """
 
 from ._qbase import (
+    D,
     DataFrame,
     F,
+    SIM,
     SparkSession,
+    V,
     Window,
     register,
     table,
 )
+from .q01_j1 import _simhash_sql
 from .q05_training import _WQ_QS
 
 
@@ -129,4 +135,91 @@ def a22_weighted_quantile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q")
         .agg(F.min("v").alias("wq"))
         .orderBy("q")
+    )
+
+
+@register(
+    "dedup_simhash_pairs_wide",
+    f"""
+    WITH fa AS ({_simhash_sql(60)}), fb AS ({_simhash_sql(60)})
+    SELECT fa.doc_id AS a_id, fb.doc_id AS b_id,
+           bit_count(xor(fa.fp, fb.fp)) AS hamming
+    FROM fa JOIN fb ON fa.doc_id < fb.doc_id
+    WHERE bit_count(xor(fa.fp, fb.fp)) <= 3
+    """,
+)
+def dedup_simhash_pairs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The simhash band-WIDENING scale setting, registered (r17): a
+    60-bit fingerprint in 4 x 15-bit bands at the same hamming <= 3
+    bar — the density-matched configuration SCALING.md's r17 demo
+    measured at x2.5 cost for x8 data (vs x13.6 at the registered
+    32/8), here put under the permanent oracle gate so the dial is
+    CORRECT, not just fast. Pigeonhole still holds (4 bands > hamming
+    3), so the band join provably finds EVERY qualifying pair and the
+    brute-force all-pairs oracle is exact — the wide setting finds a
+    superset-at-60-bits answer that is its own ground truth, unlike
+    approximate LSH. 60 (not Manku's 64) keeps every bit weight in a
+    positive BIGINT lane on both engines."""
+    return D.simhash_pairs(
+        table(spark, sf_dir, "documents"),
+        num_bits=60,
+        band_bits=15,
+        max_hamming=3,
+    )
+
+
+def _cos_cand_cte(bands: int, planes: int) -> str:
+    # mirrors plans/q02_geo.py's _COSINE_CAND_CTE construction with the
+    # plane count as the dial (same materialized per-band equi-join
+    # shape; see that module for why OR-of-bands is not hash-joinable)
+    band_cols = ",\n         ".join(
+        SIM.hyperplane_signature_sql(
+            "embedding", planes, plane_offset=b * planes
+        )
+        + f" AS bucket{b}"
+        for b in range(bands)
+    )
+    band_union = "\n    UNION ALL\n".join(
+        f"    SELECT a.vec_id AS a_id, b2.vec_id AS b_id\n"
+        f"    FROM b a JOIN b b2\n"
+        f"      ON a.bucket{k} = b2.bucket{k} AND a.vec_id < b2.vec_id"
+        for k in range(bands)
+    )
+    return f"""
+WITH b AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         {band_cols}
+  FROM embeddings WHERE embedding IS NOT NULL),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a_id, b_id FROM (
+{band_union}
+  )),
+ver AS (
+  SELECT c.a_id, c.b_id,
+         round({V.cosine_sql('va.embedding', 'vb.embedding')}, 6) AS cos
+  FROM cand c
+  JOIN b va ON va.vec_id = c.a_id
+  JOIN b vb ON vb.vec_id = c.b_id)
+"""
+
+
+@register(
+    "dedup_cosine_pairs_scaled",
+    _cos_cand_cte(4, 8) + "SELECT a_id, b_id, cos FROM ver WHERE cos >= 0.25",
+)
+def dedup_cosine_pairs_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hyperplane-LSH plane-deepening scale setting, registered
+    (r17): 4 bands x 8 planes — the density-matched configuration
+    SCALING.md's r16 demo measured at x4.9 cost for x8 data (vs x25.6
+    at the registered 4x5), under the permanent oracle gate. Unlike
+    the simhash wide twin this IS a different candidate family (more
+    planes = higher precision, lower recall — the published LSH
+    trade), so the oracle replicates the exact 4x8 banding with the
+    same deterministic md5 hyperplanes and the match is bit-defined,
+    like the registered 4x5 pair."""
+    return SIM.cosine_near_pairs(
+        table(spark, sf_dir, "embeddings"),
+        threshold=0.25,
+        num_bands=4,
+        planes_per_band=8,
     )

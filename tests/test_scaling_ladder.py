@@ -33,12 +33,12 @@ WAIVERS = {
     "dedup_semantic_components": "fixed-p LSH bucket density; p scales with log n at deployment",
     # the pair-generation stage of the same operator — identical
     # mechanism and identical demonstrated scale path
-    "dedup_cosine_pairs": "fixed-p hyperplane-LSH bucket density (same as dedup_semantic_components)",
+    "dedup_cosine_pairs": "fixed-p hyperplane-LSH bucket density (same as dedup_semantic_components; the 4x8 setting is REGISTERED as dedup_cosine_pairs_scaled, ladder alpha_tail 1.13 unwaived)",
     # SimHash pigeonhole bands have a fixed bucket space per band the
     # same way; the band-WIDENING scale path is demonstrated in
     # SCALING.md (r17: k=8 at 60-bit/15-bit-band = ×2.5 cost for ×8
     # data vs ×13.6 at the registered 32/8; tools/simhash_band_demo.py)
-    "dedup_simhash_pairs": "fixed-width pigeonhole-band bucket density; band width scales with log n (demonstrated r17)",
+    "dedup_simhash_pairs": "fixed-width pigeonhole-band bucket density; band width scales with log n (demonstrated r17; the 60/15 setting is REGISTERED as dedup_simhash_pairs_wide, ladder alpha_tail 0.68 unwaived)",
 }
 
 

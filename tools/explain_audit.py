@@ -212,6 +212,10 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # weight filter pushed; the only SinglePartition window runs over the
     # post-agg bucket table; crossing bucket broadcast back (BHJ on b)
     "a22_weighted_quantile_dist": (7, ["Window", "BroadcastHashJoin", "GreaterThan(l_quantity,0.0)", "ReadSchema: struct<l_quantity:double,l_extendedprice:double>", "!CartesianProduct", "!SortMergeJoin", "!BroadcastNestedLoopJoin"]),
+    # the two registered LSH scale settings (r17) — same designed shapes
+    # as their narrow twins: band equi-joins, never cartesian/SMJ
+    "dedup_simhash_pairs_wide": (3, ["Generate", "BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
+    "dedup_cosine_pairs_scaled": (1, ["BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
     # areal interpolation: the generated grid broadcasts onto the bbox
     # side — no cartesian, no sort-merge
     "geo_areal_weighted": (3, ["BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin"]),
