@@ -2,8 +2,9 @@
 
 - a22's 100 TB twin: distributed exact weighted quantile (bucket
   decomposition, no fact-level global window)
-- the two demonstrated LSH scale-path settings registered under the
+- the three demonstrated LSH scale-path settings registered under the
   oracle gate: simhash 60/15 band-widening, cosine 4x8 plane-deepening
+  (pairs + semantic components)
 """
 
 from ._qbase import (
@@ -18,6 +19,7 @@ from ._qbase import (
     table,
 )
 from .q01_j1 import _simhash_sql
+from .q02_geo import _min_label_components_cte
 from .q05_training import _WQ_QS
 
 
@@ -222,4 +224,41 @@ def dedup_cosine_pairs_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.25,
         num_bands=4,
         planes_per_band=8,
+    )
+
+
+@register(
+    "dedup_semantic_components_scaled",
+    _cos_cand_cte(4, 8)
+    + """, pairs AS MATERIALIZED (SELECT a_id, b_id FROM ver WHERE cos >= 0.25),
+edges AS MATERIALIZED (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL SELECT b_id, a_id FROM pairs),
+"""
+    + _min_label_components_cte()
+    + """
+SELECT emb.vec_id,
+       CAST(coalesce(comp.component, emb.vec_id) AS BIGINT) AS component
+FROM embeddings emb LEFT JOIN comp ON comp.id = emb.vec_id""",
+)
+def dedup_semantic_components_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_semantic_components at the registered scale setting (r17):
+    the 4x8 plane-deepened candidate stage (see
+    dedup_cosine_pairs_scaled) feeding the same hybrid connected
+    components — the third and last waived LSH family's density-matched
+    dial as a permanent oracle-checked registry citizen. Same
+    null-identity seed exclusion and min-label closure as the 4x5
+    registration; only the banding density changes."""
+    pairs = SIM.cosine_near_pairs(
+        table(spark, sf_dir, "embeddings"),
+        threshold=0.25,
+        num_bands=4,
+        planes_per_band=8,
+    )
+    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    labels = D.components_from_edges(edges)
+    vecs = table(spark, sf_dir, "embeddings").select("vec_id")
+    return vecs.join(labels, vecs.vec_id == labels.id, "left").select(
+        "vec_id",
+        F.coalesce("component", F.col("vec_id").cast("long")).alias("component"),
     )

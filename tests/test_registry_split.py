@@ -27,7 +27,7 @@ PLANS = (
 def test_registry_size_and_oracle_parity():
     from datalake_imagenes_georreferenciadas_spark.plans.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 333
+    assert len(QUERIES) == 334
     # zero rows-only queries: every entry has a value oracle
     assert set(ORACLES) == set(QUERIES)
 
@@ -49,7 +49,7 @@ def test_registration_order_head_is_stable():
         "p2_filename_parse",
     ]
     # q14 (r17 append-only additions) registers last
-    assert names[-1] == "dedup_cosine_pairs_scaled"
+    assert names[-1] == "dedup_semantic_components_scaled"
 
 
 def test_every_segment_registers_queries():

@@ -30,7 +30,7 @@ WAIVERS = {
     # fixed-parameter banded LSH is Θ(n²/2^p) by construction; the
     # 100 TB path scales planes_per_band ∝ log n — demonstrated in
     # SCALING.md (k=8 with p=8: ×4.9 cost for ×8 data vs ×25.6 at p=5)
-    "dedup_semantic_components": "fixed-p LSH bucket density; p scales with log n at deployment",
+    "dedup_semantic_components": "fixed-p LSH bucket density; p scales with log n at deployment (the 4x8 setting is REGISTERED as dedup_semantic_components_scaled, ladder alpha_tail 1.20 unwaived)",
     # the pair-generation stage of the same operator — identical
     # mechanism and identical demonstrated scale path
     "dedup_cosine_pairs": "fixed-p hyperplane-LSH bucket density (same as dedup_semantic_components; the 4x8 setting is REGISTERED as dedup_cosine_pairs_scaled, ladder alpha_tail 1.13 unwaived)",

@@ -216,6 +216,7 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # as their narrow twins: band equi-joins, never cartesian/SMJ
     "dedup_simhash_pairs_wide": (3, ["Generate", "BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
     "dedup_cosine_pairs_scaled": (1, ["BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
+    "dedup_semantic_components_scaled": (1, ["BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
     # areal interpolation: the generated grid broadcasts onto the bbox
     # side — no cartesian, no sort-merge
     "geo_areal_weighted": (3, ["BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin"]),
