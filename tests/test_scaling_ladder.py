@@ -38,7 +38,14 @@ WAIVERS = {
     # same way; the band-WIDENING scale path is demonstrated in
     # SCALING.md (r17: k=8 at 60-bit/15-bit-band = ×2.5 cost for ×8
     # data vs ×13.6 at the registered 32/8; tools/simhash_band_demo.py)
-    "dedup_simhash_pairs": "fixed-width pigeonhole-band bucket density; band width scales with log n (demonstrated r17; the 60/15 setting is REGISTERED as dedup_simhash_pairs_wide, ladder alpha_tail 0.68 unwaived)",
+    "dedup_simhash_pairs": "fixed-width pigeonhole-band bucket density; band width scales with log n (demonstrated r17; the 60/15 setting is REGISTERED as dedup_simhash_pairs_wide, ladder alpha_tail 0.68 at its k=8 design density and 1.14 at k=16 — density-matched through k=16, under the gate at every measured point)",
+    # the registered k=8-density-matched settings measured PAST their
+    # design density: the k=16 segment re-enters the fixed-p quadratic
+    # regime exactly as the law predicts (SCALING.md §registered
+    # settings at k=16); the k=16-matched increment (planes=9) is
+    # measured in the spot-check at x2.13 per doubling
+    "dedup_cosine_pairs_scaled": "4x8 is density-matched FOR k=8 (alpha_tail 1.13 there, unwaived); the 8->16 segment reads 1.99 by the fixed-p law - planes=9 is the measured k=16 dial",
+    "dedup_semantic_components_scaled": "same mechanism one stage later: 1.20 at its k=8 design density, 1.89 on the 8->16 segment; planes=9 is the measured k=16 dial",
 }
 
 
@@ -49,11 +56,13 @@ def _load():
 
 def test_ladder_structure():
     data = _load()
-    assert data["ks"] == [1, 2, 4, 8]
+    # k=16 extension points may append (r17 per-k merge); the base
+    # ladder is always the {1,2,4,8} prefix
+    assert data["ks"][:4] == [1, 2, 4, 8]
     fams = data["families"]
     assert len(fams) >= 20
     for name, rec in fams.items():
-        assert set(rec["t"]) == {"1", "2", "4", "8"}, name
+        assert set(rec["t"]) >= {"1", "2", "4", "8"}, name
         assert all(v > 0 for v in rec["t"].values()), name
         assert "alpha_tail" in rec and "alpha_fit" in rec, name
 

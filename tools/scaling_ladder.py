@@ -123,34 +123,54 @@ def main() -> int:
                 best = dt if best is None else min(best, dt)
             rec[str(k)] = round(best, 3)
             print(f"{name} k={k}: {best:.2f}s", flush=True)
-        ts = [rec[str(k)] for k in ks]
-        alpha_fit = fit_alpha(ks, ts)
-        alpha_tail = math.log(max(ts[-1], 1e-3) / max(ts[-2], 1e-3)) / math.log(
-            ks[-1] / ks[-2]
-        )
-        out[name] = {
-            "t": rec,
-            "alpha_fit": round(alpha_fit, 3),
-            "alpha_tail": round(alpha_tail, 3),
-        }
-        print(
-            f"  -> alpha_fit={alpha_fit:.2f} alpha_tail={alpha_tail:.2f}",
-            flush=True,
-        )
+        out[name] = {"t": rec}
     path = os.path.join("/root/repo", "scaling_ladder.json")
     # scoped re-runs MERGE into the existing file (a named re-measure
-    # must not drop the other families' committed numbers)
-    merged = out
-    if argv and os.path.exists(path):
+    # must not drop the other families' committed numbers), and the
+    # merge is PER-K: a --ks 16 extension adds a point to a family's
+    # committed {1,2,4,8} curve instead of replacing the curve (a
+    # single-k run also used to crash on ks[-2] before any write —
+    # alphas are now computed from the MERGED curve after the merge)
+    prior_fams: dict = {}
+    prior_ks: list[int] = []
+    if os.path.exists(path):
         with open(path) as fh:
             prior = json.load(fh)
-        merged = {**prior.get("families", {}), **out}
+        if argv:
+            prior_fams = prior.get("families", {})
+        prior_ks = [int(k) for k in prior.get("ks", [])]
+    merged = dict(prior_fams)
+    for name, rec in out.items():
+        t = {**merged.get(name, {}).get("t", {}), **rec["t"]}
+        pts = sorted((int(k), v) for k, v in t.items())
+        row: dict = {"t": {str(k): v for k, v in pts}}
+        if len(pts) >= 2:
+            row["alpha_fit"] = round(
+                fit_alpha([k for k, _ in pts], [v for _, v in pts]), 3
+            )
+            (k1, t1), (k2, t2) = pts[-2], pts[-1]
+            row["alpha_tail"] = round(
+                math.log(max(t2, 1e-3) / max(t1, 1e-3)) / math.log(k2 / k1), 3
+            )
+            print(
+                f"  {name}: alpha_fit={row['alpha_fit']:.2f} "
+                f"alpha_tail={row['alpha_tail']:.2f}",
+                flush=True,
+            )
+        merged[name] = row
+    all_ks = sorted(set(prior_ks) | set(ks)) if argv else ks
     with open(path, "w") as fh:
         json.dump(
-            {"ks": ks, "runs": runs, "families": merged}, fh, indent=1, sort_keys=True
+            {"ks": all_ks, "runs": runs, "families": merged},
+            fh,
+            indent=1,
+            sort_keys=True,
         )
     print(f"wrote {path}")
-    worst = sorted(out.items(), key=lambda kv: -kv[1]["alpha_tail"])[:5]
+    worst = sorted(
+        ((n, merged[n]) for n in out if "alpha_tail" in merged[n]),
+        key=lambda kv: -kv[1]["alpha_tail"],
+    )[:5]
     print("worst alpha_tail:", [(n, r["alpha_tail"]) for n, r in worst])
     return 0
 
