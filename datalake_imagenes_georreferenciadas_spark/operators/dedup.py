@@ -581,6 +581,64 @@ def simhash_pairs(
     )
 
 
+#: auto-density calibration for :func:`simhash_pairs_auto` —
+#: ``band_bits = ceil(log2 n) - _AUTO_BAND_C`` reproduces the registered
+#: base setting (n=5,000 → 8, i.e. 32/8) and walks the same
+#: +1-bit-per-doubling law SCALING.md's band-widening demo measured
+#: (the demo's 60/15 is the k=16-matched point of the same curve).
+#: Per-band candidate work at this density is ~n²/2^bits = n·2^c —
+#: linear. ``hi`` is 15 because num_bits = 4·band_bits must stay ≤ 63
+#: (bands are pinned at 4 by the hamming-3 pigeonhole budget; band
+#: WIDTH absorbs corpus growth).
+_AUTO_BAND_C = 5
+_AUTO_BAND_LO = 6
+_AUTO_BAND_HI = 15
+
+
+def auto_band_bits(
+    n: int,
+    lo: int = _AUTO_BAND_LO,
+    hi: int = _AUTO_BAND_HI,
+    c: int = _AUTO_BAND_C,
+) -> int:
+    """Corpus-derived simhash band width: ``clamp(ceil(log2 n) - c, lo,
+    hi)``. Integer-exact (``(n-1).bit_length()``; the oracle's DuckDB
+    twin is ``length(bin(greatest(n,2)-1))``) so both engines agree at
+    every boundary."""
+    return max(lo, min(hi, (max(int(n), 2) - 1).bit_length() - c))
+
+
+def simhash_pairs_auto(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """:func:`simhash_pairs` with ``band_bits`` (and therefore
+    ``num_bits = 4·band_bits``) DERIVED from a cheap corpus ``count()``
+    (r18) — the band-widening scale path made automatic: every corpus
+    doubling widens bands one bit, holding per-bucket density (and so
+    per-band join cost/row) constant, ladder-verified k=1..16 unwaived.
+
+    The count contract is the TOTAL row count of ``df`` as given —
+    mirrored by the oracle's ``count(*)`` scalar subquery, so the
+    fingerprint width is bit-agreed between engines. The answer remains
+    EXACT at the derived width: pigeonhole (4 bands > hamming 3) makes
+    the band join recall-lossless, so the oracle is a brute-force
+    all-pairs hamming filter over the same derived-width fingerprints —
+    its own ground truth, like dedup_simhash_pairs_wide."""
+    n = df.count()
+    bb = auto_band_bits(n)
+    return simhash_pairs(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        num_bits=4 * bb,
+        band_bits=bb,
+        max_hamming=max_hamming,
+    )
+
+
 def simhash_band_candidates(
     fps: DataFrame,
     id_col: str = "doc_id",

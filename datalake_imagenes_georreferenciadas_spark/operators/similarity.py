@@ -262,6 +262,67 @@ def cosine_near_pairs(
     )
 
 
+#: auto-density calibration for :func:`cosine_near_pairs_auto` —
+#: ``planes_per_band = ceil(log2 n) - _AUTO_PLANES_C`` reproduces ALL
+#: THREE measured settings in SCALING.md's density demos: n=2,000 → 5
+#: (the registered base, 3.77 s), n=16,000 → 8 (×4.9 for ×8 data),
+#: n=32,000 → 9 (×2.13 per doubling along the dial). Holding per-bucket
+#: density n/2^p constant makes candidate work ~n·2^c — linear.
+_AUTO_PLANES_C = 6
+_AUTO_PLANES_LO = 4  # ≥16 buckets/band even on tiny corpora
+_AUTO_PLANES_HI = 16  # 4 bands × 16 planes: bounded Catalyst tree
+
+
+def auto_planes_per_band(
+    n: int,
+    lo: int = _AUTO_PLANES_LO,
+    hi: int = _AUTO_PLANES_HI,
+    c: int = _AUTO_PLANES_C,
+) -> int:
+    """The corpus-derived LSH dial: ``clamp(ceil(log2 n) - c, lo, hi)``.
+
+    Integer-exact on both engines — ``ceil(log2 n) = (n-1).bit_length()``
+    here, ``length(bin(greatest(n,2)-1))`` in the DuckDB oracle — so no
+    float log can disagree in the last ulp at a band boundary."""
+    return max(lo, min(hi, (max(int(n), 2) - 1).bit_length() - c))
+
+
+def cosine_near_pairs_auto(
+    data: DataFrame,
+    threshold: float = 0.25,
+    num_bands: int = 4,
+    dim: int = 64,
+    data_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`cosine_near_pairs` with the ``planes_per_band`` dial
+    DERIVED from the corpus instead of hand-picked (r18 — the last
+    manual step in the 100 TB dedup posture made automatic).
+
+    Fixed-parameter banded LSH is Θ(n²/2^p); the published escape is
+    p ∝ log n, demonstrated and registered in r16/r17 — but a deployer
+    still had to CHOOSE p per corpus. Here one cheap ``count()`` (a
+    column-pruned parquet scan — footer-bounded, no shuffle) picks
+    ``auto_planes_per_band(n)``, so every doubling of the corpus buys
+    its extra plane automatically and the candidate stage stays linear
+    at EVERY scale (ladder-verified k=1..16 with no waiver; SCALING.md
+    §auto-density). The count contract is the TOTAL row count of the
+    input as given (nulls included, filters downstream) — exactly what
+    the oracle's scalar-subquery ``count(*)`` replicates, so the derived
+    setting — and therefore the banding-defined answer — is bit-agreed
+    between engines at any SF."""
+    n = data.count()
+    return cosine_near_pairs(
+        data,
+        threshold=threshold,
+        num_bands=num_bands,
+        planes_per_band=auto_planes_per_band(n),
+        dim=dim,
+        data_id=data_id,
+        vec_col=vec_col,
+    )
+
+
 def lsh_ann_topk(
     data: DataFrame,
     queries: DataFrame,

@@ -593,6 +593,10 @@ from .q13_round_7 import (  # noqa: F401
 from .q14_r17 import (  # noqa: F401
     a22_weighted_quantile_dist,
 )
+from .q15_r18 import (  # noqa: F401
+    dedup_cosine_pairs_auto,
+    dedup_simhash_pairs_auto,
+)
 
 
 # The external verify driver samples the FIRST 50 entries of ``queries()``

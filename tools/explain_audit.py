@@ -217,6 +217,12 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     "dedup_simhash_pairs_wide": (3, ["Generate", "BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
     "dedup_cosine_pairs_scaled": (1, ["BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
     "dedup_semantic_components_scaled": (1, ["BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
+    # auto-density LSH (r18): the derived dial changes parameters, not
+    # plan shape — same band equi-joins as the fixed-dial twins (the
+    # corpus count() that picks the dial runs as its own tiny job
+    # before this plan is built, so it never appears here)
+    "dedup_cosine_pairs_auto": (1, ["BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
+    "dedup_simhash_pairs_auto": (3, ["Generate", "BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
     # areal interpolation: the generated grid broadcasts onto the bbox
     # side — no cartesian, no sort-merge
     "geo_areal_weighted": (3, ["BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin"]),
