@@ -46,6 +46,23 @@ WAIVERS = {
     # measured in the spot-check at x2.13 per doubling
     "dedup_cosine_pairs_scaled": "4x8 is density-matched FOR k=8 (alpha_tail 1.13 there, unwaived); the 8->16 segment reads 1.99 by the fixed-p law - planes=9 is the measured k=16 dial",
     "dedup_semantic_components_scaled": "same mechanism one stage later: 1.20 at its k=8 design density, 1.89 on the 8->16 segment; planes=9 is the measured k=16 dial",
+    # NOT a dial failure — an AXIS property, decomposed by measurement
+    # (r18, tools/organic_growth_control.py + SCALING.md §auto-density):
+    # make_scaled_sf's every-3rd-word salting leaves TOKEN-VOTE simhash
+    # fingerprints correlated across copies (it was calibrated for
+    # 5-shingle jaccard, where salting kills 87% of shingles), so
+    # cross-copy docs co-occupy band buckets: candidates grow x2.42 for
+    # x2 docs (41.2M -> 99.7M at the derived 44/11 -> 48/12) while
+    # per-candidate cost stays flat (x1.09) and TRUE pairs FALL (161k
+    # -> 78k; the wider fingerprint discriminates more). On the
+    # decorrelated control (every word salted: independent shards,
+    # base-level internal correlation) the SAME auto dial reads
+    # alpha_tail 0.49 with candidate growth x1.42 — the extra band bit
+    # over-absorbs the doubling. Content that genuinely shares 2/3 of
+    # its tokens SHOULD co-occupy bands; no density dial can (or
+    # should) hide it, and pipeline_corpus_prep stages exact-dedup
+    # before banding so production clusters shrink first.
+    "dedup_simhash_pairs_auto": "copy-correlated growth axis densifies token-vote buckets (x2.42 candidates for x2 docs, per-candidate cost flat); decorrelated control reads alpha_tail 0.49 at the same auto dial",
 }
 
 
