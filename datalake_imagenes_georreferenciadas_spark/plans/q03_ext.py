@@ -1135,7 +1135,7 @@ def f_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            upper(substring(source, 1, 4)) AS up4,
            lpad(lang, 5, '*') AS padded,
-           reverse(lang) AS rev,
+           reverse(regexp_replace(lang, '[^\\x20-\\x7E]', '', 'g')) AS rev,
            repeat(lang, 2) AS doubled,
            replace(source, 'src', 'S-') AS translated,
            strpos(text, 'a') AS first_a
@@ -1143,13 +1143,22 @@ def f_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def f_string_pack2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String surface pack 2: case, pad, reverse, repeat, replace, locate."""
+    """String surface pack 2: case, pad, reverse, repeat, replace, locate.
+
+    Printable-ASCII-projection contract on ``rev`` (r18, the
+    text_edit_distance playbook): reversal of combining-character text
+    is grapheme-cluster-defined and engine-divergent (Spark reverses
+    codepoints, DuckDB grapheme clusters), so ``rev`` is pinned to the
+    printable-ASCII projection of ``lang`` — on that projection bytes
+    == codepoints == graphemes and the engines agree exactly; on clean
+    data (ASCII language tags) the projection is the identity.
+    Previously extreme-allowlisted."""
     d = table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.upper(F.substring("source", 1, 4)).alias("up4"),
         F.lpad("lang", 5, "*").alias("padded"),
-        F.reverse("lang").alias("rev"),
+        F.reverse(F.regexp_replace(F.col("lang"), r"[^\x20-\x7E]", "")).alias("rev"),
         F.repeat("lang", 2).alias("doubled"),
         F.replace(F.col("source"), F.lit("src"), F.lit("S-")).alias("translated"),
         F.locate("a", F.col("text")).alias("first_a"),
