@@ -19,6 +19,7 @@ all; these are the beyond-survey LLM-pipeline operators at their
 from ._qbase import (
     D,
     DataFrame,
+    F,
     H,
     SIM,
     SparkSession,
@@ -26,6 +27,7 @@ from ._qbase import (
     register,
     table,
 )
+from .q02_geo import _min_label_components_cte
 
 #: DuckDB twin of operators.similarity._HPLANE_SCALE (2^59)
 _HPS = 576460752303423488
@@ -39,7 +41,7 @@ params AS (
   FROM (SELECT count(*) AS n FROM embeddings))
 """
 
-_COS_AUTO_SQL = f"""
+_COS_AUTO_CTES = f"""
 WITH {_PARAMS_COS},
 planes AS MATERIALIZED (
   -- the SAME md5-derived plane family as operators.similarity
@@ -69,8 +71,9 @@ ver AS (
   FROM cand c
   JOIN embeddings va ON va.vec_id = c.a_id
   JOIN embeddings vb ON vb.vec_id = c.b_id)
-SELECT a_id, b_id, cos FROM ver WHERE cos >= 0.25
 """
+
+_COS_AUTO_SQL = _COS_AUTO_CTES + "SELECT a_id, b_id, cos FROM ver WHERE cos >= 0.25"
 
 
 @register("dedup_cosine_pairs_auto", _COS_AUTO_SQL)
@@ -131,6 +134,44 @@ SELECT fa.doc_id AS a_id, fb.doc_id AS b_id,
 FROM f fa JOIN f fb ON fa.doc_id < fb.doc_id
 WHERE bit_count(xor(fa.fp, fb.fp)) <= 3
 """
+
+
+@register(
+    "dedup_semantic_components_auto",
+    _COS_AUTO_CTES
+    + """, pairs AS MATERIALIZED (SELECT a_id, b_id FROM ver WHERE cos >= 0.25),
+edges AS MATERIALIZED (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL SELECT b_id, a_id FROM pairs),
+"""
+    + _min_label_components_cte()
+    + """
+SELECT emb.vec_id,
+       CAST(coalesce(comp.component, emb.vec_id) AS BIGINT) AS component
+FROM embeddings emb LEFT JOIN comp ON comp.id = emb.vec_id""",
+)
+def dedup_semantic_components_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup clusters at the corpus-DERIVED dial (r18) —
+    completing the auto-density trio: the dedup_cosine_pairs_auto
+    candidate stage (planes_per_band from one cheap count(), see that
+    query) feeding the same hybrid min-label connected components as
+    the fixed-dial registrations. The whole SemDeDup path — banding
+    density included — now follows corpus growth with no manual
+    parameter; the oracle derives the identical dial from its own
+    count(*) scalar subquery, so the clustering is bit-agreed at any
+    SF. Same null-identity seed exclusion and min-label closure as
+    dedup_semantic_components / _scaled; only the dial derivation is
+    new."""
+    pairs = SIM.cosine_near_pairs_auto(
+        table(spark, sf_dir, "embeddings"), threshold=0.25
+    )
+    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    labels = D.components_from_edges(edges)
+    vecs = table(spark, sf_dir, "embeddings").select("vec_id")
+    return vecs.join(labels, vecs.vec_id == labels.id, "left").select(
+        "vec_id",
+        F.coalesce("component", F.col("vec_id").cast("long")).alias("component"),
+    )
 
 
 @register("dedup_simhash_pairs_auto", _SIMHASH_AUTO_SQL)

@@ -595,6 +595,7 @@ from .q14_r17 import (  # noqa: F401
 )
 from .q15_r18 import (  # noqa: F401
     dedup_cosine_pairs_auto,
+    dedup_semantic_components_auto,
     dedup_simhash_pairs_auto,
 )
 

@@ -27,7 +27,7 @@ PLANS = (
 def test_registry_size_and_oracle_parity():
     from datalake_imagenes_georreferenciadas_spark.plans.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 336
+    assert len(QUERIES) == 337
     # zero rows-only queries: every entry has a value oracle
     assert set(ORACLES) == set(QUERIES)
 

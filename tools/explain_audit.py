@@ -222,6 +222,7 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # corpus count() that picks the dial runs as its own tiny job
     # before this plan is built, so it never appears here)
     "dedup_cosine_pairs_auto": (1, ["BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
+    "dedup_semantic_components_auto": (1, ["BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
     "dedup_simhash_pairs_auto": (3, ["Generate", "BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
     # areal interpolation: the generated grid broadcasts onto the bbox
     # side — no cartesian, no sort-merge
