@@ -618,7 +618,12 @@ def simhash_pairs_auto(
     ``num_bits = 4·band_bits``) DERIVED from a cheap corpus ``count()``
     (r18) — the band-widening scale path made automatic: every corpus
     doubling widens bands one bit, holding per-bucket density (and so
-    per-band join cost/row) constant, ladder-verified k=1..16 unwaived.
+    per-band join cost/row) constant. Ladder k=1..16: WAIVED on the
+    copy-correlated scaled axis (alpha_tail 1.50 — make_scaled_sf's
+    cross-copy token correlation grows candidates x2.42 per doubling
+    while per-candidate cost stays flat x1.09; the same dial on a
+    decorrelated control reads 0.49, tools/organic_growth_control.py).
+    The unwaived auto rows are the cosine/semantic ones.
 
     The count contract is the TOTAL row count of ``df`` as given —
     mirrored by the oracle's ``count(*)`` scalar subquery, so the

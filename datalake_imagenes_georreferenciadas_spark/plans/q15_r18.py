@@ -180,8 +180,12 @@ def dedup_simhash_pairs_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (r18): band_bits = clamp(ceil(log2 n) − 5, 6, 15), num_bits
     = 4·band_bits — the band-widening scale path (SCALING.md) made
     automatic, one bit per corpus doubling, per-bucket density (and so
-    per-band join cost/row) constant at every scale; ladder k=1..16
-    unwaived. The answer stays EXACT at the derived width: 4 bands >
+    per-band join cost/row) constant at every scale. Ladder k=1..16:
+    WAIVED on the copy-correlated scaled axis (alpha_tail 1.50, output
+    growth from cross-copy token correlation — decorrelated control
+    0.49, tools/organic_growth_control.py; the cosine/semantic auto
+    rows are the unwaived ones). The answer stays EXACT at the derived
+    width: 4 bands >
     hamming 3, so pigeonhole makes the band join recall-lossless and
     the oracle is brute-force all-pairs over the same derived-width
     fingerprints — its own ground truth, like dedup_simhash_pairs_wide.
