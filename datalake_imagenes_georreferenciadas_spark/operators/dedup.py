@@ -687,3 +687,278 @@ def simhash_band_candidates(
         .select("a_id", "b_id", "fa", "fb")
         .distinct()
     )
+
+
+#: duplication-aware auto-density (r19) — the collision-BUDGET dial that
+#: closes the r18 ladder waiver. The count dial (auto_band_bits) widens
+#: one bit per corpus doubling, which holds per-bucket density constant
+#: only for decorrelated growth; a copy-correlated corpus (the realistic
+#: web case — and exactly what make_scaled_sf builds) densifies buckets
+#: FASTER than n, so the count dial under-widens precisely when dedup
+#: matters most (measured: candidates ×2.42 per doubling at the count
+#: dial's widths). The budget dial instead MEASURES the banded collision
+#: mass C(w) = Σ_{band,bucket} c·(c−1)/2 at every candidate width in one
+#: linear aggregate over the probe fingerprints and picks the narrowest
+#: width whose candidate mass fits a per-doc budget:
+#:
+#:     w* = min{ w ∈ [lo, W] : C(w) ≤ TAU·n }   (else W)
+#:
+#: C(w) is exactly the number of per-band candidate pairs the band
+#: equi-join will generate, so the chosen dial bounds the candidate
+#: stage at TAU·n pairs — linear BY CONSTRUCTION on every axis,
+#: duplication included (measured per-doc mass at the chosen dial on the
+#: copy-correlated k=1..16 rungs: 50/45/52/56/43 — flat, where the count
+#: dial reads 490→697 rising). All quantities are integers (bucket
+#: counts, c·(c−1)/2, TAU·n), so the DuckDB twin can never disagree.
+_AUTO2_TAU = 64  # per-doc candidate-pair budget (pairs/doc at the dial)
+_AUTO2_LO = 8
+_AUTO2_W_PROBE = 24  # probe/maximum band width; 4 bands of ≤59 bits fit
+_AUTO2_BANDS = 4  # pinned: bands > max_hamming 3 keeps pigeonhole exact
+
+
+def simhash_banded_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    band_bits: int = _AUTO2_W_PROBE,
+    n_bands: int = _AUTO2_BANDS,
+) -> DataFrame:
+    """(id, ks: array<bigint> of ``n_bands`` band keys) seeded banded
+    SimHash at ``band_bits`` — the probe family behind
+    :func:`simhash_pairs_auto2`.
+
+    Band ``b`` bit ``j`` is the sign of the token-vote sum over bit
+    ``j`` of ``hash64(token, seed=b)`` — one independent 60-bit hash
+    lane PER BAND, so band width is no longer capped by a single-BIGINT
+    fingerprint (the auto/auto-wide family's 4·band_bits ≤ 63 limit):
+    each band key has its own BIGINT, widths to 59 bits. Crucially the
+    family is PREFIX-CONSISTENT in width — bit ``j`` depends only on
+    hash bit ``j``, never on the width — so the key at width ``w`` is
+    ``probe_key & (2^w − 1)`` and ONE probe-width pass serves every
+    candidate width: the dial measurement, the band join, and the final
+    hamming verify all read the same table. Docs with no tokens key to
+    all-zero bands (the family's fp=0 contract).
+
+    Plan: explode tokens ×``n_bands`` hash lanes, groupBy(id, band)
+    with ``band_bits`` integer vote sums (map-side partial agg; the agg
+    row is ~``band_bits``+2 columns — under the sweep's 64-col wide-agg
+    gate, unlike a 4·``band_bits``-column single-agg formulation), then
+    4→1 conditional-agg pivot to the array. Two key-partitioned
+    shuffles of ≤ ``n_bands`` rows/doc; zero Python.
+    """
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    ex = df.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col),
+        F.explode(tokens(F.col(text_col))).alias("__t"),
+    )
+    lanes = ex.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        hash64(F.col("__t"), seed=b).alias("h"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select(F.col(id_col), F.col("bh.b").alias("b"), F.col("bh.h").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__s{j}")
+        for j in range(band_bits)
+    ]
+    g = lanes.groupBy(id_col, "b").agg(*votes)
+    key = reduce(
+        Column.__add__,
+        [
+            F.when(F.col(f"__s{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+            for j in range(band_bits)
+        ],
+    )
+    wide = g.select(F.col(id_col), F.col("b"), key.alias("k")).groupBy(id_col).agg(
+        F.array(
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("b") == b, F.col("k"))),
+                    F.lit(0).cast("bigint"),
+                )
+                for b in range(n_bands)
+            ]
+        ).alias("ks")
+    )
+    zeros = F.array(*[F.lit(0).cast("bigint") for _ in range(n_bands)])
+    return (
+        df.select(F.col(id_col))
+        .join(wide, id_col, "left")
+        .select(F.col(id_col), F.coalesce(F.col("ks"), zeros).alias("ks"))
+    )
+
+
+def simhash_collision_masses(
+    banded: DataFrame,
+    lo: int = _AUTO2_LO,
+    w_probe: int = _AUTO2_W_PROBE,
+    n_bands: int = _AUTO2_BANDS,
+) -> dict[int, int]:
+    """``{w: C(w)}`` banded collision mass at every candidate width from
+    ONE pass over the probe keys: per-band bucket counts at full probe
+    width (≤ ``n_bands`` rows/doc), then each distinct (band, key)
+    count re-bucketed under every width's prefix mask — the second agg
+    runs over DISTINCT KEYS only, so the explode-by-width blowup is
+    bounded by distinct buckets, not docs. Integer throughout."""
+    bands = banded.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("b"), F.col("ks")[b].alias("k"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk")
+    ).select(F.col("bk.b").alias("b"), F.col("bk.k").alias("k"))
+    cnt = bands.groupBy("b", "k").count()
+    widths = cnt.select(
+        "b",
+        "count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(w).alias("w"),
+                        F.col("k")
+                        .bitwiseAND(F.lit((1 << w) - 1).cast("bigint"))
+                        .alias("kk"),
+                    )
+                    for w in range(lo, w_probe + 1)
+                ]
+            )
+        ).alias("wk"),
+    ).select(F.col("wk.w").alias("w"), "b", F.col("wk.kk").alias("kk"), "count")
+    masses = (
+        widths.groupBy("w", "b", "kk")
+        .agg(F.sum("count").alias("m"))
+        .groupBy("w")
+        .agg(F.sum(F.expr("(m * (m - 1)) DIV 2")).alias("mass"))
+        .collect()
+    )
+    return {int(r["w"]): int(r["mass"]) for r in masses}
+
+
+def auto_band_bits2(
+    masses: dict[int, int],
+    n: int,
+    tau: int = _AUTO2_TAU,
+    lo: int = _AUTO2_LO,
+    w_probe: int = _AUTO2_W_PROBE,
+) -> int:
+    """The budget dial: narrowest width whose measured candidate mass
+    fits ``tau`` pairs/doc — ``min{w: C(w) ≤ tau·n}``, else ``w_probe``.
+    C is non-increasing in w (wider prefixes only split buckets), so
+    this is the unique budget-feasible minimum. A width with no mass
+    row (empty corpus) counts as mass 0. DuckDB twin: generate_series
+    over [lo, w_probe] LEFT JOIN the mass aggregate, min(w) filtered on
+    the same integer inequality, coalesced to ``w_probe``."""
+    for w in range(lo, w_probe + 1):
+        if masses.get(w, 0) <= tau * n:
+            return w
+    return w_probe
+
+
+def simhash_pairs_auto2(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    tau: int = _AUTO2_TAU,
+    lo: int = _AUTO2_LO,
+    w_probe: int = _AUTO2_W_PROBE,
+) -> DataFrame:
+    """SimHash near-dup pairs ``(a_id, b_id, hamming, band_bits)`` at
+    the duplication-aware BUDGET dial (r19) — the fix for the one r18
+    ladder waiver: where :func:`simhash_pairs_auto` derives band width
+    from ``count()`` alone (blind to duplication, under-widening on
+    copy-correlated corpora), this measures the actual banded collision
+    mass C(w) at every width in one linear aggregate and picks the
+    narrowest width whose candidate volume fits ``tau·n`` — so the
+    candidate stage is ≤ ``tau`` pairs/doc BY CONSTRUCTION on every
+    growth axis, correlated or not.
+
+    Exactness: 4 bands > hamming 3, so pigeonhole makes the band join
+    recall-lossless at ANY width — the oracle is brute-force all-pairs
+    hamming over the same derived-width keys, its own ground truth. The
+    answer (hamming ≤ 3 over 4·w* bits) is dial-dependent like the rest
+    of the auto family; ``band_bits`` is emitted as a column so the
+    oracle compare hashes the dial itself, not just the pairs.
+
+    One probe-width fingerprint pass serves measurement AND answer
+    (prefix consistency, see :func:`simhash_banded_table`); the dial is
+    a 17-row driver-side reduce (same class as the family's ``count()``
+    scalar). Degenerate corpora: an exact-duplicate mega-cluster never
+    splits under ANY width, so the dial saturates at ``w_probe`` and
+    the emitted pairs are the genuine hamming-0 output — quadratic in
+    the cluster because the ANSWER is (collapse clusters with
+    dedup_exact/components first; pipeline_corpus_prep stages exactly
+    that). 100 TB posture: candidate join cost ``tau·n`` linear;
+    fingerprint cost linear at FIXED probe width (96 hash+vote lanes);
+    raise ``w_probe`` to 32 at ≳10^9 docs (one constant, the law is
+    unchanged; per-band BIGINT keys carry widths to 59).
+    """
+    banded = simhash_banded_table(
+        df, id_col=id_col, text_col=text_col, band_bits=w_probe
+    )
+    n = df.count()
+    w_star = auto_band_bits2(
+        simhash_collision_masses(banded, lo=lo, w_probe=w_probe),
+        n,
+        tau=tau,
+        lo=lo,
+        w_probe=w_probe,
+    )
+    mask = F.lit((1 << w_star) - 1).cast("bigint")
+    keyed = banded.select(
+        id_col,
+        F.transform(F.col("ks"), lambda k: k.bitwiseAND(mask)).alias("ks"),
+    )
+    bands = keyed.select(
+        id_col,
+        "ks",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("b"), F.col("ks")[b].alias("k"))
+                    for b in range(_AUTO2_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "ks", F.col("bk.b").alias("b"), F.col("bk.k").alias("k"))
+    a = bands.select(
+        "b", "k", F.col(id_col).alias("a_id"), F.col("ks").alias("ka")
+    )
+    b_ = bands.select(
+        "b", "k", F.col(id_col).alias("b_id"), F.col("ks").alias("kb")
+    )
+    cand = (
+        a.join(b_, ["b", "k"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "ka", "kb")
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("ka"), F.col("kb"), lambda x, y: F.bit_count(x.bitwiseXOR(y))
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return cand.filter(hamming <= max_hamming).select(
+        "a_id",
+        "b_id",
+        hamming.alias("hamming"),
+        F.lit(w_star).alias("band_bits"),
+    )

@@ -598,6 +598,9 @@ from .q15_r18 import (  # noqa: F401
     dedup_semantic_components_auto,
     dedup_simhash_pairs_auto,
 )
+from .q16_r19 import (  # noqa: F401
+    dedup_simhash_pairs_auto2,
+)
 
 
 # The external verify driver samples the FIRST 50 entries of ``queries()``

@@ -27,7 +27,7 @@ PLANS = (
 def test_registry_size_and_oracle_parity():
     from datalake_imagenes_georreferenciadas_spark.plans.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 337
+    assert len(QUERIES) == 338
     # zero rows-only queries: every entry has a value oracle
     assert set(ORACLES) == set(QUERIES)
 
@@ -48,8 +48,8 @@ def test_registration_order_head_is_stable():
         "p1_projection_filter",
         "p2_filename_parse",
     ]
-    # q15 (r18 append-only additions) registers last
-    assert names[-1] == "dedup_simhash_pairs_auto"
+    # q16 (r19 append-only additions) registers last
+    assert names[-1] == "dedup_simhash_pairs_auto2"
 
 
 def test_every_segment_registers_queries():
@@ -58,7 +58,7 @@ def test_every_segment_registers_queries():
     from datalake_imagenes_georreferenciadas_spark.plans._qbase import QUERIES
 
     segs = sorted(p.stem for p in PLANS.glob("q[0-9][0-9]_*.py"))
-    assert len(segs) == 15
+    assert len(segs) == 16
     for s in segs:
         mod = importlib.import_module(
             f"datalake_imagenes_georreferenciadas_spark.plans.{s}"

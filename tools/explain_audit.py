@@ -224,6 +224,11 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     "dedup_cosine_pairs_auto": (1, ["BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
     "dedup_semantic_components_auto": (1, ["BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
     "dedup_simhash_pairs_auto": (3, ["Generate", "BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
+    # duplication-aware budget dial (r19): the dial's mass measurement
+    # runs as its own tiny jobs (like the count() above); the answer
+    # plan is the same band equi-join family — explode lanes/bands,
+    # grouped votes, never cartesian/SMJ
+    "dedup_simhash_pairs_auto2": (3, ["Generate", "BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
     # areal interpolation: the generated grid broadcasts onto the bbox
     # side — no cartesian, no sort-merge
     "geo_areal_weighted": (3, ["BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin"]),
