@@ -186,13 +186,49 @@ def ts_spc_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_append_windows",
+    # r19: eviction-EXACT oracle (extreme allowlist 9 → 8). The batch
+    # structure is deterministic (time-ordered ntile(4) split,
+    # maxFilesPerTrigger=1, strictly increasing mtimes pinned by the
+    # fixture), so the WATERMARK TRAJECTORY is a pure function of the
+    # data and SQL can replicate the whole lifecycle, not just the
+    # terminal cut: batch of a row = the same ntile(4) (Spark null
+    # ordering spelled out), watermark in effect during batch b =
+    # max event time over batches < b minus the 30-minute delay,
+    # floored at epoch 0 (Spark's initial watermark — what drops
+    # pre-1970 outlier rows in batch 1 on the extreme axis), a row
+    # survives iff its window END is still OPEN at its batch's
+    # watermark (end > wm, the same <=-comparator as emission), and a
+    # window is published iff the terminal watermark passed its end.
+    # On in-order clean data no row is ever late, so this reduces to
+    # the previous terminal-watermark oracle; on corrupt out-of-range
+    # timestamps it reproduces the eviction the batch aggregate used
+    # to be blind to.
     f"""
-    WITH m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mt FROM events),
+    WITH ordered AS (
+      SELECT CAST(ts AS TIMESTAMP) AS tts, event_type, value,
+             ntile(4) OVER (ORDER BY CAST(ts AS TIMESTAMP) ASC NULLS FIRST,
+                            event_id ASC NULLS FIRST) AS b
+      FROM events),
+    batch_max AS (SELECT b, max(tts) AS mx FROM ordered GROUP BY b),
+    wm AS (
+      SELECT b,
+             greatest(
+               TIMESTAMP '1970-01-01 00:00:00',
+               coalesce(max(mx) OVER (ORDER BY b
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        - INTERVAL 30 MINUTE,
+                        TIMESTAMP '1970-01-01 00:00:00')) AS wm_b
+      FROM batch_max),
+    kept AS (
+      SELECT o.tts, o.event_type, o.value
+      FROM ordered o JOIN wm ON wm.b = o.b
+      WHERE to_timestamp(floor(epoch(o.tts) / 3600) * 3600 + 3600) > wm.wm_b),
+    m AS (SELECT max(tts) AS mt FROM ordered),
     w AS (
-      SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600 AS BIGINT)
+      SELECT CAST(floor(epoch(tts) / 3600) * 3600 AS BIGINT)
                AS window_start_epoch,
              event_type, count(*) AS n, {_dsum_sql('value')} AS sum_value
-      FROM events GROUP BY 1, 2)
+      FROM kept GROUP BY 1, 2)
     SELECT w.window_start_epoch, w.event_type, w.n, w.sum_value
     FROM w CROSS JOIN m
     WHERE to_timestamp(w.window_start_epoch + 3600)
@@ -207,11 +243,15 @@ def streaming_append_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark are dropped rather than restating published results (the
     contract downstream consumers of an append sink rely on). The file
     source is split into 4 time-ordered files with maxFilesPerTrigger=1
-    so the watermark actually advances across micro-batches; the final
-    availableNow flush emits every closed window. The oracle is the
-    batch aggregate restricted to windows closed by the terminal
-    watermark (max event time − 30 min) — open windows are withheld on
-    BOTH sides."""
+    (strictly increasing mtimes — deterministic batch order) so the
+    watermark actually advances across micro-batches; the final
+    availableNow flush emits every closed window. The oracle (r19) is
+    eviction-EXACT: it replays the deterministic watermark trajectory —
+    ntile(4) batch of each row, watermark in effect per batch (prefix
+    max − 30 min, floored at Spark's epoch-0 initial watermark), the
+    late-row drop, and the terminal publication cut — so the extreme
+    axis (out-of-range timestamps advancing the watermark) verifies
+    value-exactly instead of via allowlist."""
     import glob as _g
     import shutil
     import uuid
@@ -229,7 +269,13 @@ def streaming_append_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overwrite"
         ).parquet(os.path.join(split_dir, f"f{p}"))
         src = _g.glob(os.path.join(split_dir, f"f{p}", "*.parquet"))[0]
-        shutil.copy(src, os.path.join(src_dir, f"{p:02d}.parquet"))
+        dst = os.path.join(src_dir, f"{p:02d}.parquet")
+        shutil.copy(src, dst)
+        # strictly increasing mtimes: FileStreamSource orders new files
+        # by modification time, and the eviction-exact oracle replays
+        # the watermark trajectory batch by batch — a tie-broken file
+        # order would make the trajectory nondeterministic
+        os.utime(dst, (1_000_000_000 + p, 1_000_000_000 + p))
     schema = spark.read.parquet(src_dir).schema
     stream = (
         spark.readStream.schema(schema)
