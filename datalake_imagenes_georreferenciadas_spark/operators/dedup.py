@@ -909,10 +909,19 @@ def simhash_pairs_auto2(
     raise ``w_probe`` to 32 at ≳10^9 docs (one constant, the law is
     unchanged; per-band BIGINT keys carry widths to 59).
     """
+    # materialize the probe keys ONCE (eager localCheckpoint, the
+    # components_from_edges precedent): the dial's mass aggregate and
+    # the final band join + hamming verify both read the checkpoint,
+    # so the fingerprint job — the dominant linear stage at 100 TB —
+    # really does run a single time, as the contract claims. Without
+    # the barrier, lazy evaluation re-runs it per consumer.
     banded = simhash_banded_table(
         df, id_col=id_col, text_col=text_col, band_bits=w_probe
-    )
-    n = df.count()
+    ).localCheckpoint(eager=True)
+    # same value as df.count() (the banded table left-joins back onto
+    # df's id column, one row per input row) but reads the checkpoint
+    # just materialized instead of re-scanning/re-computing df
+    n = banded.count()
     w_star = auto_band_bits2(
         simhash_collision_masses(banded, lo=lo, w_probe=w_probe),
         n,

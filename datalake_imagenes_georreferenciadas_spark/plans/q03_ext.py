@@ -121,7 +121,13 @@ _STREAM_SESSION_SQL = """
 WITH o AS (
   SELECT user_id, event_id, ts, value,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS prev
-  FROM events WHERE ts IS NOT NULL),
+  FROM events
+  -- r19 initial-watermark cut (extreme allowlist): Spark's watermark
+  -- starts at epoch 0, so rows before 1970 are late BY DEFINITION in
+  -- the first (and, single-file availableNow, only) micro-batch —
+  -- the oracle encodes that exact semantics instead of allowlisting
+  WHERE ts IS NOT NULL
+    AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01 00:00:00'),
 m AS (SELECT *, CASE WHEN prev IS NULL OR (epoch(ts) - epoch(prev)) >= 1800.0
                      THEN 1 ELSE 0 END AS new_sess FROM o),
 s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
@@ -135,8 +141,11 @@ FROM s GROUP BY user_id, seq
 @register("streaming_session", _STREAM_SESSION_SQL)
 def streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """session_window(ts, 30min) as a Structured Streaming query
-    (availableNow, update mode, memory sink) — checked against the batch
-    gaps-and-islands oracle: stream/batch session parity."""
+    (availableNow, complete mode, memory sink) — checked against the
+    batch gaps-and-islands oracle: stream/batch session parity. The
+    oracle applies Spark's initial-watermark late cut (rows before
+    epoch 0 are late by definition in the single-file batch; r19), so
+    the extreme axis verifies value-exactly."""
     import uuid
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
