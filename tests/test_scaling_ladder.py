@@ -64,7 +64,7 @@ WAIVERS = {
     # before banding so production clusters shrink first.
     # r19: the waiver is CLOSED by dedup_simhash_pairs_auto2 — the
     # budget dial measures the collision mass itself, so it widens on
-    # duplication the count dial cannot see (alpha_tail 0.52 UNWAIVED
+    # duplication the count dial cannot see (alpha_tail 0.40 UNWAIVED
     # on this same axis, pinned below). The count-dial row stays
     # waived-as-documented: its law is count-only by construction.
     "dedup_simhash_pairs_auto": "count-only dial cannot see copy-correlation (x2.42 candidates for x2 docs, per-candidate cost flat; decorrelated control 0.49); SUPERSEDED at scale by dedup_simhash_pairs_auto2's budget dial, unwaived on the same axis",
@@ -139,7 +139,7 @@ def test_budget_dial_row_is_unwaived_through_k16():
     """The r19 headline: dedup_simhash_pairs_auto2 must hold the gate
     WITHOUT a waiver on the copy-correlated scaled axis, k=16
     included — the exact axis and rung the r18 count dial was waived
-    on (1.50). Committed: alpha_tail 0.52."""
+    on (1.50). Committed: alpha_tail 0.40."""
     rec = _load()["families"]["dedup_simhash_pairs_auto2"]
     assert "16" in rec["t"], "k=16 rung missing"
     assert rec["alpha_tail"] <= ALPHA_TAIL_GATE
