@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine
+from ..tables import spread
 from .topk import topk_per_group
 
 #: deterministic pseudo-random hyperplane components derived from md5 of
@@ -266,39 +267,66 @@ def cosine_near_pairs(
     cost scales with the 100 TB scan — so the tree buys the right side
     of that trade at scale.
     """
-    keyed = data.select(
+    # r19 (guide §2.3 "shuffle keys, not payloads" / §8 "decide with small
+    # rows, move big rows once" / §2.5 unsplittable-input rebalance): the
+    # band self-join and the candidate pair-dedup now shuffle only
+    # (id, band, bucket) rows — the ~0.5 KB embedding payload no longer
+    # rides through the ×num_bands band exchange and the dedup exchange; it
+    # is re-attached by id from the ORIGINAL scan (which carries size
+    # statistics, so the planner keeps broadcast strategies) only for the
+    # exact-cosine verify of the tiny candidate set. The signature input is
+    # spread() first: a single-row-group parquet file scans as ONE task and
+    # serialized the whole per-row signature fold. Same pairs, same cosines
+    # (hash-verified). Two variants were measured and REJECTED: an eager
+    # localCheckpoint of the signature table (compute-once, but a
+    # checkpoint RDD carries no size stats, so every downstream join fell
+    # back to sort-merge: 5.6 s) and the payload-carrying original
+    # (payload through 2 exchanges + double signature pass: 2.2-3.4 s).
+    # This shape: 1.2 s fresh at sf0.1. At 100 TB the production staging is
+    # to WRITE the fingerprint table once and band-join the written table
+    # (guide §8.4 step 1) — within one ad-hoc query, re-deriving the skinny
+    # signature per join side costs one extra map pass and keeps every
+    # exchange payload-free, which is the better trade under a planner that
+    # can see scan statistics.
+    keyed = spread(data.select(F.col(data_id), F.col(vec_col)), data_id).select(
         F.col(data_id),
-        F.col(vec_col),
+        *[
+            hyperplane_signature(
+                F.col(vec_col),
+                planes_per_band,
+                dim,
+                plane_offset=band * planes_per_band,
+            ).alias(f"__s{band}")
+            for band in range(num_bands)
+        ],
+    )
+    bands = keyed.select(
+        F.col(data_id),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(band).alias("band"),
-                        hyperplane_signature(
-                            F.col(vec_col),
-                            planes_per_band,
-                            dim,
-                            plane_offset=band * planes_per_band,
-                        ).alias("bucket"),
+                        F.col(f"__s{band}").alias("bucket"),
                     )
                     for band in range(num_bands)
                 ]
-            ).alias("__bands")
+            )
         ).alias("__bk"),
-    ).select(data_id, vec_col, F.col("__bk.band").alias("__band"), F.col("__bk.bucket").alias("__bucket"))
-    left = keyed.select(
-        F.col(data_id).alias("a_id"), F.col(vec_col).alias("__va"), "__band", "__bucket"
-    )
-    right = keyed.select(
-        F.col(data_id).alias("b_id"), F.col(vec_col).alias("__vb"), "__band", "__bucket"
-    )
+    ).select(data_id, F.col("__bk.band").alias("__band"), F.col("__bk.bucket").alias("__bucket"))
+    left = bands.select(F.col(data_id).alias("a_id"), "__band", "__bucket")
+    right = bands.select(F.col(data_id).alias("b_id"), "__band", "__bucket")
     cand = (
         left.join(right, ["__band", "__bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
+    va = data.select(F.col(data_id).alias("a_id"), F.col(vec_col).alias("__va"))
+    vb = data.select(F.col(data_id).alias("b_id"), F.col(vec_col).alias("__vb"))
     return (
-        cand.withColumn("cos", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .withColumn("cos", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("a_id", "b_id", "cos")
     )

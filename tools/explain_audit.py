@@ -93,8 +93,10 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # window), keyed windows, no join operator at all
     "j_asof_join": (2, ["Window", "!CartesianProduct", "!BroadcastNestedLoopJoin", "!SortMergeJoin"]),
     # banded hyperplane LSH near-pairs: bucket equi-join broadcasts, the
-    # verify never cross-joins
-    "dedup_cosine_pairs": (1, ["BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
+    # verify never cross-joins. r19: 2 exchanges — the spread() rebalance of
+    # the single-split signature scan (guide §2.5) + the pair-dedup agg; the
+    # band join and both payload re-attach joins stay broadcast.
+    "dedup_cosine_pairs": (2, ["BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
     # multi-probe ANN: neighbor-bucket explode (Generate) + bucket join
     "ann_multiprobe_topk": (1, ["BroadcastHashJoin", "Generate", "!CartesianProduct", "!SortMergeJoin"]),
     # hour+day continuous aggregate: ONE exchange for the grouping-sets pass
@@ -215,13 +217,13 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # the two registered LSH scale settings (r17) — same designed shapes
     # as their narrow twins: band equi-joins, never cartesian/SMJ
     "dedup_simhash_pairs_wide": (3, ["Generate", "BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
-    "dedup_cosine_pairs_scaled": (1, ["BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
+    "dedup_cosine_pairs_scaled": (2, ["BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
     "dedup_semantic_components_scaled": (1, ["BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
     # auto-density LSH (r18): the derived dial changes parameters, not
     # plan shape — same band equi-joins as the fixed-dial twins (the
     # corpus count() that picks the dial runs as its own tiny job
     # before this plan is built, so it never appears here)
-    "dedup_cosine_pairs_auto": (1, ["BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
+    "dedup_cosine_pairs_auto": (2, ["BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
     "dedup_semantic_components_auto": (1, ["BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
     "dedup_simhash_pairs_auto": (3, ["Generate", "BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"]),
     # duplication-aware budget dial (r19): the dial's mass measurement
