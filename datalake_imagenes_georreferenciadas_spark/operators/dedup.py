@@ -275,6 +275,15 @@ def ngram_jaccard_pairs(
             .select("__sh")
         )
         ex = ex.join(hot, "__sh", "left_anti")
+    # r19 (guide §1.2 "don't compute things twice" / §2.4): the capped
+    # inverted index feeds THREE plan branches (both self-join sides +
+    # the per-doc sizes), and nothing dedupes the shared subtree — the
+    # explode → distinct → DF-cap pipeline ran three times per query.
+    # An eager localCheckpoint materializes it once; every branch reads
+    # the checkpoint. Same rows, same jaccards (hash-verified); sf0.1
+    # fresh pass 2.48 s → 1.65 s. At scale this is the staging a real
+    # pipeline does anyway (the index is built once per corpus snapshot).
+    ex = ex.localCheckpoint(eager=True)
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("__n"))
     inter = (
         ex.alias("a")
@@ -332,6 +341,9 @@ def containment_pairs(
             .select("__sh")
         )
         ex = ex.join(hot, "__sh", "left_anti")
+    # r19: one materialization of the capped index for its three
+    # consumers (see ngram_jaccard_pairs — identical rationale).
+    ex = ex.localCheckpoint(eager=True)
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("__n"))
     inter = (
         ex.alias("a")

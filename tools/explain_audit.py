@@ -514,8 +514,11 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # (broadcast at test SF), shingle explode bounded by Generate
     "dedup_near_pairs": (6, ["BroadcastHashJoin", "Generate", "!SortMergeJoin", "!CartesianProduct"]),
     # exact n-gram Jaccard: staged shingle index feeds hot/sizes/pair
-    # branches — all joins keyed, no all-pairs anywhere
-    "dedup_ngram_jaccard": (12, ["BroadcastHashJoin", "Generate", "!SortMergeJoin", "!CartesianProduct"]),
+    # branches — all joins keyed, no all-pairs anywhere. r19: the capped
+    # index is materialized once behind an eager localCheckpoint (it fed
+    # three branches that each re-ran the explode), so the Generate runs
+    # in the checkpointed stage, not in this final plan.
+    "dedup_ngram_jaccard": (12, ["BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
     # SimHash: one agg shuffle builds fingerprints from exploded tokens
     "simhash_fingerprints": (1, ["Generate", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"]),
     # ---- r10 curation wave 2 (shapes identical at sf0.001 and sf0.01)
