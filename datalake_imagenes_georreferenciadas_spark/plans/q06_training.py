@@ -13,6 +13,7 @@ from ._qbase import (
     SparkSession,
     Window,
     _dsum,
+    _stream_shuffle,
     os,
     register,
     table,
@@ -395,13 +396,16 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .load(stream_dir)
     )
-    q = (
-        stream.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r19: input-derived shuffle partitioning for the per-batch merge
+    # windows and state writes (guide §2.2)
+    with _stream_shuffle(spark, stream_dir):
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.read.parquet(os.path.join(state_dir, "cur"))
         .filter(F.col("op") != "D")

@@ -18,6 +18,7 @@ from ._qbase import (
     V,
     Window,
     _dsum,
+    _stream_shuffle,
     _dsum_sql,
     classify_points,
     glob_mod,
@@ -532,13 +533,16 @@ def streaming_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .load(stream_dir)
     )
-    q = (
-        stream.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r19: input-derived shuffle partitioning for the per-batch merge
+    # aggregates and state writes (guide §2.2)
+    with _stream_shuffle(spark, stream_dir):
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.read.parquet(os.path.join(state_dir, "cur"))
         .select(

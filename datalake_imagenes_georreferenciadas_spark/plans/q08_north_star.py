@@ -17,6 +17,7 @@ from ._qbase import (
     V,
     Window,
     _dsum,
+    _stream_shuffle,
     os,
     register,
     spread,
@@ -154,13 +155,16 @@ def streaming_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .load(stream_dir)
     )
-    q = (
-        stream.writeStream.foreachBatch(add_digest)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r19: input-derived shuffle partitioning for the per-batch sketch
+    # writes (guide §2.2)
+    with _stream_shuffle(spark, stream_dir):
+        q = (
+            stream.writeStream.foreachBatch(add_digest)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     cent = (
         spark.read.option("recursiveFileLookup", "true")
         .schema("mean double, weight double")

@@ -17,6 +17,7 @@ from ._qbase import (
     _dsum,
     _dsum_sql,
     _norm_event_ts,
+    _stream_shuffle,
     os,
     register,
     spread,
@@ -428,14 +429,16 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), _dsum(F.col("value")).alias("sum_value")
     )
     name = f"stream_dimjoin_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r19: input-derived state-store partitioning (guide §2.2)
+    with _stream_shuffle(spark, stream_dir):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 

@@ -14,6 +14,7 @@ from ._qbase import (
     V,
     Window,
     _dsum,
+    _stream_shuffle,
     _dsum_sql,
     os,
     register,
@@ -264,11 +265,14 @@ def streaming_append_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = ev.withColumn(
         "part", F.ntile(4).over(Window.orderBy("ts", "event_id"))
     )
+    # r19 (guide §1.2 one pass, not four): ONE partitionBy("part") write
+    # stages all 4 shards — previously each shard re-ran the global ntile
+    # sort in its own write job. Identical shard contents (the window is
+    # deterministic on the unique (ts, event_id) order; partitionBy drops
+    # the part column exactly as .drop("part") did).
+    part.write.mode("overwrite").partitionBy("part").parquet(split_dir)
     for p in range(1, 5):
-        part.filter(F.col("part") == p).drop("part").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(split_dir, f"f{p}"))
-        src = _g.glob(os.path.join(split_dir, f"f{p}", "*.parquet"))[0]
+        src = _g.glob(os.path.join(split_dir, f"part={p}", "*.parquet"))[0]
         dst = os.path.join(src_dir, f"{p:02d}.parquet")
         shutil.copy(src, dst)
         # strictly increasing mtimes: FileStreamSource orders new files
@@ -294,14 +298,18 @@ def streaming_append_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"append_windows_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r19: input-derived state-store partitioning — 4 micro-batches each
+    # committed one state instance per shuffle partition (guide §2.2);
+    # measured 7.5 s → 3.5 s at the derived value, hash-identical
+    with _stream_shuffle(spark, src_dir):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
