@@ -159,7 +159,10 @@ class CatalogStore:
 
     def last_id(self) -> int:
         """A1: max catalog id (the reference's AUTO_INCREMENT peek,
-        mysql_process.py:13-25, as a one-row aggregate)."""
+        mysql_process.py:13-25, as a one-row aggregate). r19: an absent
+        catalog snapshot is 0 without a Spark job (guide §5)."""
+        if not os.path.exists(self._catalog_dir()):
+            return 0
         row = self.catalog().agg(F.max("id").alias("m")).collect()[0]
         return int(row["m"]) if row["m"] is not None else 0
 
@@ -171,7 +174,12 @@ class CatalogStore:
         IDEMPOTENT: a replay of the same micro-batch finds the existing
         run row and reuses its id instead of appending a duplicate —
         the runs table stays exactly-once under crash-replay."""
-        if batch_id is not None:
+        # r19 (guide §5 — the driver should do almost no data work): a
+        # store with no runs file yet has nothing to look up; skipping
+        # the two empty-relation aggregate jobs saves ~0.5 s per fresh
+        # store lifecycle (the catalog fixture queries build one per run)
+        have_runs = os.path.exists(self._path("runs"))
+        if batch_id is not None and have_runs:
             row = (
                 self.runs()
                 .filter(F.col("batch_id") == batch_id)
@@ -180,8 +188,11 @@ class CatalogStore:
             )
             if row["m"] is not None:
                 return int(row["m"])
-        row = self.runs().agg(F.max("id_ejecucion").alias("m")).collect()[0]
-        run_id = (int(row["m"]) if row["m"] is not None else 0) + 1
+        if have_runs:
+            row = self.runs().agg(F.max("id_ejecucion").alias("m")).collect()[0]
+            run_id = (int(row["m"]) if row["m"] is not None else 0) + 1
+        else:
+            run_id = 1
         run = self.spark.createDataFrame(
             [(run_id, id_proceso, batch_id)],
             "id_ejecucion long, id_proceso int, batch_id long",

@@ -459,13 +459,13 @@ def catalog_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = CatalogStore(spark, tempfile.mkdtemp(prefix="catalog_expire_"))
     run_id = store.start_run(0)
     inserted = store.insert_catalog(rows, run_id)
+    # r19 (guide §5 driver discipline / §1.2 don't recompute): ONE id
+    # collect — the returned `inserted` is lazy, so the previous
+    # per-slice .filter(...).collect() re-ran the whole id-allocation
+    # plan three times; the %10 slicing is a pure function of the ids.
+    all_ids = [r["id"] for r in inserted.select("id").collect()]
     for mod in (3, 4, 5):
-        ids = [
-            r["id"]
-            for r in inserted.filter(F.col("id") % 10 == mod)
-            .select("id")
-            .collect()
-        ]
+        ids = [i for i in all_ids if i % 10 == mod]
         store.update_processed_img(10, ids)
     versions = store.catalog_versions()
     n_rows = {v: store.catalog(version=v).count() for v in versions}
