@@ -731,7 +731,19 @@ def a8_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-reproducible. Power sums are order-independent and exact; the
     final scalar formula is identical IEEE math on both sides. The
     2-pass-free single-scan shape is the 100 TB statistics pattern."""
-    li = table(spark, sf_dir, "lineitem")
+    # r19 (guide §2.5 unsplittable input): the single-row-group lineitem
+    # file scans as ONE task, serializing the six DECIMAL(18,4) partial
+    # sums (~2.4 s of single-core BigDecimal work at sf0.1). spread()
+    # rebalances the 3 projected columns so the partials parallelize —
+    # a no-op on a cluster where the scan arrives as many splits.
+    # Decimal partials are order-independent, so values are identical
+    # (hash-verified). Measured: 2.4 s → 1.6 s.
+    li = spread(
+        table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_quantity", "l_extendedprice"
+        ),
+        "l_returnflag",
+    )
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     s = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),

@@ -18,6 +18,7 @@ from ._qbase import (
     _dsum_sql,
     os,
     register,
+    spread,
     table,
     tempfile,
 )
@@ -764,7 +765,10 @@ def _ahash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text"),
         )
     )
-    docs = base.unionByName(variants).select(
+    # r19 (guide §2.5): spread the single-split scan so the 64-md5 block
+    # kernel (646k md5 at sf0.1) parallelizes instead of running on the
+    # 1-2 union tasks
+    docs = spread(base.unionByName(variants), "doc_id").select(
         "doc_id",
         F.col("text").alias("t"),
         F.greatest(F.length("text"), F.lit(1)).alias("L"),
@@ -791,7 +795,12 @@ def _ahash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "> psum THEN shiftleft(CAST(1 AS BIGINT), b) "
             "ELSE CAST(0 AS BIGINT) END)"
         ).alias("ahash"),
-    )
+        # r19 second barrier (guide §1.2): the FINAL (doc_id, ahash) rows
+        # are what the three consumers (band explode + both verify sides)
+        # actually read — without this, the per-bit vote aggregate re-ran
+        # per consumer on top of the px checkpoint. Skinny table (~16 B/row);
+        # measured multimodal_ahash_pairs fresh 4.4 s → 1.7 s, hash-identical.
+    ).localCheckpoint(eager=True)
 
 
 @register("multimodal_ahash_pairs", _ahash_duck())
