@@ -152,7 +152,10 @@ def brute_force_topk(
     resolved by the unique id, so results hash-match the oracle.
     """
     q = queries.select(F.col(query_id), F.col(vec_col).alias("__qv"))
-    scored = data.join(F.broadcast(q)).select(
+    # r19 (guide §2.5): the corpus side of the broadcast score scan is
+    # spread() — a single-row-group parquet scan is ONE task, and the
+    # per-row cosine fold serialized on it; no-op at cluster scale
+    scored = spread(data, data_id).join(F.broadcast(q)).select(
         query_id,
         F.col(data_id),
         F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cos"),
@@ -183,7 +186,9 @@ def ivf_assign(
     from ..functions.vectors import euclidean2
     from .topk import argmin_per_group
 
-    crossed = data.select(data_id, vec_col).join(F.broadcast(centroids))
+    # r19 (guide §2.5): spread the assignment scan — same single-split
+    # rationale as brute_force_topk
+    crossed = spread(data.select(data_id, vec_col), data_id).join(F.broadcast(centroids))
     scored = crossed.withColumn("__d2", euclidean2(F.col(vec_col), F.col(centroid_vec)))
     assign = argmin_per_group(
         scored, [data_id], F.struct(F.col("__d2"), F.col(centroid_id)), [centroid_id]

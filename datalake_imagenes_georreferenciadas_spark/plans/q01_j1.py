@@ -963,7 +963,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     enc = (
-        emb.crossJoin(F.broadcast(cb))
+        # r19 (guide §2.5): spread — the M×K per-row encode fold
+        # serialized on the single-split scan
+        spread(emb, "vec_id").crossJoin(F.broadcast(cb))
         .select(
             "vec_id",
             F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("emb"),

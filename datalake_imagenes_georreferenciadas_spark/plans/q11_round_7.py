@@ -1418,7 +1418,9 @@ def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     lo, hi = _KNN_HELDOUT
-    tr = emb.filter((F.col("vec_id") < lo) | (F.col("vec_id") >= hi))
+    # r19 (guide §2.5): spread the training-side scan — 97.5k interpreted
+    # cosine folds serialized on the single-split embeddings scan
+    tr = spread(emb.filter((F.col("vec_id") < lo) | (F.col("vec_id") >= hi)), "vec_id")
     q = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).select(
         F.col("vec_id").alias("q_id"),
         F.col("ve").alias("qe"),

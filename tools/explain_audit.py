@@ -36,7 +36,10 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # scan-side projection pruning: only 2 columns read
     "p1_projection_filter": (0, ["ReadSchema: struct<n_nationkey:int,n_name:string,n_regionkey:int>"]),
     # brute-force cosine: broadcast the queries, no shuffle before window
-    "f17_cosine_topk": (1, ["BroadcastNestedLoopJoin", "!SortMergeJoin"]),
+    # r19: +1 exchange — spread() of the single-split corpus scan before
+    # the per-row cosine fold (guide §2.5); recall evals gain one per
+    # brute-force/encode pass
+    "f17_cosine_topk": (2, ["BroadcastNestedLoopJoin", "!SortMergeJoin"]),
     # LSH ANN: bucket equi-join must be a broadcast hash join here
     "ann_lsh_topk": (1, ["BroadcastHashJoin", "!CartesianProduct"]),
     # minhash bands: ONE exchange (repartition reused by the groupBy), no
@@ -86,7 +89,7 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     "dedup_incremental_pairs": (6, ["GreaterThanOrEqual(doc_id,400)", "BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
     # filtered vector search: metadata predicate prunes the scan BEFORE any
     # vector math; queries broadcast
-    "ann_filtered_topk": (1, ["EqualTo(label,3)", "BroadcastNestedLoopJoin", "!SortMergeJoin"]),
+    "ann_filtered_topk": (2, ["EqualTo(label,3)", "BroadcastNestedLoopJoin", "!SortMergeJoin"]),
     # vocab/OOV: top-100 via TakeOrdered (no global sort), vocab broadcast
     "vocab_oov_rate": (4, ["TakeOrderedAndProject", "BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
     # as-of join: union+window merge — two exchanges (union repartition +
@@ -148,7 +151,7 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # PQ ANN: the 8×16×8 codebook collapses to ONE broadcast row;
     # encode + ADC scoring are corpus scans with broadcast joins only —
     # the vector table never shuffles; top-k is a window group limit
-    "ann_pq_topk": (2, ["BroadcastNestedLoopJoin", "WindowGroupLimit", "!CartesianProduct", "!SortMergeJoin"]),
+    "ann_pq_topk": (3, ["BroadcastNestedLoopJoin", "WindowGroupLimit", "!CartesianProduct", "!SortMergeJoin"]),
     # JDBC via embedded Derby: predicate + projection pushed into the
     # EXTERNAL engine's SQL and a 4-way range-partitioned parallel scan
     "s9_jdbc_roundtrip": (1, ["External engine query:", "PushedFilters: [*IsNotNull(c_mktsegment), *EqualTo(c_mktsegment,BUILDING)]", "numPartitions=4", "!CartesianProduct"]),
@@ -197,7 +200,7 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # 5-rows-per-query sets (bounded, AQE broadcasts at runtime).
     # (r11: this slot previously held a duplicate "ann_pq_topk" key that
     # silently shadowed the stricter line-~149 pin — see VERDICT r10.)
-    "ann_sq8_recall": (8, ["BroadcastNestedLoopJoin", "WindowGroupLimit", "!CartesianProduct", "!BatchEvalPython", "!ArrowEvalPython"]),
+    "ann_sq8_recall": (10, ["BroadcastNestedLoopJoin", "WindowGroupLimit", "!CartesianProduct", "!BatchEvalPython", "!ArrowEvalPython"]),
     # audio feature kernel: Arrow mapInPandas off the binary scan
     "multimodal_audio_features": (1, ["MapInPandas", "!CartesianProduct", "!SortMergeJoin"]),
     # streaming t-digest monitor (post-stream check plan): centroid
@@ -401,7 +404,7 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     "graph_modularity": (4, ["HashAggregate", "!CartesianProduct"]),
     # matryoshka: prefix-sliced brute-force tiers (queries broadcast),
     # per-tier rank windows
-    "ann_matryoshka_recall": (6, ["BroadcastNestedLoopJoin", "Window", "!CartesianProduct"]),
+    "ann_matryoshka_recall": (9, ["BroadcastNestedLoopJoin", "Window", "!CartesianProduct"]),
     # padding waste: pure per-doc column math + map-side-combined aggs
     "pipeline_padding_waste": (4, ["HashAggregate", "!SortMergeJoin", "!BroadcastHashJoin"]),
     # mixture: one aggregate + one tiny window over per-source rows
@@ -737,7 +740,7 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # recall eval: per-query ground truth is the bounded brute-force BNLJ
     # (20 probe vectors broadcast), candidates via WindowGroupLimit top-k;
     # the vec_id probe list must push into the embeddings scan
-    "ann_recall_eval": (6, ["WindowGroupLimit", "BroadcastNestedLoopJoin", "PushedFilters: [IsNotNull(embedding), In(vec_id", "ReadSchema: struct<vec_id:bigint,embedding:array<float>>", "!CartesianProduct"]),
+    "ann_recall_eval": (8, ["WindowGroupLimit", "BroadcastNestedLoopJoin", "PushedFilters: [IsNotNull(embedding), In(vec_id", "ReadSchema: struct<vec_id:bigint,embedding:array<float>>", "!CartesianProduct"]),
     # catalog joins: both dim sides broadcast, ZERO shuffle exchanges;
     # all three predicate sets pushed into their parquet scans
     "catalog_roundtrip": (0, ["BroadcastHashJoin", "PushedFilters: [IsNotNull(id_proceso), EqualTo(id_proceso,0)", "ReadSchema: struct<id_ejecucion:bigint,id_proceso:int>", "!SortMergeJoin", "!CartesianProduct"]),
