@@ -28,9 +28,7 @@ Everything is built on the cross-engine md5 hash family
 
 from __future__ import annotations
 
-from functools import reduce
-
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
@@ -519,21 +517,26 @@ def simhash_table(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
     )
     h = ex.select(F.col(id_col), hash64(F.col("__t"), seed=0).alias("__h"))
+    # r19 (guide §1.2 per-task/driver work): the per-bit vote aggregates
+    # and the fingerprint pack are parsed from SQL strings instead of
+    # composed through ~10 py4j calls per bit — same expression nodes,
+    # same results (hash-verified), ~1 s less driver time per query
+    # construction at 32 bits (simhash_pairs fresh 2.76 s → 1.78 s; an
+    # eager-checkpoint variant of the fingerprint table was also tried
+    # and rejected — stats loss made the band self-join slower combined).
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (shiftright(__h, {b}) & 1) = 1 THEN 1 ELSE -1 END)"
         ).alias(f"__b{b}")
         for b in range(num_bits)
     ]
     g = h.groupBy(id_col).agg(*votes)
-    fp = reduce(
-        Column.__add__,
-        [
-            F.when(F.col(f"__b{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
-            )
+    fp = F.expr(
+        " + ".join(
+            f"(CASE WHEN __b{b} > 0 THEN CAST({1 << b} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
             for b in range(num_bits)
-        ],
+        )
     )
     return (
         df.select(F.col(id_col))
@@ -777,21 +780,22 @@ def simhash_banded_table(
             )
         ).alias("bh"),
     ).select(F.col(id_col), F.col("bh.b").alias("b"), F.col("bh.h").alias("h"))
+    # r19: votes + key pack parsed from SQL strings (same nodes, same
+    # results — see simhash_table; at the 24-bit probe width the py4j
+    # saving is ~3× the 32-bit case)
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END)"
         ).alias(f"__s{j}")
         for j in range(band_bits)
     ]
     g = lanes.groupBy(id_col, "b").agg(*votes)
-    key = reduce(
-        Column.__add__,
-        [
-            F.when(F.col(f"__s{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
-            )
+    key = F.expr(
+        " + ".join(
+            f"(CASE WHEN __s{j} > 0 THEN CAST({1 << j} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
             for j in range(band_bits)
-        ],
+        )
     )
     wide = g.select(F.col(id_col), F.col("b"), key.alias("k")).groupBy(id_col).agg(
         F.array(
