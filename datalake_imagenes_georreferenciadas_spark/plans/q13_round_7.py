@@ -271,8 +271,24 @@ def streaming_append_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic on the unique (ts, event_id) order; partitionBy drops
     # the part column exactly as .drop("part") did).
     part.write.mode("overwrite").partitionBy("part").parquet(split_dir)
+    # a partitionBy write emits NO data file for a part with zero rows
+    # (empty/short inputs leave ntile buckets unpopulated, and a
+    # zero-row table writes nothing at all) — those shards fall back to
+    # one shared empty schema-bearing file so the 4-batch trajectory is
+    # preserved exactly as the old per-shard writes produced it
+    empty_src = None
     for p in range(1, 5):
-        src = _g.glob(os.path.join(split_dir, f"part={p}", "*.parquet"))[0]
+        found = _g.glob(os.path.join(split_dir, f"part={p}", "*.parquet"))
+        if found:
+            src = found[0]
+        else:
+            if empty_src is None:
+                empty_dir = os.path.join(split_dir, "__empty")
+                part.drop("part").limit(0).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(empty_dir)
+                empty_src = _g.glob(os.path.join(empty_dir, "*.parquet"))[0]
+            src = empty_src
         dst = os.path.join(src_dir, f"{p:02d}.parquet")
         shutil.copy(src, dst)
         # strictly increasing mtimes: FileStreamSource orders new files
