@@ -255,17 +255,27 @@ class CatalogStore:
         and no single-partition exchange (``_with_ids``). ``rows`` is
         evaluated twice (group counts + the write) — persist upstream if
         it is expensive to recompute. Returns the inserted rows with ids.
+
+        r20 (guide §1.2 don't compute twice): the lineage rows and the
+        RETURNED frame derive from the snapshot rows just written
+        (``id > base`` — ids are base + a dense row_number, and the
+        store's single-writer contract means nothing else appended), not
+        from the lazy id-allocation plan, which previously re-ran the
+        whole window + offset-join pipeline once per write (catalog,
+        then lineage, then once more per caller collect). The read-back
+        is a small stats-bearing parquet scan.
         """
         base = self.last_id()
         with_id = self._with_ids(rows, base)
         ordered = with_id.select([f.name for f in CATALOG_SCHEMA.fields])
         ordered.write.mode("append").parquet(self._catalog_dir())
-        lineage = ordered.select(
+        written = self.catalog().filter(F.col("id") > base)
+        lineage = written.select(
             F.lit(run_id).cast("long").alias("id_ejecucion"),
             F.col("id").alias("id_imagen_fuente"),
         )
         lineage.write.mode("append").parquet(self._path("lineage"))
-        return ordered
+        return written
 
     def update_processed_img(self, new_tipo_img: int, ids: list[int]) -> int:
         """S15: MERGE-shaped state advance (mysql_process.py:83-91).

@@ -281,6 +281,10 @@ def ngram_jaccard_pairs(
     # the checkpoint. Same rows, same jaccards (hash-verified); sf0.1
     # fresh pass 2.48 s → 1.65 s. At scale this is the staging a real
     # pipeline does anyway (the index is built once per corpus snapshot).
+    # r20 adjudication (VERDICT item 1): the driver's r19 0.87× was host
+    # noise — 3 interleaved fresh-cold-session rounds each measured the
+    # checkpoint FASTER than the revert (1.68/1.83/1.98 s vs
+    # 1.90/2.29/2.48 s isolated warm). KEPT.
     ex = ex.localCheckpoint(eager=True)
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("__n"))
     inter = (
@@ -340,7 +344,9 @@ def containment_pairs(
         )
         ex = ex.join(hot, "__sh", "left_anti")
     # r19: one materialization of the capped index for its three
-    # consumers (see ngram_jaccard_pairs — identical rationale).
+    # consumers (see ngram_jaccard_pairs — identical rationale; r20
+    # adjudication kept it on the same fresh-cold-session evidence,
+    # 2/3 rounds faster with the checkpoint).
     ex = ex.localCheckpoint(eager=True)
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("__n"))
     inter = (
@@ -442,11 +448,23 @@ def components_from_edges(
     Nodes with no edges are absent from the result — callers left-join
     and coalesce to self-label.
     """
-    edges = edges.persist()
-    n_edges = edges.count()
     spark = edges.sparkSession
-
-    if n_edges <= small_graph_threshold:
+    # r20 (guide §1.2 / §5): ONE action both decides the path and fetches
+    # the small-graph edges — ``limit(threshold+1).collect()`` returns at
+    # most threshold+1 rows (executeTake computes the final stage
+    # incrementally), so the common sub-threshold case pays a single job
+    # with NO persist/InMemoryRelation cycle (the r19 shape ran
+    # persist + count + collect: two jobs plus a cache materialization).
+    # The threshold is still decided by the DATA (row count), not a
+    # config; an over-threshold graph costs one truncated probe job and
+    # then persists for the iterative path exactly as before. Same-session
+    # A/B (r20, min-of-3): dedup_components 3.19 → 2.23 s,
+    # corpus_dedup_report 2.40 → 1.57, graph_incremental_components
+    # 3.81 → 2.74, dedup_cluster_sizes 2.37 → 2.10, geo_cluster_eps
+    # 1.13 → 1.02, dedup_minhash_accuracy 2.05 → 1.81,
+    # pipeline_corpus_prep 3.74 → 3.29; hash-identical.
+    probe = edges.limit(small_graph_threshold + 1).collect()
+    if len(probe) <= small_graph_threshold:
         parent: dict = {}
 
         def find(x):
@@ -455,7 +473,7 @@ def components_from_edges(
                 x = parent[x]
             return x
 
-        for r in edges.collect():
+        for r in probe:
             a, b = r["src"], r["dst"]
             parent.setdefault(a, a)
             parent.setdefault(b, b)
@@ -465,13 +483,13 @@ def components_from_edges(
                 lo, hi = min(ra, rb), max(ra, rb)
                 parent[hi] = lo
         comp_rows = [(int(x), int(find(x))) for x in parent]
-        edges.unpersist()
         return F.broadcast(
             spark.createDataFrame(
                 comp_rows or [(None, None)], "id long, component long"
             ).filter(F.col("id").isNotNull())
         )
 
+    edges = edges.persist()
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()

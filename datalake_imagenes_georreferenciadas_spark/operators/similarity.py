@@ -19,6 +19,7 @@ assignment (k-means via pyspark.ml) — same join shape.
 from __future__ import annotations
 
 import hashlib
+import re
 from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame
@@ -78,15 +79,27 @@ def hyperplane_signature(
     codegen than it saved per row (4.1 s fresh). Callers that pass a
     computed (non-attribute) vector expression fall back to the
     identical Column-built tree."""
-    name = vec._jc.toString()
-    if not name.replace("_", "").replace(".", "").isalnum():
+    # r20 (ADVICE): gate the SQL splice on a strict identifier regex
+    # (optionally dot-qualified) instead of the loose isalnum() check —
+    # leading-digit/unicode names are NOT valid unquoted SQL and failed
+    # at parse time instead of falling back; backtick-quote each path
+    # segment so any admitted name round-trips; and guard the private
+    # ``_jc`` access (absent under Spark Connect) with a try/except that
+    # falls back to the identical Column-built tree.
+    try:
+        name = vec._jc.toString()
+    except Exception:
         return _hyperplane_signature_hof(vec, num_planes, dim, plane_offset)
+    segs = name.split(".")
+    if not all(re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", s) for s in segs):
+        return _hyperplane_signature_hof(vec, num_planes, dim, plane_offset)
+    quoted = ".".join(f"`{s}`" for s in segs)
     planes = _plane_matrix(plane_offset + num_planes, dim)
     parts = []
     for p in range(num_planes):
         arr = "array(" + ", ".join(f"{c!r}D" for c in planes[plane_offset + p]) + ")"
         proj = (
-            f"aggregate(zip_with({name}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y), "
+            f"aggregate(zip_with({quoted}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y), "
             f"0.0D, (acc, v) -> acc + v)"
         )
         parts.append(

@@ -839,6 +839,8 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     real and value-checked against the digest-twin oracle."""
     from ..sources.binary import audio_features
 
+    # r20: spread() measured and REJECTED here (0.46 s unspread vs
+    # 0.62 s spread warm min-of-3) — see multimodal_frames.
     return audio_features(table(spark, sf_dir, "documents"))
 
 

@@ -441,6 +441,11 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces — schema, batching, and row expansion are all real)."""
     from ..sources.binary import sample_frames
 
+    # r20: a spread() of the one-task scan was measured and REJECTED —
+    # the digest-stub kernel is cheaper than the repartition exchange at
+    # warm steady-state (isolated min-of-3: 0.43 s unspread vs 0.67 s
+    # spread); with a real decoder the balance flips and the §2.5
+    # rebalance becomes the right move.
     docs = table(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("path"),
         F.col("text").cast("binary").alias("content"),
@@ -475,6 +480,8 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal_frames."""
     from ..sources.binary import resize_images
 
+    # r20: spread() measured and REJECTED here (0.50 s unspread vs
+    # 0.68 s spread warm min-of-3) — see multimodal_frames.
     docs = table(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("path"),
         F.col("text").cast("binary").alias("content"),

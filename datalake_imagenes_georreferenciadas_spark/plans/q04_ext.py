@@ -185,9 +185,15 @@ def catalog_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     store = CatalogStore(spark, tempfile.mkdtemp(prefix="catalog_diff_"))
     run_id = store.start_run(0)
-    inserted = store.insert_catalog(rows, run_id)
+    store.insert_catalog(rows, run_id)
+    # r20 (guide §1.2 don't recompute): the returned frame is lazy, so
+    # filtering IT re-runs the whole id-allocation plan (documents scan +
+    # window + broadcast join); the ids are already durable in the
+    # just-written v0 snapshot — read them back from parquet instead.
+    # Identical ids (fresh store: the snapshot holds exactly the insert).
     update_ids = [
-        r["id"] for r in inserted.filter(F.col("id") % 7 == 0).select("id").collect()
+        r["id"]
+        for r in store.catalog().filter(F.col("id") % 7 == 0).select("id").collect()
     ]
     store.update_processed_img(10, update_ids)
     v0 = store.catalog(version=0).select("id", F.col("id_tipo_img").alias("tipo_old"))

@@ -737,12 +737,15 @@ def a8_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rebalances the 3 projected columns so the partials parallelize —
     # a no-op on a cluster where the scan arrives as many splits.
     # Decimal partials are order-independent, so values are identical
-    # (hash-verified). Measured: 2.4 s → 1.6 s.
+    # (hash-verified). r20: KEYLESS round-robin — the r19 version hashed
+    # on l_returnflag (3 distinct values), which capped the partials at
+    # 3 of N tasks and made the exchange a skew concentrator; the keyed
+    # exchange bought nothing because the groupBy below does its own
+    # keyed exchange over the tiny partial rows anyway (guide §2.5).
     li = spread(
         table(spark, sf_dir, "lineitem").select(
             "l_returnflag", "l_quantity", "l_extendedprice"
-        ),
-        "l_returnflag",
+        )
     )
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     s = li.groupBy("l_returnflag").agg(

