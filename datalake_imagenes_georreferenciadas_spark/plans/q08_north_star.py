@@ -1375,8 +1375,12 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # canonical edge set, orders smaller than lineitem) restores them.
     # 3 interleaved fresh-cold-session rounds: ckpt+hints min 2.19 s vs
     # plain-revert 2.46 s vs unhinted ckpt 2.51 s; hints fastest 2/3
-    # rounds. Same triangles (hash-verified).
-    edges = edges.localCheckpoint(eager=True)
+    # rounds. Same triangles (hash-verified). r20 follow-up: LAZY
+    # checkpoint — the plan barrier is identical, but eager=True ran a
+    # separate driver-synchronous job per pass; lazy materializes the
+    # cut inside the single final action (same-session A/B min-of-3:
+    # 3.51 → 3.15 s).
+    edges = edges.localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("u").alias("node"))
         .union(edges.select(F.col("v").alias("node")))

@@ -426,12 +426,19 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exponentially (~300 exchanges); with it each round is one
     # edge-frontier join + one anti-join prune, same per-round shape as
     # components_from_edges (operators/dedup.py:397+)
+    # r20 (guide §1.2): LAZY localCheckpoints — the plan truncation (the
+    # point of the checkpoints: without them the unrolled rounds re-plan
+    # the edge subtree into ~300 exchanges) happens at plan level either
+    # way, but eager=True ran EIGHT serialized driver-synchronous jobs
+    # per pass; lazy materializes each cut inside the single final
+    # action, letting the scheduler overlap them. Same rows; first pass
+    # 6.10 → 2.48 s, warm min-of-3 1.97 → 1.84 s.
     edges = (
         pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .union(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    f0 = edges.agg(F.min("src").alias("id")).localCheckpoint(eager=True)
+    f0 = edges.agg(F.min("src").alias("id")).localCheckpoint(eager=False)
     visited = f0
     frontier = f0
     cand = [f0.select("id", F.lit(0).alias("d"))]
@@ -441,10 +448,10 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("id"))
             .distinct()
             .join(visited, "id", "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cand.append(frontier.select("id", F.lit(hop).alias("d")))
-        visited = visited.union(frontier.select("id")).localCheckpoint(eager=True)
+        visited = visited.union(frontier.select("id")).localCheckpoint(eager=False)
     out = cand[0]
     for c in cand[1:]:
         out = out.union(c)

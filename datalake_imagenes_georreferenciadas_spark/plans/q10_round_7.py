@@ -234,10 +234,18 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # ONE explode pass: per-(doc, bucket) counts first; the per-bucket
     # target/raw totals then aggregate from this (vocabulary-sized)
-    # table instead of re-expanding the corpus explode a second time
+    # table instead of re-expanding the corpus explode a second time.
+    # r20 (guide §1.2): dc_full feeds TWO branches (bucket stats and the
+    # per-doc weight join) and nothing deduped the shared subtree — the
+    # shingle explode + hash + groupBy ran twice per query. One eager
+    # localCheckpoint materializes it once; the stats loss that usually
+    # vetoes checkpoints is harmless here because every downstream join
+    # is already explicitly broadcast-hinted (lam is 512 rows by
+    # construction). Same-session A/B (min-of-3): 3.43 → 3.09 s warm,
+    # 9.19 → 4.90 s first pass; hash-identical.
     dc_full = xb.groupBy("doc_id", "bucket").agg(
         F.count("*").alias("cnt"), F.first("is_target").alias("is_target")
-    )
+    ).localCheckpoint(eager=True)
     bs = dc_full.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_target"), F.col("cnt")).otherwise(0)).alias(
             "t_b"

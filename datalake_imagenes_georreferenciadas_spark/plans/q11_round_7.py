@@ -783,7 +783,14 @@ def _ahash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(greatest(floor(L / {_AHASH_BLOCKS}.0), 1) AS INT)"
         ")), 1, 2), 16, 10) AS BIGINT))"
     )
-    px = docs.select("doc_id", F.expr(block).alias("p")).localCheckpoint()
+    # r20: LAZY checkpoints (here and on the final rows below) — the
+    # plan barrier is what matters (projection-collapse O(len²) md5,
+    # see the verify-skill gotcha) and it holds at plan level either
+    # way; eager=True ran two serialized driver-synchronous jobs per
+    # pass. Same-session A/B: multimodal_ahash_pairs 1.70 → 1.45 s.
+    px = docs.select("doc_id", F.expr(block).alias("p")).localCheckpoint(
+        eager=False
+    )
     return px.select(
         "doc_id",
         F.expr("aggregate(p, CAST(0 AS BIGINT), (a, x) -> a + x)").alias(
@@ -803,7 +810,8 @@ def _ahash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         # actually read — without this, the per-bit vote aggregate re-ran
         # per consumer on top of the px checkpoint. Skinny table (~16 B/row);
         # measured multimodal_ahash_pairs fresh 4.4 s → 1.7 s, hash-identical.
-    ).localCheckpoint(eager=True)
+        # r20: lazy (see the px checkpoint note above).
+    ).localCheckpoint(eager=False)
 
 
 @register("multimodal_ahash_pairs", _ahash_duck())

@@ -32,6 +32,10 @@ PKG = REPO / "datalake_imagenes_georreferenciadas_spark"
 ALLOWED: dict[tuple[str, str], int] = {
     ("catalog/store.py", "_with_ids"): 1,  # per-group offset aggregate
     ("catalog/store.py", "filtered_paths"): 1,  # one process-run row set
+    # r20: single-pass MERGE — the touched-id set of one copy-on-write
+    # update, bounded by the caller's write batch (a delta, never the
+    # corpus; it is driver-materialized as a LocalRelation already)
+    ("catalog/store.py", "update_processed_img"): 1,
     ("operators/dedup.py", "components_from_edges"): 1,  # ≤250k-edge union-find result
     ("operators/similarity.py", "brute_force_topk"): 1,  # query set
     ("operators/similarity.py", "ivf_assign"): 1,  # k centroids
@@ -43,6 +47,13 @@ ALLOWED: dict[tuple[str, str], int] = {
     ("operators/spatial.py", "nearest_vertex_join"): 1,  # polygon vertex dim
     ("plans/flagship.py", "catalog_filtered_join"): 1,  # nation (25 rows)
     ("plans/q08_north_star.py", "_tdigest_rank_check"): 2,  # digest centroids
+    # r20: degree table + closure probe over the THRESHOLDED canonical
+    # co-purchase edge set (part pairs sharing ≥2 orders) — the
+    # item-similarity graph, part-catalog-dimensioned (deg ≤ |parts|),
+    # not corpus-sized; the checkpointed edge RDD carries no stats so
+    # AQE can no longer make these broadcast calls itself (VERDICT r19
+    # item 1 directed exactly these explicit hints)
+    ("plans/q08_north_star.py", "graph_triangles"): 3,
     ("plans/q05_training.py", "a10_mad"): 1,  # per-type medians
     ("plans/q06_training.py", "a11_winsorized_mean"): 1,  # per-type quantiles
     ("plans/q06_training.py", "a13_equifreq_bins"): 1,  # bin bounds
