@@ -720,6 +720,19 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(tmp, "w") as f:
             f.write("ok")
         os.replace(tmp, marker)
+        # session-scoped staging cleans up after itself: the dir is
+        # keyed on this applicationId, so no later process can reuse it
+        import atexit
+        import shutil as _shutil
+
+        def _cleanup(d=dest, m=marker):
+            _shutil.rmtree(d, ignore_errors=True)
+            try:
+                os.remove(m)
+            except OSError:
+                pass
+
+        atexit.register(_cleanup)
     binary = read_binary_dir(spark, dest)
     meta = extract_image_meta(binary)
     return meta.select(

@@ -137,6 +137,19 @@ def pipeline_geo_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(tmp, "w") as f:
             f.write("ok")
         os.replace(tmp, marker)
+        # session-scoped staging cleans up after itself: the dir is
+        # keyed on this applicationId, so no later process can reuse it
+        import atexit
+        import shutil as _shutil
+
+        def _cleanup(d=dest, m=marker):
+            _shutil.rmtree(d, ignore_errors=True)
+            try:
+                os.remove(m)
+            except OSError:
+                pass
+
+        atexit.register(_cleanup)
     # binaryFile sizes partitions by openCostInBytes (4 MB/file default), so
     # thousands of small blobs explode into near-empty partitions that each
     # pay an Arrow python-worker round trip; coalesce (no shuffle) back to
